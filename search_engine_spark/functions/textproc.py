@@ -1,0 +1,311 @@
+"""HTML→text extraction and tokenization — the per-row semantic core.
+
+One shared pure-Python implementation is used BOTH by the engine's
+vectorized pandas UDFs and by the single-node oracle (oracle/oracle.py),
+so the BASELINE.json per-row invariant — byte-identical extracted text
+per url — holds by construction, and the reference's golden unit tests
+pin the behavior (tests/test_textproc.py).
+
+Reference semantics reproduced here (SURVEY.md §2.2, quirk register §7.0):
+
+- Extraction selector (reference /root/reference/services/utils/src/lib.rs:4-6):
+  ``body p, pa, p abbr, p acronym, p b, p bdo, p big, p button, p cite,
+  p code, p dfn, p em, p i, p kbd, p label, p output, p q, p samp,
+  p small, p span, p strong, p sub, p sup, p time, p tt, p var,
+  h1..h6, ul li, ol li`` — including the ``pa`` typo (quirk Q1: anchor
+  text inside paragraphs is NOT extracted because the selector says
+  ``pa``, not ``p a``).
+- Per matched element, only DIRECT child text nodes are taken, each
+  ``.trim()``-ed, empties dropped, all joined with a single space
+  (utils/src/lib.rs:103-122) — hence quirk Q2: ``<p>foo <b>bar</b>
+  baz</p>`` → ``"foo baz bar"``.
+- All ``img[alt]`` attribute values are appended at the end, joined with
+  spaces (utils/src/lib.rs:124-135); final ``.trim()``.
+- The reference parses with html5ever (error-recovering HTML5). We build
+  a small recovering tree builder on ``html.parser`` implementing the
+  recovery rules the goldens exercise (``<p>`` auto-closed by block-level
+  tags incl. ``h1..h6`` and ``p``; ``li`` auto-closed by ``li``; void
+  elements) — quirk Q3. The synthetic corpus emits well-formed HTML so
+  deeper parser differences cannot bite at scale.
+
+- Token normalization (reference tf-idf-indexer/src/lib.rs:125-159):
+  1. remove diacritics (NFKD fold + drop combining marks; golden
+     ``"i̇şimle"→"isimle"``, lib.rs:835-838),
+  2. REJECT the whole token if any char is neither alphabetic nor ASCII
+     punctuation (kills ``123``, ``abc123``; lib.rs:133-141),
+  3. lowercase, trim, strip ASCII punctuation (lib.rs:143-149).
+  Punctuation-only tokens normalize to ``""`` and ARE indexed (quirk Q8).
+- Tokenization = Unicode-whitespace split (lib.rs:652), then normalize,
+  then drop index-side stop words (Stopwords-ISO English list,
+  lib.rs:22-28); the query side uses the NLTK English list
+  (app/main.py:13-15,54) — two different lists by design (quirk Q4).
+"""
+
+from __future__ import annotations
+
+import string
+import unicodedata
+from functools import lru_cache
+from html.parser import HTMLParser
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+_DATA_DIR = Path(__file__).resolve().parent.parent / "data"
+
+_ASCII_PUNCT = set(string.punctuation)  # == Rust char::is_ascii_punctuation
+
+# selector sets (utils/src/lib.rs:4-6)
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_P_INLINE_TAGS = frozenset(
+    {
+        "abbr", "acronym", "b", "bdo", "big", "button", "cite", "code",
+        "dfn", "em", "i", "kbd", "label", "output", "q", "samp", "small",
+        "span", "strong", "sub", "sup", "time", "tt", "var",
+    }
+)
+_LIST_PARENTS = frozenset({"ul", "ol"})
+
+_VOID_TAGS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+# start tags that auto-close an open <p> (HTML5 "in body" insertion mode;
+# the subset that matters for web text)
+_P_CLOSERS = frozenset(
+    {
+        "p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "div",
+        "table", "blockquote", "pre", "section", "article", "aside",
+        "header", "footer", "nav", "form", "figure", "fieldset", "hr",
+        "address", "details", "dl", "main",
+    }
+)
+
+
+class _Element:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[object] = []  # _Element | str (text node)
+
+
+class _TreeBuilder(HTMLParser):
+    """Minimal error-recovering HTML tree builder (quirk Q3)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Element("#document", {})
+        self.stack: list[_Element] = [self.root]
+
+    # -- helpers -------------------------------------------------------
+    def _top(self) -> _Element:
+        return self.stack[-1]
+
+    def _append_text(self, data: str) -> None:
+        children = self._top().children
+        if children and isinstance(children[-1], str):
+            children[-1] += data  # coalesce adjacent text (html5ever does)
+        else:
+            children.append(data)
+
+    def _close(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def _open_tags(self) -> list[str]:
+        return [e.tag for e in self.stack[1:]]
+
+    # -- parser callbacks ----------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _P_CLOSERS and "p" in self._open_tags():
+            self._close("p")
+        if tag == "li":
+            # an open <li> with no intervening ul/ol is implicitly closed
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "li":
+                    del self.stack[i:]
+                    break
+                if t in _LIST_PARENTS:
+                    break
+        el = _Element(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self._top().children.append(el)
+        if tag not in _VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        el = _Element(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self._top().children.append(el)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        self._close(tag)
+
+    def handle_data(self, data):
+        if data:
+            self._append_text(data)
+
+
+def _parse_html(html: str) -> _Element:
+    tb = _TreeBuilder()
+    tb.feed(html)
+    tb.close()
+    return tb.root
+
+
+def _matches_selector(tag: str, ancestors: list[str]) -> bool:
+    """The reference TEXT_SELECTOR (utils/src/lib.rs:4-6).
+
+    html5ever guarantees every element ends up under <body>, so
+    ``body p`` degenerates to ``p``; our builder treats all content as
+    body content for the same reason.
+    """
+    if tag == "p" or tag == "pa" or tag in _HEADING_TAGS:
+        return True
+    if tag in _P_INLINE_TAGS:
+        return "p" in ancestors
+    if tag == "li":
+        return any(a in _LIST_PARENTS for a in ancestors)
+    return False
+
+
+def extract_text(html: str) -> str:
+    """Visible + img-alt text, per reference utils/src/lib.rs:103-138."""
+    root = _parse_html(html)
+    parts: list[str] = []
+    alts: list[str] = []
+    # iterative pre-order walk (document order), tracking ancestor tags
+    work: list[tuple[_Element, list[str]]] = [(root, [])]
+    while work:
+        el, ancestors = work.pop()
+        if el.tag != "#document":
+            if el.tag == "img":
+                if "alt" in el.attrs:
+                    alts.append(el.attrs["alt"])
+            elif _matches_selector(el.tag, ancestors):
+                for child in el.children:
+                    if isinstance(child, str):
+                        t = child.strip()
+                        if t:
+                            parts.append(t)
+        child_anc = ancestors if el.tag == "#document" else ancestors + [el.tag]
+        for child in reversed(el.children):
+            if isinstance(child, _Element):
+                work.append((child, child_anc))
+    content = " ".join(parts)
+    alt_text = " ".join(alts)
+    if alt_text:
+        content = content + " " + alt_text
+    return content.strip()
+
+
+def extract_title(html: str) -> str:
+    """First <title> element's concatenated text (crawler.rs:133-140)."""
+    root = _parse_html(html)
+    work: list[_Element] = [root]
+    while work:
+        el = work.pop(0)
+        if el.tag == "title":
+            return "".join(c for c in el.children if isinstance(c, str))
+        work = [c for c in el.children if isinstance(c, _Element)] + work
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+def remove_diacritics(s: str) -> str:
+    """NFKD fold + drop combining marks (reference `diacritics` crate,
+    tf-idf-indexer/src/lib.rs:132; golden "i̇şimle"→"isimle")."""
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", s) if not unicodedata.combining(c)
+    )
+
+
+def normalize_term(token: str) -> str | None:
+    """tf-idf-indexer/src/lib.rs:125-159. None = rejected (digit-bearing)."""
+    t = remove_diacritics(token)
+    for c in t:
+        if not (c.isalpha() or c in _ASCII_PUNCT):
+            return None
+    t = t.lower().strip()
+    return "".join(c for c in t if c not in _ASCII_PUNCT)
+
+
+@lru_cache(maxsize=4)
+def load_stopwords(which: str) -> frozenset[str]:
+    """'iso' = index-side (Rust stop-words crate / Stopwords-ISO English,
+    lib.rs:22-28); 'nltk' = query-side (app/main.py:13-15). Quirk Q4:
+    two different lists, both vendored as data files."""
+    fname = {"iso": "stopwords_iso_en.txt", "nltk": "stopwords_nltk_en.txt"}[which]
+    words = (_DATA_DIR / fname).read_text().split("\n")
+    return frozenset(w for w in (w.strip() for w in words) if w and not w.startswith("#"))
+
+
+def tokenize(text: str, stop: frozenset[str] | None = None) -> list[str]:
+    """split_whitespace → normalize → drop rejected → drop stop words
+    (tf-idf-indexer/src/lib.rs:649-656). Keeps ""-terms (quirk Q8)."""
+    if stop is None:
+        stop = load_stopwords("iso")
+    out: list[str] = []
+    for tok in text.split():
+        t = normalize_term(tok)
+        if t is not None and t not in stop:
+            out.append(t)
+    return out
+
+
+def tokenize_query(q: str, side: str = "query") -> list[str]:
+    """Query tokenization. The reference lowercases then NLTK-tokenizes and
+    filters the NLTK stop list (app/main.py:53-54). We use the shared
+    normalizer (symmetry with the index; SURVEY §7.8) but honor the
+    side-appropriate stop list; "" never matches a query (reference
+    queries cannot produce the empty term either: NLTK drops it)."""
+    stop = load_stopwords("nltk" if side == "query" else "iso")
+    return [t for t in tokenize(q.lower(), stop=stop) if t != ""]
+
+
+# ---------------------------------------------------------------------------
+# vectorized pandas UDFs (the only Python on the hot path; input_hint
+# mandates no per-row Python — these are Arrow-batched)
+# ---------------------------------------------------------------------------
+
+def _decode(b) -> str:
+    if b is None:
+        return ""
+    if isinstance(b, (bytes, bytearray)):
+        return bytes(b).decode("utf-8", errors="replace")
+    return str(b)
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: extract_text(_decode(b)))
+
+
+@pandas_udf(StringType())
+def extract_title_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: extract_title(_decode(b)))
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf(text: pd.Series) -> pd.Series:
+    stop = load_stopwords("iso")
+    return text.map(lambda t: tokenize(t or "", stop=stop))
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_raw_udf(text: pd.Series) -> pd.Series:
+    """Normalize WITHOUT stop-filtering (for analyses that need all terms)."""
+    empty: frozenset[str] = frozenset()
+    return text.map(lambda t: tokenize(t or "", stop=empty))

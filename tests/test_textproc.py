@@ -1,0 +1,184 @@
+"""Golden tests for HTML→text extraction + tokenization.
+
+Every case here is ported from the reference's own unit tests so the
+per-row semantics (SURVEY.md §2.2 F1-F7, quirks Q1-Q3/Q8) are pinned:
+
+- extraction goldens: /root/reference/services/utils/src/lib.rs:150-351
+- normalization goldens: /root/reference/services/tf-idf-indexer/src/lib.rs:813-839
+- tf fixture: src/fixtures/tf.html + src/lib.rs:841-849
+- stop-word fixture: src/fixtures/filter_stop_words.html + src/lib.rs:1042-1056
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from search_engine_spark.functions.textproc import (
+    extract_text,
+    extract_title,
+    load_stopwords,
+    normalize_term,
+    tokenize,
+    tokenize_query,
+)
+
+
+class TestExtractText:
+    # utils/src/lib.rs:150-162
+    def test_extract_text(self):
+        html = "<body><p>hippopotamus hippopotamus hippopotamus</p></body>"
+        assert extract_text(html) == "hippopotamus hippopotamus hippopotamus"
+
+    # utils/src/lib.rs:164-178 — <h1> auto-closes <p> (html5ever recovery, Q3)
+    def test_nested_tags(self):
+        html = "<body><p>hippopotamus <h1>hippopotamus <p>hippopotamus</p></h1></p></body>"
+        assert extract_text(html) == "hippopotamus hippopotamus hippopotamus"
+
+    # utils/src/lib.rs:180-200
+    def test_header_tags(self):
+        html = (
+            "<body><h1>hippopotamus</h1><h2>hippopotamus</h2><h3>hippopotamus</h3>"
+            "<h4>hippopotamus</h4><h5>hippopotamus</h5><h6>hippopotamus</h6></body>"
+        )
+        assert extract_text(html) == " ".join(["hippopotamus"] * 6)
+
+    # utils/src/lib.rs:202-219
+    def test_unordered_list_tags(self):
+        html = (
+            "<body><ul><li>hippopotamus</li><li>hippopotamus</li>"
+            "<li>hippopotamus</li></ul></body>"
+        )
+        assert extract_text(html) == "hippopotamus hippopotamus hippopotamus"
+
+    # utils/src/lib.rs:221-238
+    def test_ordered_list_tags(self):
+        html = (
+            "<body><ol><li>hippopotamus</li><li>hippopotamus</li>"
+            "<li>hippopotamus</li></ol></body>"
+        )
+        assert extract_text(html) == "hippopotamus hippopotamus hippopotamus"
+
+    # utils/src/lib.rs:240-260
+    def test_nested_list_tags(self):
+        html = """
+        <body>
+            <ul>
+                <li>hippopotamus
+                    <ul>
+                        <li>hippopotamus</li>
+                        <li>hippopotamus</li>
+                    </ul>
+                </li>
+            </ul>
+        </body>"""
+        assert extract_text(html) == "hippopotamus hippopotamus hippopotamus"
+
+    # utils/src/lib.rs:262-283 — script/style content excluded
+    def test_with_style_and_script_tags(self):
+        html = """
+        <body>
+            <style>.global-navigation{position: fixed;}</style>
+            <script>let code = "hello world";</script>
+            <p>hippopotamus hippopotamus hippopotamus</p>
+        </body>"""
+        assert extract_text(html) == "hippopotamus hippopotamus hippopotamus"
+
+    # utils/src/lib.rs:285-300 — img alt appended at END
+    def test_img_alt_text(self):
+        html = """
+        <body>
+            <img src="man_on_building.jpg" alt="A man on a building">
+            <p>hippopotamus hippopotamus hippopotamus</p>
+        </body>"""
+        assert extract_text(html) == (
+            "hippopotamus hippopotamus hippopotamus A man on a building"
+        )
+
+    # utils/src/lib.rs:302-318
+    def test_with_punctuation(self):
+        html = """
+        <html></html>
+        <body>
+            <p>hippopotamus hippopotamus, Hippopotamus</p>
+            <p>hippopotamus world tis the won</p>
+        </body>"""
+        assert extract_text(html) == (
+            "hippopotamus hippopotamus, Hippopotamus hippopotamus world tis the won"
+        )
+
+    # utils/src/lib.rs:320-334
+    def test_inline_elements(self):
+        html = (
+            "<html></html><body><p><b>hippopotamus</b> <span>hippopotamus</span>"
+            " <i>hippopotamus</i></p></body>"
+        )
+        assert extract_text(html) == "hippopotamus hippopotamus hippopotamus"
+
+    # utils/src/lib.rs:336-351
+    def test_nested_inline_elements(self):
+        html = (
+            "<html></html><body><p><span><strong>hippopotamus</strong></span>"
+            " hippopotamus <i>hippopotamus</i></p></body>"
+        )
+        assert extract_text(html) == "hippopotamus hippopotamus hippopotamus"
+
+    # Quirk Q1: selector says `pa` not `p a` → anchor text inside <p> dropped
+    def test_anchor_text_not_extracted(self):
+        html = '<body><p>before <a href="x">LINK</a> after</p></body>'
+        assert extract_text(html) == "before after"
+
+    # Quirk Q2: direct-child-text ordering
+    def test_text_node_reordering(self):
+        html = "<body><p>foo <b>bar</b> baz</p></body>"
+        assert extract_text(html) == "foo baz bar"
+
+    def test_title(self):
+        html = "<html><head><title>My Page</title></head><body><p>x</p></body></html>"
+        assert extract_title(html) == "My Page"
+
+
+class TestNormalization:
+    # tf-idf-indexer/src/lib.rs:816-839
+    def test_punctuation_stripped(self):
+        assert normalize_term("abc-?>") == "abc"
+
+    def test_diacritics_removed(self):
+        assert normalize_term("i̇şimle") == "isimle"
+
+    def test_digits_rejected(self):
+        assert normalize_term("123") is None
+        assert normalize_term("abc123") is None
+
+    def test_lowercase(self):
+        assert normalize_term("Hippopotamus") == "hippopotamus"
+
+    # Quirk Q8: punctuation-only tokens normalize to "" and ARE indexed
+    def test_punct_only_token_is_empty_term(self):
+        assert normalize_term("?!...") == ""
+
+
+class TestTokenize:
+    # src/fixtures/tf.html + lib.rs:841-849: tf(hippopotamus) == 4
+    def test_tf_fixture(self):
+        html = (
+            "<html></html><body><p>hippopotamus hippopotamus, Hippopotamus</p>"
+            "<p>hippopotamus world tis the won</p></body>"
+        )
+        toks = tokenize(extract_text(html))
+        assert Counter(toks)["hippopotamus"] == 4
+        # world/tis/the/won are all Stopwords-ISO entries
+        assert set(toks) == {"hippopotamus"}
+
+    # src/fixtures/filter_stop_words.html + lib.rs:1042-1056
+    def test_filter_stop_words_fixture(self):
+        html = "<body><p>is where was when hippopotamus then we ladder</p></body>"
+        assert tokenize(extract_text(html)) == ["hippopotamus", "ladder"]
+
+    def test_query_side_uses_nltk_list(self):
+        # NLTK list lacks "world"; ISO list has it (quirk Q4)
+        assert "world" in load_stopwords("iso")
+        assert "world" not in load_stopwords("nltk")
+        assert tokenize_query("the world IS a Ladder") == ["world", "ladder"]
+
+    def test_empty_term_never_in_query(self):
+        assert tokenize_query("?! ...") == []
