@@ -1,0 +1,203 @@
+"""Distributed inverted-index build (SURVEY §3.2 Spark lifecycle).
+
+Semantics from the reference's indexer (tf-idf-indexer/src/lib.rs):
+per-page tokenize → TF (lib.rs:168-173) → DF (lib.rs:178-183) →
+IDF = log10(N/df), 0-guarded (lib.rs:190-199) → TF-IDF = tf·idf
+(lib.rs:215-228). The reference streams 500-page batches through an
+in-memory HashMap with one Postgres round-trip per term — the
+scalability cliff this engine replaces with two shuffles total:
+
+  docs → [extract/tokenize pandas UDF, no shuffle]
+       → explode → groupBy(doc_id, term) [shuffle 1: partial+final agg]
+       → groupBy(term) for df            [shuffle 2, map-side combine]
+
+At 100 TB the heavy relation is postings; everything term-global (df,
+idf, N, avgdl) is tiny by comparison. BM25 per-posting weights
+(tf_norm) are precomputed AT BUILD TIME so query-time scoring needs no
+join against doc_stats — the classic impact-ordered-index trick, which
+in Spark terms removes a per-query shuffle join against a doc-sized
+table.
+
+doc_id minting: `hash` (xxhash64(url), shuffle-free, the 10^12-doc
+path) or `dense` (row_number over url order — global sort; used by
+tests so ids match the reference's golden fixtures).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.textproc import extract_text_udf, tokenize_udf
+
+K1 = 1.2
+B = 0.75
+
+
+def prepare_docs(
+    pages: DataFrame,
+    id_method: str = "hash",
+    recompute_text: bool = False,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → docs(doc_id, url, text).
+
+    - language filter: lang LIKE 'en%' (reference url_handler.rs:29-41, F8)
+      — a plain Catalyst predicate, pushed to the scan.
+    - empty-page filter (crawler.rs:278-291, F12).
+    - `recompute_text=True` re-runs extraction from html (the per-row
+      byte-identity invariant); default trusts the stored text column and
+      NEVER reads the html binary column (column pruning keeps it out of
+      the scan entirely — ReadSchema shows url/text/lang only).
+    """
+    df = pages.filter(F.col("lang").startswith("en"))
+    if recompute_text:
+        df = df.withColumn("text", extract_text_udf(F.col("html")))
+    df = df.filter(F.length(F.col("text")) > 0)
+    if id_method == "hash":
+        df = df.withColumn("doc_id", F.xxhash64(F.col("url")))
+    elif id_method == "dense":
+        # global sort — test/golden path only (dense ids 1..N like the
+        # reference's serial PK); the 10^12-doc path uses `hash`.
+        df = df.withColumn(
+            "doc_id", F.row_number().over(Window.orderBy(F.col("url")))
+        ).withColumn("doc_id", F.col("doc_id").cast("long"))
+    else:
+        raise ValueError(id_method)
+    return df.select("doc_id", "url", "text")
+
+
+@dataclass
+class InvertedIndex:
+    """The built index: exploded columnar postings + term/doc dimensions.
+
+    postings(term, doc_id, tf, tf_norm)  — tf_norm is the precomputed
+        BM25 term-saturation factor tf·(k1+1)/(tf+k1·(1-b+b·dl/avgdl)).
+    term_stats(term, df, idf, idf_f32, bm25_idf)
+    doc_stats(doc_id, dl)
+    """
+
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_stats: DataFrame
+    n_docs: int
+    avgdl: float
+
+    def cache(self) -> "InvertedIndex":
+        self.postings.cache()
+        self.term_stats.cache()
+        self.doc_stats.cache()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.term_stats, self.doc_stats):
+            df.unpersist()
+
+
+def build_index(
+    docs: DataFrame,
+    k1: float = K1,
+    b: float = B,
+    tokenizer=None,
+) -> InvertedIndex:
+    """docs(doc_id, text, ...) → InvertedIndex.
+
+    Two shuffles (doc_id+term agg; term agg). All scoring math is
+    Catalyst column arithmetic — whole-stage codegen, no Python.
+
+    `tokenizer`: Column→Column producing array<string>; defaults to the
+    reference-semantics pandas UDF (extract/normalize/stop-filter). Pass
+    e.g. ``lambda c: F.split(c, ' ')`` for corpora that are already
+    plain tokens (keeps the whole build JVM-side, zero Python).
+    """
+    tok = tokenizer or tokenize_udf
+    tokens = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+
+    # A1: TF — partial+final hash agg (map-side combine over doc-local data)
+    raw_postings = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+
+    # doc length = Σ tf per doc (token count post stop-filter, incl. "")
+    doc_stats = raw_postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+
+    # two tiny driver scalars (one job: N + avgdl together)
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+
+    # A2+A4: DF and both IDFs — (term,doc) unique so count(*) == countDistinct
+    term_stats = raw_postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    idf = F.when(
+        (F.col("df") > 0) & (F.lit(n_docs) > 0),
+        F.log10(F.lit(float(n_docs)) / F.col("df")),
+    ).otherwise(F.lit(0.0))
+    term_stats = term_stats.select(
+        "term",
+        "df",
+        idf.alias("idf"),
+        idf.cast("float").alias("idf_f32"),  # quirk Q5: reference scores are f32
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("bm25_idf"),
+    )
+
+    # precompute the BM25 doc-length normalization into each posting
+    # (shuffle join on doc_id happens ONCE at build, never at query time)
+    postings = (
+        raw_postings.join(doc_stats, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (
+                F.col("tf") * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl or 1.0)))
+            ).alias("tf_norm"),
+        )
+    )
+
+    return InvertedIndex(
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+
+
+def write_index(index: InvertedIndex, path: str) -> None:
+    """Materialize to a parquet layout bucketed for query-time pruning.
+
+    Postings are repartitioned by term and sorted (term, doc_id) within
+    files so min/max parquet statistics prune file ranges on term
+    lookups; at cluster scale this becomes Iceberg
+    `PARTITIONED BY (bucket(N, term))` (SURVEY §4.2.3).
+    """
+    (
+        index.postings.repartition(F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    meta = index.postings.sparkSession.createDataFrame(
+        [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_index(spark: SparkSession, path: str) -> InvertedIndex:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return InvertedIndex(
+        postings=spark.read.parquet(f"{path}/postings"),
+        term_stats=spark.read.parquet(f"{path}/term_stats"),
+        doc_stats=spark.read.parquet(f"{path}/doc_stats"),
+        n_docs=int(meta["n_docs"]),
+        avgdl=float(meta["avgdl"]),
+    )

@@ -1,0 +1,145 @@
+"""Query-time scoring: TF-IDF-compat (reference-identical) and BM25 top-k.
+
+Reference query pipeline (app/main.py:51-75): tokenize+stop-filter the
+query, restrict `terms` to the query terms (J3), explode postings (J1),
+join pages (J2), per-page `SUM(tf_idf::real) * COUNT(term)` (A6), sort
+DESC limit 10 (W1). OR semantics (quirk Q9), f32 scores (Q5), tie-break
+(score DESC, doc_id ASC) defined by us (Q7).
+
+Spark plan shape (multi-query batch):
+  postings ⋈ BROADCAST(query_terms)        -- semi-restrict, no shuffle
+           ⋈ BROADCAST(term_stats∩qterms)  -- tiny dim
+  → groupBy(query_id, doc_id) hash agg     -- the one shuffle
+  → per-query top-k window (rank pushdown via WindowGroupLimit)
+
+Float determinism contract (shared with oracle/oracle.py): per-term
+score is computed in f64 (compat: per-term value rounded to f32 first),
+summed in f64, final compat score rounded to f32. With ≤~16 query terms
+the f64 partial sums are associativity-insensitive at f32 granularity,
+so partition order cannot flip ranks; remaining ties are killed by Q7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.textproc import tokenize_query
+from search_engine_spark.operators.index_build import InvertedIndex
+
+
+def queries_to_terms(
+    spark: SparkSession, queries: dict[int, str] | list[str]
+) -> DataFrame:
+    """Tokenize queries driver-side (they are tiny) → (query_id, term).
+
+    Duplicate terms within one query are dropped: the reference's
+    `term = ANY(array)` + per-term rows means a term matched once per
+    distinct term (app/main.py:67).
+    """
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    rows = []
+    for qid, q in queries.items():
+        for t in dict.fromkeys(tokenize_query(q)):  # order-preserving dedup
+            rows.append((qid, t))
+    if not rows:
+        return spark.createDataFrame([], "query_id int, term string")
+    return spark.createDataFrame(rows, "query_id int, term string")
+
+
+def _matched(
+    index: InvertedIndex, query_terms: DataFrame, terms: list[str] | None = None
+) -> DataFrame:
+    """postings restricted to query terms, with term stats attached.
+
+    Both join sides against postings are broadcast: the query-term set
+    (a few rows) and term_stats∩qterms (≤ #query terms rows). The big
+    postings relation is never shuffled here. When the literal term set
+    is known driver-side (it always is — queries are tokenized on the
+    driver), an `isin` predicate is ALSO applied so Catalyst pushes it
+    into the parquet scan (`PushedFilters: In(term, ...)`): with the
+    index laid out sorted-by-term, row-group stats skip everything but
+    the touched posting lists — the Spark analog of a term-dictionary
+    seek, and the difference between O(index) and O(matched postings)
+    IO at 10^12-doc scale.
+    """
+    qt = F.broadcast(query_terms)
+    postings, term_stats = index.postings, index.term_stats
+    if terms:
+        postings = postings.filter(F.col("term").isin(terms))
+        term_stats = term_stats.filter(F.col("term").isin(terms))
+    ts_q = term_stats.join(
+        F.broadcast(query_terms.select("term").distinct()), "term", "left_semi"
+    )
+    return postings.join(qt, "term").join(F.broadcast(ts_q), "term")
+
+
+def topk(scored: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query top-k, tie-break (score DESC, doc_id ASC) — quirk Q7.
+
+    rank-limit window: Spark's WindowGroupLimit pushes the k-filter into
+    a per-partition group-limit before the final sort, i.e. the
+    distributed top-k heap merge of TakeOrderedAndProject generalized
+    per query_id.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def score_tfidf_compat(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k: int = 10,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Reference ranking fn: SUM(f32(tf·idf_f32)) * COUNT(term), f32 (A6/W1)."""
+    m = _matched(index, query_terms, terms)
+    per_term = (F.col("tf") * F.col("idf_f32")).cast("float").cast("double")
+    scored = m.groupBy("query_id", "doc_id").agg(
+        (F.sum(per_term) * F.count(F.lit(1))).cast("float").alias("score")
+    )
+    return topk(scored, k)
+
+
+def score_bm25(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k: int = 10,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """BM25 (quirk Q11): Σ_t idf_t · tf_norm — tf_norm precomputed at build,
+    so scoring is one broadcast-joined scan + one hash agg."""
+    m = _matched(index, query_terms, terms)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("bm25_idf") * F.col("tf_norm")).alias("score")
+    )
+    return topk(scored, k)
+
+
+def search(
+    index: InvertedIndex,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    k: int = 10,
+    scorer: str = "bm25",
+) -> DataFrame:
+    """End-to-end multi-query search → (query_id, doc_id, score) top-k rows."""
+    qt = queries_to_terms(spark, queries)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not terms:
+        return qt.sparkSession.createDataFrame(
+            [], "query_id int, doc_id long, score double"
+        )
+    if scorer == "bm25":
+        return score_bm25(index, qt, k, terms=terms)
+    if scorer == "tfidf_compat":
+        return score_tfidf_compat(index, qt, k, terms=terms)
+    raise ValueError(scorer)
