@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator inventory (SURVEY.md §2) over
+the driver's testdata tables; each SQL-expressible entry has a DuckDB
+oracle in `oracle_sql()` with identical column names/rounding. Ops that
+depend on xxhash64 (MinHash/SimHash/hyperplane LSH) are rows-only.
+
+The web-pages pipeline (HTML extraction, reference tokenizer, f32
+TF-IDF compat, rank identity) is exercised by tests/ against the
+single-node oracle; here the corpus is the pre-tokenized `documents`
+table, so tokenization is a plain single-space split on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +16,200 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERY_TERMS = ["spark", "merge", "batch"]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 through the real engine (build_index →
+    broadcast-join scoring → WindowGroupLimit top-k) on sf0.001."""
+    return _engine_bm25(spark, "/root/testdata/sf0.001")
 
+
+def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_bm25
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    top = score_bm25(index, qt, k=10, terms=QUERY_TERMS)
+    return top.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from search_engine_spark.operators import dedup, similarity
+    from search_engine_spark.operators import text_analytics as ta
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q(fn):
+        return lambda spark, sf_dir: fn(spark, sf_dir)
+
+    return {
+        # S-scans + F-filters + A-aggregations (SURVEY §2.1/2.2/2.4)
+        "tokenize_tf": q(lambda s, d: ta.term_tf(_documents(s, d))),
+        "term_df": q(lambda s, d: ta.term_df(_documents(s, d))),
+        "term_idf": q(lambda s, d: ta.term_idf(_documents(s, d))),
+        "doc_lengths": q(lambda s, d: ta.doc_lengths(_documents(s, d))),
+        "corpus_count": q(
+            lambda s, d: _documents(s, d).agg(F.count(F.lit(1)).alias("n"))
+        ),
+        "lang_filter": q(
+            lambda s, d: _documents(s, d)
+            .filter(F.col("lang").startswith("en"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        ),
+        # scoring + top-k (A5/A6/W1, J2/J3)
+        "tfidf_topk": q(lambda s, d: ta.tfidf_topk(_documents(s, d), QUERY_TERMS)),
+        "bm25_topk": q(lambda s, d: ta.bm25_topk(_documents(s, d), QUERY_TERMS)),
+        "engine_bm25_search": _engine_bm25,
+        # dedup family
+        "exact_dedup": q(lambda s, d: dedup.exact_dedup(_documents(s, d))),
+        "token_jaccard_pairs": q(
+            lambda s, d: dedup.token_jaccard_pairs(_documents(s, d), threshold=0.9)
+        ),
+        "minhash_lsh_pairs": q(  # rows-only: xxhash64 not in DuckDB
+            lambda s, d: dedup.minhash_lsh_pairs(_documents(s, d), threshold=0.9)
+        ),
+        "simhash_pairs": q(  # rows-only
+            lambda s, d: dedup.simhash_pairs(_documents(s, d), max_hamming=3)
+        ),
+        # text analytics extras
+        "quality_stats": q(lambda s, d: ta.quality_stats(_documents(s, d))),
+        "langid_score": q(lambda s, d: ta.langid_score(_documents(s, d))),
+        "token_counts_by_lang": q(
+            lambda s, d: ta.token_counts_by(_documents(s, d), "lang")
+        ),
+        "fingerprints": q(lambda s, d: ta.fingerprints(_documents(s, d))),
+        # similarity search
+        "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
+        "lsh_cosine_topk": q(  # rows-only (hyperplanes from xxhash64)
+            lambda s, d: similarity.lsh_cosine_topk(_embeddings(s, d), 0)
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — identical column names, rounding, and tie-breaks
+# ---------------------------------------------------------------------------
+
+_TOKENS = (
+    "tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents)"
+)
+_TF = (
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens "
+    "WHERE term <> '' GROUP BY doc_id, term)"
+)
+_IN_TERMS = "('" + "','".join(QUERY_TERMS) + "')"
+
+_BM25_SQL = f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT {{qid}}doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+), 6) AS score
+FROM matched m
+JOIN df USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id{{qid_group}}
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize_tf": f"WITH {_TOKENS} SELECT doc_id, term, count(*) AS tf "
+        "FROM tokens WHERE term <> '' GROUP BY doc_id, term",
+        "term_df": f"WITH {_TOKENS}, {_TF} "
+        "SELECT term, count(*) AS df FROM tf GROUP BY term",
+        "term_idf": f"WITH {_TOKENS}, {_TF}, "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "n AS (SELECT count(*) AS n FROM documents) "
+        "SELECT term, df, round(log10(CAST(n.n AS DOUBLE) / df), 6) AS idf "
+        "FROM df, n",
+        "doc_lengths": f"WITH {_TOKENS} SELECT doc_id, count(*) AS dl "
+        "FROM tokens WHERE term <> '' GROUP BY doc_id",
+        "corpus_count": "SELECT count(*) AS n FROM documents",
+        "lang_filter": "SELECT lang, count(*) AS n_docs FROM documents "
+        "WHERE lang LIKE 'en%' GROUP BY lang",
+        "tfidf_topk": f"""
+WITH {_TOKENS}, {_TF},
+n AS (SELECT count(*) AS n FROM documents),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT doc_id,
+       round(sum(m.tf * log10(CAST(n.n AS DOUBLE) / df.df)) * count(*), 6) AS score
+FROM matched m JOIN df USING (term), n
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
+        "bm25_topk": _BM25_SQL.format(qid="", qid_group=""),
+        "engine_bm25_search": _BM25_SQL.format(
+            qid="CAST(0 AS INTEGER) AS query_id, ", qid_group=""
+        ),
+        "exact_dedup": "SELECT md5(text) AS fp, min(doc_id) AS keep_id, "
+        "count(*) AS n_copies FROM documents GROUP BY md5(text)",
+        "token_jaccard_pairs": f"""
+WITH {_TOKENS},
+toks AS (SELECT DISTINCT doc_id, term FROM tokens WHERE term <> ''),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.9""",
+        "quality_stats": f"WITH {_TOKENS} "
+        "SELECT doc_id, count(*) AS n_tokens, "
+        "round(avg(CAST(length(term) AS DOUBLE)), 6) AS avg_token_len "
+        "FROM tokens WHERE term <> '' GROUP BY doc_id",
+        "langid_score": f"WITH {_TOKENS} "
+        "SELECT doc_id, round(CAST(sum(CASE WHEN term IN "
+        "('the','a','of','is','and','to','in','that','it','for') THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / count(*), 6) AS en_score "
+        "FROM tokens WHERE term <> '' GROUP BY doc_id",
+        "token_counts_by_lang": "WITH tokens AS (SELECT lang, "
+        "unnest(string_split(text, ' ')) AS term FROM documents) "
+        "SELECT lang, count(*) AS n_tokens FROM tokens WHERE term <> '' GROUP BY lang",
+        "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "cosine_topk": """
+WITH pos AS (SELECT pos FROM generate_series(1, 64) t(pos)),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (SELECT b.vec_id,
+                sum(CAST(b.embedding[pos] AS DOUBLE) * CAST(q.qe[pos] AS DOUBLE)) AS dot,
+                sum(CAST(b.embedding[pos] AS DOUBLE) * CAST(b.embedding[pos] AS DOUBLE)) AS nb
+         FROM embeddings b, q, pos WHERE b.vec_id <> 0 GROUP BY b.vec_id),
+qn AS (SELECT sum(CAST(qe[pos] AS DOUBLE) * CAST(qe[pos] AS DOUBLE)) AS nq2 FROM q, pos)
+SELECT vec_id, round(dot / (sqrt(nb) * sqrt(qn.nq2)), 6) AS cos
+FROM prod, qn
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10""",
+        # minhash_lsh_pairs / simhash_pairs / lsh_cosine_topk: omitted —
+        # they hash with Spark's xxhash64 (rows-only check).
+    }

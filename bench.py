@@ -1,0 +1,157 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf": ...}.
+
+Headline queries:
+- pages_index_build: synthetic Common-Crawl-style pages (n scales with
+  sf) → full engine build INCLUDING HTML extraction + reference
+  tokenization pandas UDFs — the dominant cost at 100 TB.
+- docs_index_build: JVM-only index build over the sf documents table.
+- bm25_search / tfidf_search: multi-query top-k against the built
+  pages index (persisted + re-read so scans hit parquet like a real
+  serving path).
+- minhash_lsh_pairs / cosine_topk: dedup + similarity headliners.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages corpus sized to the sf: sf0.1 → 20k pages (~1.2k tokens/page)
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(2000, int(200_000 * _SF))))
+
+SEARCH_QUERIES = [
+    "hippopotamus",
+    "ladder pipe",
+    "seagull elephant harbor",
+    "gumball hitman",
+    "persona strikers",
+    "castle meadow tundra glacier",
+    "lantern orchard",
+    "hippopotamus ladder pipe seagull elephant",
+]
+
+
+def main() -> None:
+    import tempfile
+
+    from search_engine_spark.operators.index_build import (
+        build_index,
+        prepare_docs,
+        read_index,
+        write_index,
+    )
+    from search_engine_spark.operators import dedup, similarity
+    from search_engine_spark.operators import text_analytics as ta
+    from search_engine_spark.operators.query import search
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import synth_pages
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # 1. pages pipeline: synth (materialized first so generation cost
+        #    is not billed to the build) → extract → tokenize → index
+        pages_path = f"{tmp}/pages"
+        synth_pages(spark, N_PAGES, seed=42, partitions=CPUS * 2).write.parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+
+        def build_pages():
+            docs = prepare_docs(pages, id_method="hash", recompute_text=True)
+            idx = build_index(docs)
+            write_index(idx, f"{tmp}/index")
+            return idx
+
+        timed("pages_index_build", build_pages)
+
+        # 2. serving-path search against the persisted index
+        idx = read_index(spark, f"{tmp}/index")
+        timed(
+            "bm25_search",
+            lambda: search(idx, spark, SEARCH_QUERIES, k=10, scorer="bm25").collect(),
+        )
+        timed(
+            "tfidf_search",
+            lambda: search(
+                idx, spark, SEARCH_QUERIES, k=10, scorer="tfidf_compat"
+            ).collect(),
+        )
+
+        # 2b. block serving path: compressed doc-bucketed block index +
+        #     TA-pruned exact top-k
+        from search_engine_spark.operators.blocks import (
+            block_search,
+            build_block_index,
+            write_block_index,
+        )
+
+        timed(
+            "block_index_build",
+            lambda: write_block_index(
+                build_block_index(idx, num_buckets=CPUS * 2), f"{tmp}/blocks"
+            ),
+        )
+        blocks = spark.read.parquet(f"{tmp}/blocks")
+        timed(
+            "block_bm25_search",
+            lambda: block_search(blocks, spark, SEARCH_QUERIES, k=10).collect(),
+        )
+
+        # 3. documents-table operators (JVM-only paths)
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        timed(
+            "docs_index_build",
+            lambda: build_index(
+                documents.select("doc_id", "text"), tokenizer=ta.ws_tokens
+            ).postings.count(),
+        )
+        timed(
+            "minhash_lsh_pairs",
+            lambda: dedup.minhash_lsh_pairs(documents, threshold=0.9).count(),
+        )
+        timed("cosine_topk", lambda: similarity.cosine_topk(embeddings, 0).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline pipeline wall time (index build + search + dedup + ann)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _SF,
+                "extra": {
+                    "n_pages": N_PAGES,
+                    "cpus": CPUS,
+                    "pages_docs_per_sec": round(
+                        N_PAGES / timings["pages_index_build"], 1
+                    ),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

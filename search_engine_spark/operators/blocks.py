@@ -1,0 +1,261 @@
+"""Block-structured compressed posting index + block-max pruned top-k.
+
+Layout: DOCUMENT-partitioned (the way production search clusters shard):
+`bucket = pmod(xxhash64(doc_id), num_buckets)`. Every posting of a doc
+lands in one bucket, so a bucket can compute COMPLETE scores for its
+docs locally and per-bucket top-k heaps merge into the exact global
+top-k (TakeOrdered semantics). Consequences at 10^12-doc scale:
+
+- head-term skew is structurally gone: a term with 10^10 postings
+  spreads uniformly over buckets (no salting dance needed — the salted
+  term-partitioned alternative from SURVEY §7.5 survives in
+  index_build.write_index for the dictionary-seek row path);
+- queries fan out to all buckets (classic doc-sharded serving), each
+  bucket doing O(postings of query terms in bucket) work;
+- bucket count = shuffle parallelism knob; set ≈ 2-3× cluster cores.
+
+Within a bucket, per term: doc_ids sorted, chunked into BLOCK_SIZE
+blocks, delta+varbyte encoded (compression.py); per-posting BM25
+contributions (bm25_idf·tf_norm, f32) stored alongside; per-block
+max_score powers the pruned search.
+
+Pruned search = threshold-algorithm (TA) style, EXACT (property-tested
+equal to exhaustive): decode doc ids of all candidate blocks (cheap),
+compute per-doc upper bounds from block max_scores, exact-score docs in
+ub order (lazily decoding score bytes per block) until the running kth
+exact score ≥ the next upper bound, then stop — remaining docs cannot
+enter the top-k. Savings = score-byte decode + scoring skipped for
+low-ub docs/blocks.
+
+Reference analog: none — the reference scores every posting of every
+matched term (app/main.py:58-73). This is the engine's novel serving
+path (SURVEY §4.2.2), expressed as applyInPandas over buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.textproc import tokenize_query
+from search_engine_spark.operators.compression import (
+    BLOCK_SIZE,
+    encode_block,
+    varbyte_decode,
+    varbyte_encode,
+)
+from search_engine_spark.operators.index_build import InvertedIndex
+
+BLOCKS_SCHEMA = (
+    "bucket int, term string, block_id int, n int, min_doc long, "
+    "max_doc long, max_score double, doc_bytes binary, tf_bytes binary, "
+    "score_bytes binary"
+)
+
+
+def build_block_index(
+    index: InvertedIndex,
+    num_buckets: int | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """postings (+bm25_idf) → doc-bucketed compressed blocks.
+
+    One shuffle: repartition by bucket; applyInPandas groups by
+    (bucket, term) — group size is one term's postings within one
+    bucket, bounded by df(term)/num_buckets, so executor memory is safe
+    for any skew.
+    """
+    spark = index.postings.sparkSession
+    nb = num_buckets or spark.sparkContext.defaultParallelism * 2
+
+    scored = (
+        index.postings.join(index.term_stats.select("term", "bm25_idf"), "term")
+        .withColumn("score", (F.col("bm25_idf") * F.col("tf_norm")).cast("float"))
+        .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+        .select("bucket", "term", "doc_id", "tf", "score")
+    )
+
+    def make_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        scores = pdf["score"].to_numpy(np.float32)
+        bucket = int(pdf["bucket"].iloc[0])
+        term = pdf["term"].iloc[0]
+        out = []
+        for bid, s in enumerate(range(0, len(docs), block_size)):
+            d, t, sc = docs[s : s + block_size], tfs[s : s + block_size], scores[s : s + block_size]
+            doc_bytes, tf_bytes = encode_block(d, t)
+            out.append(
+                (
+                    bucket, term, bid, len(d), int(d[0]), int(d[-1]),
+                    float(sc.max()), doc_bytes, tf_bytes, sc.tobytes(),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "bucket", "term", "block_id", "n", "min_doc", "max_doc",
+                "max_score", "doc_bytes", "tf_bytes", "score_bytes",
+            ],
+        )
+
+    return (
+        scored.repartition(nb, "bucket")
+        .groupBy("bucket", "term")
+        .applyInPandas(make_blocks, BLOCKS_SCHEMA)
+    )
+
+
+def write_block_index(blocks: DataFrame, path: str) -> None:
+    """Persist partitioned by bucket → query-time scans are one file
+    group per bucket; term predicate prunes row groups within."""
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# serving path
+# ---------------------------------------------------------------------------
+
+def _decode_docs(row) -> np.ndarray:
+    return _decode_docs_bytes(bytes(row))
+
+
+def _decode_docs_bytes(b: bytes) -> np.ndarray:
+    deltas = varbyte_decode(b)
+    if deltas.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    z = deltas[0]
+    first = np.int64(z >> np.uint64(1)) ^ -np.int64(z & np.uint64(1))
+    docs = np.empty(deltas.shape, dtype=np.int64)
+    docs[0] = first
+    if deltas.size > 1:
+        docs[1:] = deltas[1:].astype(np.int64)
+        np.cumsum(docs, out=docs)
+    return docs
+
+
+def _bucket_topk(
+    pdf: pd.DataFrame, query_terms: dict[int, list[str]], k: int, prune: bool
+) -> pd.DataFrame:
+    """Exact local top-k for every query over one bucket's blocks."""
+    out_q, out_d, out_s = [], [], []
+    by_term: dict[str, list] = {}
+    for row in pdf.itertuples(index=False):
+        by_term.setdefault(row.term, []).append(row)
+
+    for qid, terms in query_terms.items():
+        rows = [r for t in terms for r in by_term.get(t, [])]
+        if not rows:
+            continue
+        # phase 1: doc ids + upper bounds (score bytes untouched)
+        doc_arrays = [_decode_docs_bytes(bytes(r.doc_bytes)) for r in rows]
+        all_docs = np.concatenate(doc_arrays)
+        ubs = np.concatenate(
+            [np.full(len(d), r.max_score, dtype=np.float64) for d, r in zip(doc_arrays, rows)]
+        )
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        ub = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(ub, inv, ubs)
+
+        decoded_scores: list[np.ndarray | None] = [None] * len(rows)
+
+        def exact_scores(doc_sel: np.ndarray) -> np.ndarray:
+            """complete scores for the selected doc ids (sorted array)."""
+            total = np.zeros(len(doc_sel), dtype=np.float64)
+            for i, (r, darr) in enumerate(zip(rows, doc_arrays)):
+                # find which selected docs are in this block
+                pos = np.searchsorted(darr, doc_sel)
+                pos_ok = pos < len(darr)
+                hit = np.zeros(len(doc_sel), dtype=bool)
+                hit[pos_ok] = darr[pos[pos_ok]] == doc_sel[pos_ok]
+                if not hit.any():
+                    continue
+                if decoded_scores[i] is None:
+                    decoded_scores[i] = np.frombuffer(
+                        bytes(r.score_bytes), dtype=np.float32
+                    ).astype(np.float64)
+                total[hit] += decoded_scores[i][pos[hit]]
+            return total
+
+        if not prune or len(uniq) <= 2 * k:
+            scores = exact_scores(uniq)
+            cand_docs, cand_scores = uniq, scores
+        else:
+            # TA loop: exact-score docs in descending-ub order until the
+            # kth exact score dominates the next upper bound
+            order = np.argsort(-ub, kind="stable")
+            m = max(4 * k, 64)
+            done = 0
+            kept_docs: list[np.ndarray] = []
+            kept_scores: list[np.ndarray] = []
+            kth = -np.inf
+            while done < len(order):
+                sel_idx = order[done : done + m]
+                sel_docs = uniq[sel_idx]
+                s_order = np.argsort(sel_docs)
+                sc = exact_scores(sel_docs[s_order])
+                kept_docs.append(sel_docs[s_order])
+                kept_scores.append(sc)
+                done += len(sel_idx)
+                allsc = np.concatenate(kept_scores)
+                if len(allsc) >= k:
+                    kth = np.partition(allsc, -k)[-k]
+                if done < len(order) and kth > ub[order[done]]:
+                    break
+                m *= 2
+            cand_docs = np.concatenate(kept_docs)
+            cand_scores = np.concatenate(kept_scores)
+
+        top = min(k, len(cand_docs))
+        sel = np.lexsort((cand_docs, -cand_scores))[:top]
+        out_q.extend([qid] * top)
+        out_d.extend(cand_docs[sel].tolist())
+        out_s.extend(cand_scores[sel].tolist())
+
+    return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+
+def block_search(
+    blocks: DataFrame,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    k: int = 10,
+    prune: bool = True,
+) -> DataFrame:
+    """Exact BM25 top-k from the block index.
+
+    Plan: term-isin-pruned scan of blocks → applyInPandas per bucket
+    (local exact top-k via TA pruning) → global WindowGroupLimit merge
+    of ≤ k·num_buckets candidate rows. No shuffle of posting data ever:
+    the only shuffled rows are the per-bucket top-k candidates.
+    """
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    qterms = {qid: tokenize_query(q) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+
+    cand = blocks.filter(F.col("term").isin(all_terms))
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_topk(pdf, qterms, k, prune)
+
+    local = cand.groupBy("bucket").applyInPandas(
+        per_bucket, "query_id int, doc_id long, score double"
+    )
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "query_id"
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    )

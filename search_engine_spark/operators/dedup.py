@@ -1,0 +1,194 @@
+"""Deduplication operators — exact and near-dup, at training-pipeline scale.
+
+The reference's only dedup is HashSet identity on URLs/pages (SURVEY
+§2.4 A8, crawler page.rs:66-136); a 100 TB webtext pipeline needs
+content dedup as a first-class stage. All variants below are pure
+DataFrame ops (no Python on the hot path):
+
+- exact_dedup: md5-groupBy — one shuffle on the fingerprint.
+- token_jaccard_pairs: token-set Jaccard via self-join on shared terms
+  (the SQL-checkable baseline; O(pairs-sharing-a-term)).
+- minhash_lsh_pairs: MinHash signatures + banded LSH — the scale path:
+  candidate generation is a groupBy on (band, band_hash) buckets, so
+  cost is O(near-dup candidates), not O(n²); candidates are then
+  verified with true Jaccard.
+- simhash_pairs: 64-bit SimHash + banded hamming candidates verified by
+  bit_count(xor) ≤ max_hamming.
+
+Hash family: xxhash64 with the permutation index mixed in as an extra
+hashed column — deterministic across runs/executors, no Python RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.text_analytics import tokens_df
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """(fp, keep_id, n_copies): canonical doc per identical text."""
+    return (
+        documents.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def distinct_terms(documents: DataFrame) -> DataFrame:
+    return tokens_df(documents).distinct()
+
+
+def token_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for token-set Jaccard ≥ threshold.
+
+    Self-equi-join on term; skew warning: a term present in f docs
+    contributes f² join rows — at scale run minhash_lsh_pairs instead
+    (this operator is the exact oracle-checkable baseline).
+    """
+    toks = distinct_terms(documents)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, sig array<long>): per-doc MinHash signature.
+
+    One wide aggregation: num_hashes min() columns over the distinct
+    (doc, term) relation — a single shuffle, map-side combined.
+    """
+    toks = distinct_terms(documents)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("term"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = toks.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified with true token Jaccard.
+
+    bucket key = (band_id, xxhash64(rows of the band)); docs sharing any
+    bucket become candidates. rows/band = num_hashes/bands tunes the
+    S-curve. The candidate groupBy is the only shuffle that touches all
+    docs; verification joins only candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes)
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col("sig")[i] for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(bnd).alias("band"), F.xxhash64(*cols).alias("bh")))
+    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = token_jaccard_pairs(documents, threshold=0.0)
+    return cands.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash over tf-weighted terms."""
+    tf = tokens_df(documents).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    h = F.xxhash64(F.col("term"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    wide = tf.groupBy("doc_id").agg(*sums)
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(bit)
+    return wide.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale:
+    64 bits → 4×16-bit bands; pairs sharing any band are candidates
+    (guaranteed to include every pair with hamming ≤ 3 by pigeonhole;
+    probabilistically most pairs up to max_hamming)."""
+    sh = simhash(documents)
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bh"),
+        )
+        for i in range(4)
+    ]
+    buckets = sh.select("doc_id", "simhash", F.explode(F.array(*bands)).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from search_engine_spark.functions.textproc import extract_text_udf, tokenize_udf
 
@@ -93,6 +94,8 @@ class InvertedIndex:
     def unpersist(self) -> None:
         for df in (self.postings, self.term_stats, self.doc_stats):
             df.unpersist()
+        for df in getattr(self, "_persisted", []):
+            df.unpersist()
 
 
 def build_index(
@@ -114,15 +117,18 @@ def build_index(
     tok = tokenizer or tokenize_udf
     tokens = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
 
-    # A1: TF — partial+final hash agg (map-side combine over doc-local data)
+    # A1: TF — partial+final hash agg (map-side combine over doc-local data).
+    # Persisted (memory-then-disk): three consumers below (doc_stats,
+    # term_stats, tf_norm join) would otherwise each re-run the expensive
+    # extraction/tokenization UDF lineage — the dominant cost at scale.
     raw_postings = tokens.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("int").alias("tf")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # doc length = Σ tf per doc (token count post stop-filter, incl. "")
     doc_stats = raw_postings.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("dl")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # two tiny driver scalars (one job: N + avgdl together)
     row = doc_stats.agg(
@@ -161,13 +167,15 @@ def build_index(
         )
     )
 
-    return InvertedIndex(
+    index = InvertedIndex(
         postings=postings,
         term_stats=term_stats,
         doc_stats=doc_stats,
         n_docs=n_docs,
         avgdl=avgdl,
     )
+    index._persisted = [raw_postings]  # doc_stats unpersisted via the field
+    return index
 
 
 def write_index(index: InvertedIndex, path: str) -> None:

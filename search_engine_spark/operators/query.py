@@ -132,8 +132,11 @@ def search(
     scorer: str = "bm25",
 ) -> DataFrame:
     """End-to-end multi-query search → (query_id, doc_id, score) top-k rows."""
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    # terms are already known driver-side — no collect job needed
+    terms = sorted({t for q in queries.values() for t in tokenize_query(q)})
     qt = queries_to_terms(spark, queries)
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
     if not terms:
         return qt.sparkSession.createDataFrame(
             [], "query_id int, doc_id long, score double"

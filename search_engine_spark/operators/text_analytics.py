@@ -1,0 +1,155 @@
+"""Text-analytics operators over a plain-token corpus (documents table).
+
+These are the SQL-expressible building blocks of the index pipeline
+(SURVEY §2.4 A1-A6, §2.5 W1) plus the training-data-pipeline extras
+(language-ID heuristic, quality scoring, token counting, document
+fingerprinting). Everything here is pure Catalyst column code — no
+Python UDFs — so the whole stage compiles to whole-stage codegen and
+each aggregation gets map-side partial combine for free.
+
+Tokenization here is a plain single-space split (the `documents` test
+table is pre-tokenized text); the web-pages pipeline uses the
+reference-semantics pandas UDF from functions/textproc.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import B, K1
+
+
+def ws_tokens(c: Column) -> Column:
+    """array<string> of non-empty single-space-split tokens (JVM-side)."""
+    return F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+
+
+def tokens_df(documents: DataFrame) -> DataFrame:
+    """(doc_id, term) one row per token occurrence."""
+    return documents.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    )
+
+
+def term_tf(documents: DataFrame) -> DataFrame:
+    """A1: per-(doc, term) raw count."""
+    return (
+        tokens_df(documents)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_df(documents: DataFrame) -> DataFrame:
+    """A2: document frequency per term."""
+    return term_tf(documents).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def term_idf(documents: DataFrame) -> DataFrame:
+    """A4: idf = log10(N/df), rounded to 6dp for oracle comparison."""
+    n = documents.count()
+    return term_df(documents).select(
+        "term",
+        "df",
+        F.round(F.log10(F.lit(float(n)) / F.col("df")), 6).alias("idf"),
+    )
+
+
+def doc_lengths(documents: DataFrame) -> DataFrame:
+    """A3-adjacent: token count per doc."""
+    return tokens_df(documents).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl")
+    )
+
+
+def tfidf_topk(documents: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """Reference ranking (A6/W1): SUM(tf·idf)·COUNT(term), top-k.
+
+    Literal term filter applied before the df join → at scale this is a
+    pushed-down scan predicate, and the df side is broadcast.
+    """
+    n = documents.count()
+    tf = term_tf(documents).filter(F.col("term").isin(terms))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # NB: df computed over the full corpus equals df over the filtered tf
+    # because the filter is term-equality — no docs are lost per term.
+    idf = F.log10(F.lit(float(n)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * idf) * F.count(F.lit(1)), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    documents: DataFrame, terms: list[str], k: int = 10,
+    k1: float = K1, b: float = B,
+) -> DataFrame:
+    """BM25 top-k over the plain-token corpus, pure column math."""
+    tf = term_tf(documents)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = int(row["n"]), float(row["avgdl"])
+    matched = tf.filter(F.col("term").isin(terms))
+    df = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        matched.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# ---- training-data-pipeline extras ----------------------------------------
+
+def quality_stats(documents: DataFrame) -> DataFrame:
+    """Quality scoring: token count + mean token length per doc."""
+    return (
+        tokens_df(documents)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.length("term").cast("double")), 6).alias("avg_token_len"),
+        )
+    )
+
+
+_EN_FUNCTION_WORDS = ["the", "a", "of", "is", "and", "to", "in", "that", "it", "for"]
+
+
+def langid_score(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic: fraction of tokens that are English
+    function words (n-gram-free variant suited to the token corpus)."""
+    t = tokens_df(documents)
+    is_en = F.when(F.col("term").isin(_EN_FUNCTION_WORDS), 1).otherwise(0)
+    return t.groupBy("doc_id").agg(
+        F.round(
+            F.sum(is_en).cast("double") / F.count(F.lit(1)), 6
+        ).alias("en_score")
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of the raw text bytes."""
+    return documents.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+
+
+def token_counts_by(documents: DataFrame, key: str) -> DataFrame:
+    """Token counting rolled up by an arbitrary column (e.g. lang)."""
+    return (
+        documents.select(key, F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )

@@ -1,0 +1,88 @@
+"""Block index: codec round-trip properties + the WAND-style exactness
+property (SURVEY §5.3 #4/#5): block-max pruned top-k must equal the
+exhaustive scorer's top-k on every (corpus, query) pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.operators.blocks import (
+    block_search,
+    build_block_index,
+    write_block_index,
+)
+from search_engine_spark.operators.compression import (
+    decode_block,
+    encode_block,
+    varbyte_decode,
+    varbyte_encode,
+)
+from search_engine_spark.operators.index_build import build_index, prepare_docs
+from search_engine_spark.operators.query import search
+from search_engine_spark.sources.corpus import synth_pages
+
+QUERIES = [
+    "hippopotamus",
+    "hippopotamus ladder",
+    "ladder pipe seagull",
+    "castle meadow tundra glacier harbor lantern",
+    "the hippopotamus is on a ladder",
+    "nosuchterm",
+]
+
+
+class TestCodec:
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_varbyte_roundtrip(self, vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(varbyte_decode(varbyte_encode(arr)), arr)
+
+    @given(
+        st.sets(
+            st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=300
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_block_roundtrip(self, docs):
+        d = np.array(sorted(docs), dtype=np.int64)
+        t = (np.arange(len(d)) % 37 + 1).astype(np.int64)
+        db, tb = encode_block(d, t)
+        d2, t2 = decode_block(db, tb)
+        assert np.array_equal(d2, d) and np.array_equal(t2, t)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = prepare_docs(synth_pages(spark, 300, seed=11), id_method="hash")
+    index = build_index(docs).cache()
+    blocks = build_block_index(index, num_buckets=8, block_size=16)
+    path = str(tmp_path_factory.mktemp("blockidx"))
+    write_block_index(blocks, path)
+    return index, spark.read.parquet(path)
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_block_search_equals_exhaustive(spark, built, prune):
+    index, blocks = built
+    exhaustive = search(index, spark, QUERIES, k=10, scorer="bm25").collect()
+    blocked = block_search(blocks, spark, dict(enumerate(QUERIES)), k=10, prune=prune).collect()
+    exp = [(r["query_id"], r["doc_id"]) for r in exhaustive]
+    got = [(r["query_id"], r["doc_id"]) for r in blocked]
+    assert got == exp
+    for a, b in zip(blocked, exhaustive):
+        # block path stores f32 per-posting scores; exhaustive is f64
+        assert a["score"] == pytest.approx(b["score"], rel=1e-5)
+
+
+def test_block_search_small_k(spark, built):
+    index, blocks = built
+    exhaustive = search(index, spark, ["hippopotamus ladder"], k=3, scorer="bm25").collect()
+    blocked = block_search(blocks, spark, ["hippopotamus ladder"], k=3).collect()
+    assert [(r["query_id"], r["doc_id"]) for r in blocked] == [
+        (r["query_id"], r["doc_id"]) for r in exhaustive
+    ]
