@@ -1,0 +1,265 @@
+"""Checkpointed index build: per-partition lineage + metrics + resume.
+
+Reference analog (SURVEY §7.6): the reference makes its loop restartable
+with `is_crawled`/`is_indexed` flags and `ON CONFLICT` upserts
+(services/crawler/src/db.rs:85-98, tf-idf-indexer/src/lib.rs:658-664)
+— a row-at-a-time checkpoint. At 10^12 docs the unit of recovery must
+be a *partition*, not a row:
+
+1. **Stage**: input docs are hashed into `num_parts` deterministic
+   buckets `part = pmod(xxhash64(url), num_parts)` and written once,
+   partitioned by `part`, together with a per-part content fingerprint
+   (sum of xxhash64(url, text) — order-independent, so any plan
+   reshuffle yields the same fingerprint). At cluster scale the input
+   Iceberg table is already bucket-partitioned and this stage is free;
+   here it also materializes the expensive HTML-extraction UDF exactly
+   once.
+2. **Chunked build**: pending parts are processed `chunk_size` at a
+   time. Each chunk job tokenizes only its parts (partition-pruned
+   scan), writes raw postings with dynamic-partition overwrite (only
+   the chunk's `part=` dirs are replaced — a re-run of a half-written
+   chunk is idempotent), then atomically appends one `_lineage` row per
+   part `(part, fingerprint, run_id, docs_in, postings_out, wall_ms,
+   status)` and a `_metrics` row per chunk (docs/sec, postings/sec).
+   Lineage is append-only parquet — committed only after the chunk's
+   data commit, so a crash between the two recomputes the chunk (safe)
+   rather than skipping it (wrong).
+3. **Resume**: a rerun recomputes fingerprints, reads `_lineage`, and
+   skips every part whose latest lineage row has `status='ok'` AND a
+   matching fingerprint (so edited input invalidates exactly the parts
+   it touches). Skipped parts keep their original `run_id` — the test
+   asserts no recompute happened.
+4. **Finalize**: global stats (df, idf, N, avgdl, tf_norm) are
+   recomputed from ALL completed parts via
+   `index_from_raw_postings` — identical math to the one-shot batch
+   build, so checkpointing cannot change results.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import (
+    B,
+    K1,
+    InvertedIndex,
+    index_from_raw_postings,
+    raw_postings_from_docs,
+)
+
+LINEAGE_SCHEMA = (
+    "part int, fingerprint long, run_id string, docs_in long, "
+    "postings_out long, wall_ms long, status string, seq long"
+)
+METRICS_SCHEMA = (
+    "run_id string, chunk int, parts int, docs_in long, postings_out long, "
+    "wall_ms long, docs_per_sec double, postings_per_sec double"
+)
+
+
+class BuildInterrupted(RuntimeError):
+    """Raised when `max_chunks` stops a run early (kill simulation /
+    cooperative preemption). State on disk is resumable."""
+
+
+@dataclass
+class CheckpointState:
+    completed: list[int]
+    pending: list[int]
+    fingerprints: dict[int, int]
+
+
+def _stage(docs: DataFrame, path: str, num_parts: int) -> None:
+    """Write docs partitioned by part bucket (idempotent, all-or-nothing)."""
+    (
+        docs.withColumn(
+            "part", F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
+        )
+        .repartition(F.col("part"))
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(f"{path}/staged")
+    )
+
+
+def _fingerprints(staged: DataFrame) -> DataFrame:
+    """(part, fingerprint, docs_in): order-independent content hash.
+
+    bit_xor is commutative/associative → deterministic across any
+    partition layout, and cannot overflow under ANSI mode.
+    """
+    return staged.groupBy("part").agg(
+        F.bit_xor(F.xxhash64("url", "text")).alias("fingerprint"),
+        F.count(F.lit(1)).alias("docs_in"),
+    )
+
+
+def _read_lineage(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(f"{path}/_lineage")
+    except Exception:
+        return None
+
+
+def checkpoint_state(
+    spark: SparkSession, path: str, fingerprints: dict[int, int]
+) -> CheckpointState:
+    """Which parts are done (latest lineage row ok + fingerprint match)?"""
+    lineage = _read_lineage(spark, path)
+    completed: set[int] = set()
+    if lineage is not None:
+        latest = (
+            lineage.withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__(
+                        "pyspark.sql.window", fromlist=["Window"]
+                    ).Window.partitionBy("part").orderBy(F.col("seq").desc())
+                ),
+            )
+            .filter((F.col("rn") == 1) & (F.col("status") == "ok"))
+            .select("part", "fingerprint")
+            .collect()
+        )
+        for r in latest:
+            if fingerprints.get(r["part"]) == r["fingerprint"]:
+                completed.add(r["part"])
+    pending = sorted(set(fingerprints) - completed)
+    return CheckpointState(sorted(completed), pending, fingerprints)
+
+
+def checkpointed_build(
+    docs: DataFrame,
+    path: str,
+    num_parts: int = 64,
+    chunk_size: int = 16,
+    k1: float = K1,
+    b: float = B,
+    tokenizer=None,
+    max_chunks: int | None = None,
+) -> InvertedIndex:
+    """Resumable distributed index build. Call again after a kill to
+    resume; completed partitions are never recomputed.
+    """
+    spark = docs.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    run_id = uuid.uuid4().hex[:12]
+
+    staged_path = f"{path}/staged"
+    try:
+        spark.read.parquet(staged_path).limit(1).collect()
+        staged_ok = True
+    except Exception:
+        staged_ok = False
+    if not staged_ok:
+        _stage(docs, path, num_parts)
+    staged = spark.read.parquet(staged_path)
+
+    fp_rows = _fingerprints(staged).collect()
+    fps = {int(r["part"]): int(r["fingerprint"]) for r in fp_rows}
+    docs_in = {int(r["part"]): int(r["docs_in"]) for r in fp_rows}
+    state = checkpoint_state(spark, path, fps)
+
+    seq0 = int(time.time() * 1000)
+    chunks = [
+        state.pending[i : i + chunk_size]
+        for i in range(0, len(state.pending), chunk_size)
+    ]
+    for ci, chunk in enumerate(chunks):
+        if max_chunks is not None and ci >= max_chunks:
+            raise BuildInterrupted(
+                f"stopped after {ci} chunks; {len(state.pending) - ci * chunk_size} "
+                f"parts pending — rerun checkpointed_build to resume"
+            )
+        t0 = time.perf_counter()
+        sub = staged.filter(F.col("part").isin([int(p) for p in chunk]))
+        raw = raw_postings_from_docs(sub.select("doc_id", "text"), tokenizer)
+        # re-attach the doc's part so the write partitions correctly;
+        # broadcast-joinable at chunk scale (doc_id→part map is per-chunk)
+        part_map = sub.select("doc_id", "part")
+        chunk_postings = raw.join(part_map, "doc_id").select(
+            "part", "doc_id", "term", "tf"
+        )
+        chunk_postings.write.mode("overwrite").partitionBy("part").parquet(
+            f"{path}/postings_raw"
+        )
+        out_counts = {
+            int(r["part"]): int(r["n"])
+            for r in spark.read.parquet(f"{path}/postings_raw")
+            .filter(F.col("part").isin([int(p) for p in chunk]))
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        lineage_rows = [
+            (
+                int(p),
+                fps[p],
+                run_id,
+                docs_in[p],
+                out_counts.get(int(p), 0),
+                wall_ms,
+                "ok",
+                seq0 + ci,
+            )
+            for p in chunk
+        ]
+        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/_lineage")
+        chunk_docs = sum(docs_in[p] for p in chunk)
+        chunk_postings_n = sum(out_counts.get(int(p), 0) for p in chunk)
+        metrics_row = [
+            (
+                run_id,
+                ci,
+                len(chunk),
+                chunk_docs,
+                chunk_postings_n,
+                wall_ms,
+                round(chunk_docs / max(wall_ms / 1000.0, 1e-9), 2),
+                round(chunk_postings_n / max(wall_ms / 1000.0, 1e-9), 2),
+            )
+        ]
+        spark.createDataFrame(metrics_row, METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/_metrics")
+
+    return finalize(spark, path, k1=k1, b=b)
+
+
+def finalize(
+    spark: SparkSession, path: str, k1: float = K1, b: float = B
+) -> InvertedIndex:
+    """Global-stats recompute over all completed parts — identical math
+    to the one-shot build (shared index_from_raw_postings).
+
+    Only lineage-ok parts are read: a chunk that crashed mid-write may
+    have left a partial `part=` dir which must not leak into stats.
+    """
+    lin = _read_lineage(spark, path)
+    ok_parts = (
+        [int(r["part"]) for r in lin.filter(F.col("status") == "ok").select("part").distinct().collect()]
+        if lin is not None
+        else []
+    )
+    raw = (
+        spark.read.parquet(f"{path}/postings_raw")
+        .filter(F.col("part").isin(ok_parts))
+        .select("doc_id", "term", "tf")
+    )
+    return index_from_raw_postings(raw, k1=k1, b=b)
+
+
+def lineage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(f"{path}/_lineage")
+
+
+def metrics(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(METRICS_SCHEMA).parquet(f"{path}/_metrics")

@@ -98,6 +98,21 @@ class InvertedIndex:
             df.unpersist()
 
 
+def raw_postings_from_docs(docs: DataFrame, tokenizer=None) -> DataFrame:
+    """docs(doc_id, text, ...) → raw postings (doc_id, term, tf) — A1.
+
+    `tokenizer`: Column→Column producing array<string>; defaults to the
+    reference-semantics pandas UDF (extract/normalize/stop-filter). Pass
+    e.g. ``lambda c: F.split(c, ' ')`` for corpora that are already
+    plain tokens (keeps the whole build JVM-side, zero Python).
+    """
+    tok = tokenizer or tokenize_udf
+    tokens = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+    return tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+
+
 def build_index(
     docs: DataFrame,
     k1: float = K1,
@@ -108,22 +123,28 @@ def build_index(
 
     Two shuffles (doc_id+term agg; term agg). All scoring math is
     Catalyst column arithmetic — whole-stage codegen, no Python.
-
-    `tokenizer`: Column→Column producing array<string>; defaults to the
-    reference-semantics pandas UDF (extract/normalize/stop-filter). Pass
-    e.g. ``lambda c: F.split(c, ' ')`` for corpora that are already
-    plain tokens (keeps the whole build JVM-side, zero Python).
     """
-    tok = tokenizer or tokenize_udf
-    tokens = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
-
     # A1: TF — partial+final hash agg (map-side combine over doc-local data).
     # Persisted (memory-then-disk): three consumers below (doc_stats,
     # term_stats, tf_norm join) would otherwise each re-run the expensive
     # extraction/tokenization UDF lineage — the dominant cost at scale.
-    raw_postings = tokens.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("int").alias("tf")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    raw = raw_postings_from_docs(docs, tokenizer)
+    return index_from_raw_postings(raw, k1=k1, b=b)
+
+
+def index_from_raw_postings(
+    raw_postings: DataFrame, k1: float = K1, b: float = B
+) -> InvertedIndex:
+    """Finalize (doc_id, term, tf) → InvertedIndex.
+
+    The single source of truth for the global-stats recompute (SURVEY
+    §3.2): shared by the batch build, the checkpoint-resume finalizer
+    (checkpoint.py) and the streaming incremental rebuild
+    (streaming/incremental.py) — the reference's incremental merge dance
+    (A7, tf-idf-indexer/src/lib.rs:467-529) converges to exactly this
+    stateless recompute at every batch end.
+    """
+    raw_postings = raw_postings.persist(StorageLevel.MEMORY_AND_DISK)
 
     # doc length = Σ tf per doc (token count post stop-filter, incl. "")
     doc_stats = raw_postings.groupBy("doc_id").agg(
@@ -178,20 +199,67 @@ def build_index(
     return index
 
 
-def write_index(index: InvertedIndex, path: str) -> None:
+def salted_by_term(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    df_threshold: int = 1_000_000,
+    num_salts: int = 32,
+) -> DataFrame:
+    """Skew-safe repartition-by-term (SURVEY §7.5).
+
+    Zipf head terms concentrate postings: at 10^12 docs a stop-leaked
+    term can hold 10^10 postings — one reducer's worth under a plain
+    `repartition(term)`. Salt = pmod(xxhash64(doc_id), S) for terms with
+    df > threshold (measured — we already have df), 0 otherwise, then
+    repartition on (term, salt). Head terms spread over S reducers;
+    tail terms keep one partition so file counts stay sane. Output
+    content is identical either way (property-tested) — only physical
+    placement changes; each partition is still sorted (term, doc_id) so
+    parquet row-group stats prune term lookups.
+    """
+    heads = term_stats.filter(F.col("df") > df_threshold).select(
+        "term", F.lit(True).alias("_is_head")
+    )
+    salted = (
+        postings.join(F.broadcast(heads), "term", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_head"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(num_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .repartition(F.col("term"), F.col("_salt"))
+        .sortWithinPartitions("term", "doc_id")
+        .drop("_is_head", "_salt")
+    )
+    return salted
+
+
+def write_index(
+    index: InvertedIndex,
+    path: str,
+    salt_df_threshold: int | None = None,
+    num_salts: int = 32,
+) -> None:
     """Materialize to a parquet layout bucketed for query-time pruning.
 
     Postings are repartitioned by term and sorted (term, doc_id) within
     files so min/max parquet statistics prune file ranges on term
     lookups; at cluster scale this becomes Iceberg
-    `PARTITIONED BY (bucket(N, term))` (SURVEY §4.2.3).
+    `PARTITIONED BY (bucket(N, term))` (SURVEY §4.2.3). Pass
+    `salt_df_threshold` to split head-term posting lists over
+    `num_salts` reducers (skew-safe path, §7.5).
     """
-    (
-        index.postings.repartition(F.col("term"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
+    if salt_df_threshold is not None:
+        laid_out = salted_by_term(
+            index.postings, index.term_stats, salt_df_threshold, num_salts
+        )
+    else:
+        laid_out = index.postings.repartition(
+            F.col("term")
+        ).sortWithinPartitions("term", "doc_id")
+    laid_out.write.mode("overwrite").parquet(f"{path}/postings")
     index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
     index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     meta = index.postings.sparkSession.createDataFrame(

@@ -1,0 +1,135 @@
+"""Checkpoint/lineage/resume (SURVEY §7.6, north-rule resumability) and
+the salted skew-safe term layout (§7.5).
+
+Kill-resume property: run checkpointed_build with max_chunks=m (kill
+simulation), rerun to completion, and assert
+  1. the finalized index is identical to the one-shot batch build,
+  2. the parts completed before the kill kept their original run_id —
+     i.e. they were NOT recomputed on resume,
+  3. lineage covers every part exactly once with status ok,
+  4. metrics rows carry per-chunk throughput.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.checkpoint import (
+    BuildInterrupted,
+    checkpointed_build,
+    lineage,
+    metrics,
+)
+from search_engine_spark.operators.index_build import (
+    build_index,
+    prepare_docs,
+    salted_by_term,
+    write_index,
+)
+from search_engine_spark.sources.corpus import synth_pages
+
+N_PAGES = 200
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pages = synth_pages(spark, N_PAGES, seed=7)
+    d = prepare_docs(pages, id_method="hash").cache()
+    d.count()
+    return d
+
+
+def _postings_set(index):
+    return {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in index.postings.select("term", "doc_id", "tf").collect()
+    }
+
+
+def test_kill_then_resume_identical_and_no_recompute(spark, docs, tmp_path):
+    path = str(tmp_path / "ckpt")
+
+    with pytest.raises(BuildInterrupted):
+        checkpointed_build(
+            docs, path, num_parts=N_PARTS, chunk_size=2, max_chunks=2
+        )
+
+    lin1 = lineage(spark, path).collect()
+    done_first = {int(r["part"]): r["run_id"] for r in lin1 if r["status"] == "ok"}
+    assert 0 < len(done_first) < N_PARTS  # genuinely partial
+
+    index = checkpointed_build(docs, path, num_parts=N_PARTS, chunk_size=2)
+
+    lin2 = lineage(spark, path).collect()
+    by_part = {}
+    for r in lin2:
+        by_part.setdefault(int(r["part"]), []).append(r)
+    assert set(by_part) == set(range(N_PARTS))
+    for p, rows in by_part.items():
+        assert len(rows) == 1, f"part {p} has {len(rows)} lineage rows (recomputed?)"
+    # parts finished before the kill kept the first run's id → not recomputed
+    run_ids = {p: rows[0]["run_id"] for p, rows in by_part.items()}
+    for p, rid in done_first.items():
+        assert run_ids[p] == rid, f"part {p} was recomputed on resume"
+    assert len({rid for rid in run_ids.values()}) == 2  # two runs participated
+
+    direct = build_index(docs)
+    assert _postings_set(index) == _postings_set(direct)
+    assert index.n_docs == direct.n_docs
+    assert index.avgdl == pytest.approx(direct.avgdl, rel=1e-12)
+
+    m = metrics(spark, path).collect()
+    assert len(m) >= 2
+    for r in m:
+        assert r["docs_per_sec"] > 0 and r["postings_out"] > 0
+
+
+def test_resume_on_complete_state_is_noop(spark, docs, tmp_path):
+    path = str(tmp_path / "ckpt2")
+    checkpointed_build(docs, path, num_parts=4, chunk_size=4)
+    lin1 = {(int(r["part"]), r["run_id"]) for r in lineage(spark, path).collect()}
+    checkpointed_build(docs, path, num_parts=4, chunk_size=4)
+    lin2 = {(int(r["part"]), r["run_id"]) for r in lineage(spark, path).collect()}
+    assert lin1 == lin2  # nothing recomputed, no new lineage
+
+
+def test_salted_layout_preserves_content(spark, docs, tmp_path):
+    index = build_index(docs)
+    plain = str(tmp_path / "plain")
+    salted = str(tmp_path / "salted")
+    write_index(index, plain)
+    # threshold 0 → every term is a head term (max salting)
+    write_index(index, salted, salt_df_threshold=0, num_salts=4)
+    a = {
+        tuple(r)
+        for r in spark.read.parquet(f"{plain}/postings")
+        .select("term", "doc_id", "tf")
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in spark.read.parquet(f"{salted}/postings")
+        .select("term", "doc_id", "tf")
+        .collect()
+    }
+    assert a == b
+
+
+def test_salted_spreads_head_terms(spark, docs):
+    """The salted shuffle KEY (term, salt) must fan a head term's
+    postings over >1 distinct key — i.e. >1 reducer at scale. (We assert
+    on keys, not spark_partition_id: AQE rightly coalesces this tiny
+    test shuffle to one partition, which says nothing about the key
+    distribution that governs reducers on a real cluster.)"""
+    index = build_index(docs)
+    head = index.term_stats.orderBy(F.col("df").desc()).limit(1).collect()[0]["term"]
+    n_salts = (
+        index.postings.filter(F.col("term") == head)
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("salt"))
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1, f"head term {head!r} maps to a single (term, salt) key"
