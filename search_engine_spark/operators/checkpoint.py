@@ -243,6 +243,9 @@ def finalize(
     Only lineage-ok parts are read: a chunk that crashed mid-write may
     have left a partial `part=` dir which must not leak into stats.
     """
+    # invalidate any cached plan over this path from an earlier
+    # (interrupted) build in the same session — see streaming/incremental.py
+    spark.catalog.refreshByPath(f"{path}/postings_raw")
     lin = _read_lineage(spark, path)
     ok_parts = (
         [int(r["part"]) for r in lin.filter(F.col("status") == "ok").select("part").distinct().collect()]
