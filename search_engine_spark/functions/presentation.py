@@ -1,0 +1,244 @@
+"""Result presentation: snippet, title shortening, domain, breadcrumb.
+
+Reference semantics (SURVEY §2.7 C10-C12), re-expressed from scratch:
+
+- snippet (app/utils.py:11-96): extract the text of every ``<p>``
+  subtree (lxml ``//p`` + ``text_content()`` — NOTE: unlike the
+  index-side extractor this INCLUDES anchor/inline text, in document
+  order), split on ``[?.,!]`` into phrases, find the first phrase
+  matching any query term (case-insensitive, escaped, with a trailing
+  ``[^\\w\\s]*``), elongate that phrase to ≥60 chars with following
+  phrases, HTML-escape it, wrap in ``<span class="prompt-bold">``, then
+  elongate the whole snippet to ≥200 chars AND ≥3 appended phrases
+  (prepending the previous phrase and stopping early when the document
+  runs out — a reference quirk we reproduce, including the fact that
+  the phrases consumed by phrase-elongation repeat after the span), and
+  finally ``textwrap.shorten`` to 200 chars with ``"..."``.
+- title shorten: ``textwrap.shorten(title, 60, placeholder="...")``
+  (app/main.py:87-90).
+- domain (app/main.py:31-33): the registrable domain label,
+  title-cased. The reference uses tldextract's full public-suffix list;
+  we implement the common-suffix subset (documented approximation — the
+  snippet/rank path never depends on it).
+- breadcrumb (app/main.py:34-43): ``netloc + path`` with ``/`` → `` > ``
+  and a trailing separator removed.
+
+All are plain Python functions (unit-testable) wrapped in Arrow-batched
+pandas UDFs; they run only over the ≤ k·n_queries result rows, never the
+corpus, so they are rank- and scale-irrelevant by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from textwrap import shorten
+from urllib.parse import urlparse
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from search_engine_spark.functions.textproc import (
+    _Element,
+    _parse_html,
+    tokenize_query,
+)
+
+SNIPPET_WIDTH_CHARS = 200
+TITLE_WIDTH_CHARS = 60
+PHRASE_MIN_CHARS = 60
+
+
+def extract_paragraph_text(html: str) -> str:
+    """All ``<p>`` subtrees' full text content, joined with " "
+    (reference app/utils.py:11-18 via lxml //p + text_content)."""
+    root = _parse_html(html)
+    paragraphs: list[str] = []
+
+    def subtree_text(el: _Element) -> str:
+        out: list[str] = []
+        for c in el.children:
+            if isinstance(c, str):
+                out.append(c)
+            else:
+                out.append(subtree_text(c))
+        return "".join(out)
+
+    work: list[_Element] = [root]
+    while work:
+        el = work.pop(0)
+        if el.tag == "p":
+            paragraphs.append(subtree_text(el))
+        work = [c for c in el.children if isinstance(c, _Element)] + work
+    return " ".join(paragraphs)
+
+
+def split_by_punctuation(text: str) -> list[str]:
+    """app/utils.py:21-22."""
+    return re.findall(r"[^?.,!]+[?.,!]?|[^?.,!]+$", text)
+
+
+def query_pattern(terms: list[str]) -> re.Pattern[str]:
+    """app/utils.py:25-28."""
+    return re.compile(
+        r"(" + "|".join(map(re.escape, terms)) + r")[^\w\s]*", re.IGNORECASE
+    )
+
+
+def _escape(s: str) -> str:
+    """markupsafe-compatible HTML escape (&#39;/&#34; entity forms)."""
+    return (
+        s.replace("&", "&amp;")
+        .replace(">", "&gt;")
+        .replace("<", "&lt;")
+        .replace("'", "&#39;")
+        .replace('"', "&#34;")
+    )
+
+
+def _elongate_phrase(i: int, phrases: list[str], phrase: str) -> str:
+    counter = 1
+    while len(phrase) < PHRASE_MIN_CHARS and i + counter < len(phrases):
+        phrase += " " + phrases[i + counter]
+        counter += 1
+    return phrase
+
+
+def _elongate_snippet(i: int, phrases: list[str], snippet: str) -> str:
+    counter = 1
+    while len(snippet) < SNIPPET_WIDTH_CHARS or counter < 3:
+        if i + counter < len(phrases):
+            snippet += " " + phrases[i + counter]
+            counter += 1
+        else:
+            # reference quirk: when the document runs out, prepend the
+            # phrase before the match (phrases[-1] wraps for i==0) and
+            # stop immediately
+            snippet = phrases[i - 1] + " " + snippet
+            return snippet
+    return snippet
+
+
+def generate_snippet(html: str, query_terms: list[str]) -> str:
+    """app/utils.py:32-63 — "" when no phrase contains a query term."""
+    if not query_terms:
+        return ""
+    text = extract_paragraph_text(html)
+    pattern = query_pattern(query_terms)
+    phrases = split_by_punctuation(text)
+    for i, phrase in enumerate(phrases):
+        if pattern.search(phrase):
+            phrase = _elongate_phrase(i, phrases, phrase)
+            phrase = _escape(phrase.lstrip())
+            snippet = rf'<span class="prompt-bold">{phrase}</span>'
+            snippet = _elongate_snippet(i, phrases, snippet)
+            return shorten(snippet, width=SNIPPET_WIDTH_CHARS, placeholder="...")
+    return ""
+
+
+def shorten_title(title: str | None) -> str:
+    return shorten(title or "", width=TITLE_WIDTH_CHARS, placeholder="...")
+
+
+# common multi-label public suffixes (tldextract-subset approximation)
+_TWO_PART_SUFFIXES = frozenset(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+        "co.jp", "or.jp", "ne.jp", "co.nz", "co.in", "com.br", "com.cn",
+        "com.mx", "co.za", "com.sg", "com.hk",
+    }
+)
+
+
+def extract_domain(url: str) -> str:
+    """Registrable-domain label, title-cased (app/main.py:31-33)."""
+    host = urlparse(url).netloc.split("@")[-1].split(":")[0]
+    labels = host.split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in _TWO_PART_SUFFIXES:
+        dom = labels[-3]
+    elif len(labels) >= 2:
+        dom = labels[-2]
+    else:
+        dom = labels[0] if labels else ""
+    return dom.title()
+
+
+def breadcrumb(url: str) -> str:
+    """app/main.py:34-43."""
+    parsed = urlparse(url)
+    crumb = (parsed.netloc + parsed.path).replace("/", " > ")
+    return crumb.removesuffix(" > ")
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs + the presentation operator
+# ---------------------------------------------------------------------------
+
+@pandas_udf(StringType())
+def shorten_title_udf(title: pd.Series) -> pd.Series:
+    return title.map(shorten_title)
+
+
+@pandas_udf(StringType())
+def domain_udf(url: pd.Series) -> pd.Series:
+    return url.map(extract_domain)
+
+
+@pandas_udf(StringType())
+def breadcrumb_udf(url: pd.Series) -> pd.Series:
+    return url.map(breadcrumb)
+
+
+@pandas_udf(StringType())
+def snippet_udf(html: pd.Series, q_terms: pd.Series) -> pd.Series:
+    def one(b, terms) -> str:
+        if b is None:
+            return ""
+        s = bytes(b).decode("utf-8", errors="replace")
+        return generate_snippet(s, list(terms) if terms is not None else [])
+
+    return pd.Series([one(b, t) for b, t in zip(html, q_terms)])
+
+
+def present_results(
+    topk: DataFrame,
+    pages: DataFrame,
+    queries: dict[int, str] | list[str],
+) -> DataFrame:
+    """(query_id, doc_id, score) top-k → + url, title, domain, breadcrumb,
+    snippet (reference search_results loop, app/main.py:80-95).
+
+    Plan shape: the top-k side is tiny (≤ k·n_queries rows) and is
+    broadcast into a single hash join against the pages scan — the only
+    time `html` is read at query time, and only for the winning rows
+    (Catalyst prunes `html` out of every other path).
+    """
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    spark: SparkSession = topk.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, tokenize_query(q)) for qid, q in queries.items()],
+        "query_id int, q_terms array<string>",
+    )
+    docs = pages.select(
+        F.xxhash64("url").alias("doc_id"), "url", "html",
+        F.coalesce("title", F.lit("")).alias("title"),
+    ) if "title" in pages.columns else pages.select(
+        F.xxhash64("url").alias("doc_id"), "url", "html", F.lit("").alias("title")
+    )
+    joined = docs.join(F.broadcast(topk), "doc_id").join(
+        F.broadcast(qterms), "query_id"
+    )
+    return joined.select(
+        "query_id",
+        "doc_id",
+        "score",
+        "url",
+        shorten_title_udf(F.col("title")).alias("title"),
+        domain_udf(F.col("url")).alias("domain"),
+        breadcrumb_udf(F.col("url")).alias("breadcrumb"),
+        snippet_udf(F.col("html"), F.col("q_terms")).alias("snippet"),
+    ).orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())

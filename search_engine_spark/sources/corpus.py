@@ -80,9 +80,17 @@ def _page_html(rng: np.random.Generator, zipf_words: list[str]) -> str:
              '<script>var x = "noise noise";</script>',
              "</head><body>",
              f"<h1>{sent(int(rng.integers(2, 7)))}</h1>"]
+    def para(n_sents: int) -> str:
+        # sentence punctuation: stripped by the tokenizer (ASCII punct),
+        # but load-bearing for the snippet path's phrase splitting
+        return " ".join(
+            sent(int(rng.integers(4, 12))) + rng.choice([".", ".", ".", "!", "?", ","])
+            for _ in range(n_sents)
+        )
+
     for _ in range(int(rng.integers(2, 7))):
         inline = rng.random()
-        body = sent(int(rng.integers(5, 25)))
+        body = para(int(rng.integers(1, 4)))
         if inline < 0.3:
             body += f" <b>{sent(3)}</b> <em>{sent(2)}</em>"
         if rng.random() < 0.25:  # quirk Q1: anchor text must NOT extract

@@ -1,0 +1,126 @@
+"""Presentation functions (functions/presentation.py) vs the reference
+semantics of app/utils.py + app/main.py (goldens derived from the code,
+not copied fixtures).
+"""
+
+from __future__ import annotations
+
+from textwrap import shorten
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.presentation import (
+    breadcrumb,
+    extract_domain,
+    extract_paragraph_text,
+    generate_snippet,
+    present_results,
+    shorten_title,
+    split_by_punctuation,
+)
+from search_engine_spark.operators.index_build import build_index, prepare_docs
+from search_engine_spark.operators.query import search
+from search_engine_spark.sources.corpus import synth_pages
+
+
+def test_paragraph_text_includes_inline_and_anchor_text():
+    # unlike the index extractor (quirk Q1/Q2), //p text_content keeps
+    # document order and anchor text
+    html = "<html><body><p>foo <b>bar</b> baz <a href='/x'>link</a></p><p>two</p></body></html>"
+    assert extract_paragraph_text(html) == "foo bar baz link two"
+
+
+def test_split_by_punctuation_keeps_delimiters():
+    assert split_by_punctuation("One. Two, three! Four") == [
+        "One.", " Two,", " three!", " Four"
+    ]
+
+
+def test_snippet_empty_when_no_match():
+    html = "<html><body><p>nothing relevant here at all.</p></body></html>"
+    assert generate_snippet(html, ["zebra"]) == ""
+
+
+def test_snippet_bolds_first_matching_phrase_and_truncates():
+    phrases = ". ".join(f"filler phrase number {w}" for w in
+                        ["one", "two", "three", "four", "five", "six"])
+    html = f"<html><body><p>{phrases}. the zebra appears here. trailing words follow. more trailing text. and more. and even more.</p></body></html>"
+    snip = generate_snippet(html, ["zebra"])
+    # the first matching phrase (elongated to ≥60 chars) is span-wrapped;
+    # the prior phrase may be prepended when the document runs out — both
+    # behaviors mirror the reference's elongate loop
+    assert '<span class="prompt-bold">the zebra appears here.' in snip
+    assert len(snip) <= 200
+
+
+def test_snippet_escapes_html():
+    html = "<html><body><p>alpha beta. the zebra &amp; friends <b>bold</b> tail. more words here to elongate the phrase and the snippet further. yet more filler to pad. and more. and more again.</p></body></html>"
+    snip = generate_snippet(html, ["zebra"])
+    assert "&amp;" in snip
+    assert "<b>" not in snip  # inline tags arrive as text and get escaped
+
+
+def test_snippet_short_doc_prepends_previous_phrase():
+    # document runs out before 200 chars → reference prepends phrases[i-1]
+    html = "<html><body><p>before phrase. the zebra is here. after phrase.</p></body></html>"
+    snip = generate_snippet(html, ["zebra"])
+    assert snip.startswith("before phrase.") or snip.startswith(" after")  # quirk path
+    assert "zebra" in snip
+
+
+def test_title_shorten_matches_textwrap():
+    t = "word " * 30
+    assert shorten_title(t) == shorten(t, width=60, placeholder="...")
+    assert shorten_title(None) == ""
+
+
+@pytest.mark.parametrize(
+    "url,dom",
+    [
+        ("https://site3.example/page/00000042", "Site3"),
+        ("https://www.bbc.co.uk/news/uk", "Bbc"),
+        ("https://sub.blog.example.com/a/b", "Example"),
+        ("http://localhost:8080/x", "Localhost"),
+    ],
+)
+def test_extract_domain(url, dom):
+    assert extract_domain(url) == dom
+
+
+@pytest.mark.parametrize(
+    "url,crumb",
+    [
+        ("https://a.example/x/y", "a.example > x > y"),
+        ("https://a.example/x/y/", "a.example > x > y"),
+        ("https://a.example", "a.example"),
+    ],
+)
+def test_breadcrumb(url, crumb):
+    assert breadcrumb(url) == crumb
+
+
+def test_present_results_end_to_end(spark):
+    pages = synth_pages(spark, 120, seed=5).cache()
+    docs = prepare_docs(pages, id_method="hash")
+    index = build_index(docs)
+    queries = ["hippopotamus ladder", "seagull"]
+    topk = search(index, spark, queries, k=5)
+    out = present_results(topk, pages, queries).collect()
+    assert len(out) > 0
+    assert set(out[0].asDict()) == {
+        "query_id", "doc_id", "score", "url", "title", "domain",
+        "breadcrumb", "snippet",
+    }
+    for r in out:
+        assert r["domain"].startswith("Site")
+        assert " > " in r["breadcrumb"]
+        assert len(r["title"]) <= 60
+        assert len(r["snippet"]) <= 200
+    # at least one winning doc's snippet bolds a query term
+    assert any('<span class="prompt-bold">' in r["snippet"] for r in out)
+    # presentation did not perturb ranking: same (query_id, doc_id) order
+    plain = [(r["query_id"], r["doc_id"]) for r in topk.collect()]
+    pres = [(r["query_id"], r["doc_id"]) for r in out]
+    assert plain == pres
