@@ -57,6 +57,7 @@ def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.operators import dedup, similarity
+    from search_engine_spark.operators import multimodal as mm
     from search_engine_spark.operators import text_analytics as ta
 
     def q(fn):
@@ -91,6 +92,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash_pairs": q(  # rows-only
             lambda s, d: dedup.simhash_pairs(_documents(s, d), max_hamming=3)
+        ),
+        "ngram_jaccard_pairs": q(
+            lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d), n=3, threshold=0.8)
+        ),
+        "embedding_cosine_pairs": q(
+            lambda s, d: dedup.embedding_cosine_pairs(_embeddings(s, d), threshold=0.4)
+        ),
+        "embedding_neardup_pairs": q(  # rows-only (xxhash64 hyperplanes)
+            lambda s, d: dedup.embedding_neardup_pairs(_embeddings(s, d), threshold=0.4)
+        ),
+        # multimodal plumbing (payload binary + typed meta; fake decoder)
+        "media_meta": q(
+            lambda s, d: mm.attach_media(_documents(s, d)).select(
+                "doc_id", "kind", F.col("meta.n_bytes").alias("n_bytes")
+            )
+        ),
+        "media_features": q(  # rows-only: feature floats from numpy path
+            lambda s, d: mm.extract_features(mm.attach_media(_documents(s, d)))
+        ),
+        "media_frames": q(  # rows-only: binary frame payloads
+            lambda s, d: mm.sample_frames(mm.attach_media(_documents(s, d)), every_n=2)
         ),
         # text analytics extras
         "quality_stats": q(lambda s, d: ta.quality_stats(_documents(s, d))),
@@ -185,6 +207,36 @@ FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.9""",
+        "ngram_jaccard_pairs": """
+WITH idx AS (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+             FROM documents),
+sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS sh
+       FROM idx WHERE length(substr(text, CAST(i AS INT), 3)) = 3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.8""",
+        "embedding_cosine_pairs": """
+WITH pos AS (SELECT pos FROM generate_series(1, 64) t(pos)),
+e AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS v FROM embeddings, pos),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+         FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+         GROUP BY 1, 2)
+SELECT vec_a, vec_b, round(dot / (x.nrm * y.nrm), 6) AS cos
+FROM dots JOIN norms x ON vec_a = x.vec_id JOIN norms y ON vec_b = y.vec_id
+WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4""",
+        "media_meta": "SELECT doc_id, "
+        "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
         "quality_stats": f"WITH {_TOKENS} "
         "SELECT doc_id, count(*) AS n_tokens, "
         "round(avg(CAST(length(term) AS DOUBLE)), 6) AS avg_token_len "

@@ -131,6 +131,131 @@ def minhash_lsh_pairs(
     return cands.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
 
 
+def char_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh): distinct character n-grams — JVM-side (sequence +
+    substring + explode), no Python."""
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(n)),
+                )
+            ).alias("sh"),
+        )
+        .filter(F.length("sh") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over character n-gram shingle sets —
+    the classic near-dup signal robust to token reordering. Same
+    self-join shape as token_jaccard_pairs (exact baseline; the scale
+    path hashes these shingles through minhash_lsh_pairs)."""
+    sh = char_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """(vec_a, vec_b, cos): embedding near-dup pairs by exact cosine —
+    the SQL-checkable O(n²) baseline (JVM column math, f64).
+
+    At scale use embedding_neardup_pairs (LSH-bucketed candidates)."""
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets generate candidates
+    (same-signature vectors), then exact cosine verifies. The bucket
+    groupBy-join is the only shuffle touching all rows, carrying one
+    long per vector; near-dup pairs at cos ≥ 0.95 collide with high
+    probability at 8 planes (p = (1 - θ/π)^8 ≈ 0.86 per band)."""
+    from search_engine_spark.operators.similarity import _hyperplane_sig
+
+    with_sig = embeddings.withColumn(
+        "sig", _hyperplane_sig(F.col("embedding"), dim, n_planes)
+    )
+    l = with_sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "sig")
+    r = with_sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "sig")
+    cands = l.join(r, ["sig"]).filter(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cands.select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
 def simhash(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash long): 64-bit SimHash over tf-weighted terms."""
     tf = tokens_df(documents).groupBy("doc_id", "term").agg(
