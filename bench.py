@@ -47,7 +47,7 @@ def main() -> None:
 
     from search_engine_spark.operators.index_build import (
         build_index,
-        prepare_docs,
+        build_index_from_pages,
         read_index,
         write_index,
     )
@@ -76,8 +76,9 @@ def main() -> None:
         pages = spark.read.parquet(pages_path)
 
         def build_pages():
-            docs = prepare_docs(pages, id_method="hash", recompute_text=True)
-            idx = build_index(docs)
+            # FUSED extract+tokenize UDF (one python worker per task);
+            # the chained two-UDF form measurably anti-scales
+            idx = build_index_from_pages(pages, id_method="hash")
             write_index(idx, f"{tmp}/index")
             return idx
 

@@ -309,3 +309,22 @@ def tokenize_raw_udf(text: pd.Series) -> pd.Series:
     """Normalize WITHOUT stop-filtering (for analyses that need all terms)."""
     empty: frozenset[str] = frozenset()
     return text.map(lambda t: tokenize(t or "", stop=empty))
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_tokens_udf(html: pd.Series) -> pd.Series:
+    """FUSED extraction + tokenization: html binary → array<string> in ONE
+    Arrow pass (SURVEY §2.9: F1+F4-F6 fused).
+
+    Scale-critical: two chained pandas UDFs in one stage run as TWO
+    python workers per task (2×cores processes); measured on this
+    machine the chained form anti-scales (local[32] 2.7× SLOWER than
+    local[8] on the full build) while the fused form scales linearly.
+    Use this for any pipeline that goes straight from raw html to
+    postings; keep the separate UDFs for when `text` must be
+    materialized (byte-identity verification, storage).
+    """
+    stop = load_stopwords("iso")
+    return html.map(
+        lambda b: tokenize(extract_text(_decode(b)), stop=stop)
+    )

@@ -199,6 +199,43 @@ def index_from_raw_postings(
     return index
 
 
+def build_index_from_pages(
+    pages: DataFrame,
+    id_method: str = "hash",
+    k1: float = K1,
+    b: float = B,
+) -> InvertedIndex:
+    """pages(url, html, lang, ...) → InvertedIndex via the FUSED
+    extract+tokenize UDF (one Arrow pass, one python worker per task).
+
+    Semantically identical to prepare_docs(recompute_text=True) +
+    build_index (property-tested) but skips materializing `text`:
+    empty-text pages simply yield zero tokens, so they fall out of
+    doc_stats/N exactly as the explicit length(text)>0 filter drops
+    them. This is the throughput path — the chained two-UDF form runs
+    2× python workers per core and anti-scales (see
+    textproc.extract_tokens_udf).
+    """
+    from search_engine_spark.functions.textproc import extract_tokens_udf
+
+    df = pages.filter(F.col("lang").startswith("en"))
+    if id_method == "hash":
+        df = df.withColumn("doc_id", F.xxhash64(F.col("url")))
+    elif id_method == "dense":
+        df = df.withColumn(
+            "doc_id", F.row_number().over(Window.orderBy(F.col("url"))).cast("long")
+        )
+    else:
+        raise ValueError(id_method)
+    tokens = df.select(
+        "doc_id", F.explode(extract_tokens_udf(F.col("html"))).alias("term")
+    )
+    raw = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+    return index_from_raw_postings(raw, k1=k1, b=b)
+
+
 def salted_by_term(
     postings: DataFrame,
     term_stats: DataFrame,

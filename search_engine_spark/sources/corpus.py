@@ -57,7 +57,7 @@ def _vocab(size: int) -> list[str]:
     return words[:size]
 
 
-def _page_html(rng: np.random.Generator, zipf_words: list[str]) -> str:
+def _page_html(rng: np.random.Generator, zipf_words: list[str], scale: int = 1) -> str:
     def sent(n: int) -> str:
         toks = []
         for _ in range(n):
@@ -88,7 +88,10 @@ def _page_html(rng: np.random.Generator, zipf_words: list[str]) -> str:
             for _ in range(n_sents)
         )
 
-    for _ in range(int(rng.integers(2, 7))):
+    # `scale` multiplies paragraph count (bench realism: ~10x gives
+    # Common-Crawl-sized ~10 KB pages); scale=1 keeps the default
+    # rng stream byte-identical to earlier corpora
+    for _ in range(int(rng.integers(2, 7)) * scale):
         inline = rng.random()
         body = para(int(rng.integers(1, 4)))
         if inline < 0.3:
@@ -113,6 +116,7 @@ def synth_pages(
     seed: int = 42,
     vocab_size: int = 2000,
     partitions: int | None = None,
+    scale: int = 1,
 ) -> DataFrame:
     """pages(url, warc_ts, html binary, text, lang) — the input_hint shape.
 
@@ -128,7 +132,7 @@ def synth_pages(
             for i in pdf["id"]:
                 i = int(i)
                 rng = np.random.default_rng(np.uint64(seed) * np.uint64(1_000_003) + np.uint64(i))
-                html = _page_html(rng, zipf_words)
+                html = _page_html(rng, zipf_words, scale)
                 out["url"].append(f"https://site{i % 97}.example/page/{i:08d}")
                 out["warc_ts"].append(epoch + _dt.timedelta(seconds=i))
                 out["html"].append(html.encode("utf-8"))

@@ -1,0 +1,100 @@
+"""Physical-plan audits: the properties that make this engine viable at
+100 TB must be visible in `explain`, not just asserted in docstrings.
+
+- term predicates reach the parquet scan (PushedFilters: In(term, ...))
+  → posting-list lookups are O(matched postings) IO, not O(index);
+- column pruning keeps `html` (the fat binary column) out of every scan
+  that doesn't decode it (ReadSchema);
+- query-time scoring broadcasts the small sides (query terms,
+  term_stats∩terms) — no shuffle of the postings relation;
+- the fused pages→index path equals the chained path (result parity for
+  the scale optimization).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import (
+    build_index,
+    build_index_from_pages,
+    prepare_docs,
+    read_index,
+    write_index,
+)
+from search_engine_spark.operators.query import queries_to_terms, score_bm25
+from search_engine_spark.sources.corpus import synth_pages
+
+
+@pytest.fixture(scope="module")
+def stored_index(spark, tmp_path_factory):
+    pages = synth_pages(spark, 150, seed=13).cache()
+    idx = build_index_from_pages(pages, id_method="hash")
+    path = str(tmp_path_factory.mktemp("idx"))
+    write_index(idx, path)
+    return pages, read_index(spark, path)
+
+
+def _plan(df) -> str:
+    """Capture df.explain('formatted') output as a string."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_term_filter_pushed_to_scan(spark, stored_index):
+    _, idx = stored_index
+    terms = ["hippopotamus", "ladder"]
+    plan = _plan(idx.postings.filter(F.col("term").isin(terms)))
+    assert "PushedFilters" in plan
+    assert "In(term" in plan, plan[:2000]
+
+
+def test_html_pruned_when_text_trusted(spark):
+    pages = synth_pages(spark, 50, seed=13)
+    docs = prepare_docs(pages, id_method="hash")  # recompute_text=False
+    plan = _plan(docs)
+    # mapInPandas source has no parquet scan; write+read to get a scan
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages.write.parquet(f"{tmp}/p")
+        stored = spark.read.parquet(f"{tmp}/p")
+        plan = _plan(prepare_docs(stored, id_method="hash"))
+        assert "ReadSchema" in plan
+        # the fat binary column must not be read
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "html" not in read_schema, read_schema
+
+
+def test_bm25_plan_broadcasts_small_sides(spark, stored_index):
+    _, idx = stored_index
+    qt = queries_to_terms(spark, ["hippopotamus ladder"])
+    plan = _plan(score_bm25(idx, qt, k=10, terms=["hippopotamus", "ladder"]))
+    assert "BroadcastHashJoin" in plan
+    # the postings side must NOT appear under a shuffle-exchange join:
+    # the only exchange allowed before the agg is the groupBy itself
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_fused_equals_chained(spark):
+    pages = synth_pages(spark, 200, seed=31).cache()
+    chained = build_index(prepare_docs(pages, id_method="hash", recompute_text=True))
+    fused = build_index_from_pages(pages, id_method="hash")
+    pa = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in chained.postings.select("term", "doc_id", "tf").collect()
+    }
+    pb = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in fused.postings.select("term", "doc_id", "tf").collect()
+    }
+    assert pa == pb
+    assert chained.n_docs == fused.n_docs
+    assert chained.avgdl == pytest.approx(fused.avgdl, rel=1e-12)
