@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # CPU-heavy pandas-UDF stages need splits sized for CORES, not
+        # IO: the 128 MB default collapsed a 150 MB corpus into 6 scan
+        # tasks, idling 2 of 8 cores for the whole extraction stage and
+        # capping measured scaling efficiency at ~0.75. 16 MB keeps
+        # small corpora parallel; at 100 TB the split count is huge
+        # either way and a cluster deployment can raise it back.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
