@@ -29,6 +29,10 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the real engine (build_index →
     broadcast-join scoring → WindowGroupLimit top-k) on sf0.001."""
@@ -57,6 +61,7 @@ def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.operators import dedup, similarity
+    from search_engine_spark.operators import events as ev
     from search_engine_spark.operators import multimodal as mm
     from search_engine_spark.operators import text_analytics as ta
 
@@ -121,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: ta.token_counts_by(_documents(s, d), "lang")
         ),
         "fingerprints": q(lambda s, d: ta.fingerprints(_documents(s, d))),
+        # event-time operators (engine additions; SURVEY §2.5/§2.8)
+        "events_windowed": q(lambda s, d: ev.windowed_counts(_events(s, d))),
+        "user_sessions": q(lambda s, d: ev.user_sessions(_events(s, d))),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
         "lsh_cosine_topk": q(  # rows-only (hyperplanes from xxhash64)
@@ -233,6 +241,22 @@ dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
 SELECT vec_a, vec_b, round(dot / (x.nrm * y.nrm), 6) AS cos
 FROM dots JOIN norms x ON vec_a = x.vec_id JOIN norms y ON vec_b = y.vec_id
 WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4""",
+        "events_windowed": "SELECT date_trunc('hour', ts) AS ws, event_type, "
+        "count(*) AS n, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2",
+        "user_sessions": """
+WITH l AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+           lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+           FROM events),
+b AS (SELECT user_id, event_id, e,
+      CASE WHEN e - pe > 1800 THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT user_id, e,
+      CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM b)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(e) - min(e) AS duration_s
+FROM s GROUP BY 1, 2""",
         "media_meta": "SELECT doc_id, "
         "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "

@@ -1,0 +1,120 @@
+"""Crawl-side functions (SURVEY §2.2 F3, F9, F10, F11, F13).
+
+The reference's crawler (services/crawler/src/) fetches live pages; our
+input table is pre-crawled, so these exist for the crawl-graph
+EXTENSION path: link extraction over stored html, URL normalization /
+resolution / dedup for frontier construction, and the policy filter.
+All heavy ops are Arrow-batched pandas UDFs; the frontier dedup and
+policy filter are pure Catalyst.
+
+Semantics re-expressed from the reference (not copied):
+- link extraction (crawler.rs:248-261): every `a[href]` attribute
+  value, document order, including duplicates.
+- URL normalization (url_handler.rs:78-117): strip `#fragment`; drop
+  query pairs whose KEY contains "utm" or equals "id"/"t"; force
+  `https://netloc+path` (+ surviving query).
+- relative resolution (utils.rs:59-77): join href against base url.
+- adult filter (url_handler.rs:44-69): the reference scores url+text
+  with the rustrict profanity ML crate (≥SEVERE blocks) plus a custom
+  trie entry; ours is the keyword-set predicate SURVEY §2.2 F9 plans —
+  policy-pluggable, rank-irrelevant.
+- frontier dedup (crawler.rs:112-115, page.rs:66-136): first-seen wins
+  after normalization.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlparse
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from search_engine_spark.functions.textproc import _decode, _Element, _parse_html
+
+# F9 keyword set (policy-pluggable; the reference additionally runs a
+# profanity-ML analyzer we do not replicate — SURVEY §7.0/§2.2)
+BLOCKED_KEYWORDS = frozenset({"xvideos", "xxx", "porn"})
+
+
+def extract_links(html: str) -> list[str]:
+    """All a[href] values in document order (duplicates kept) — F3."""
+    root = _parse_html(html)
+    out: list[str] = []
+    work: list[_Element] = [root]
+    while work:
+        el = work.pop(0)
+        if el.tag == "a" and "href" in el.attrs:
+            out.append(el.attrs["href"])
+        work = [c for c in el.children if isinstance(c, _Element)] + work
+    return out
+
+
+def normalize_url(url: str) -> str:
+    """F10: strip fragment; drop utm*/id/t query pairs; force https."""
+    p = urlparse(url)
+    pairs = [
+        (k, v)
+        for k, v in parse_qsl(p.query, keep_blank_values=True)
+        if "utm" not in k and k not in ("id", "t")
+    ]
+    q = f"?{urlencode(pairs)}" if pairs else ""
+    return f"https://{p.netloc}{p.path}{q}"
+
+
+def resolve_url(base: str, href: str) -> str:
+    """F11: relative href against the page url."""
+    return urljoin(base, href)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: extract_links(_decode(b)))
+
+
+@pandas_udf(StringType())
+def normalize_url_udf(url: pd.Series) -> pd.Series:
+    return url.map(normalize_url)
+
+
+@pandas_udf(StringType())
+def resolve_url_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    return pd.Series([resolve_url(b, h) for b, h in zip(base, href)])
+
+
+def blocked_url(url_col) -> "F.Column":
+    """F9 policy predicate over the url (keyword set, Catalyst-side)."""
+    cond = F.lit(False)
+    for kw in sorted(BLOCKED_KEYWORDS):
+        cond = cond | F.lower(url_col).contains(kw)
+    return cond
+
+
+def crawl_frontier(pages: DataFrame, visited: DataFrame | None = None) -> DataFrame:
+    """pages(url, html) → deduped, normalized, policy-filtered frontier
+    of outgoing links (the K1 queued-URL sink relation).
+
+    Plan shape at scale: one narrow UDF pass (links), explode, two
+    cheap UDFs, then a single dropDuplicates shuffle on the normalized
+    url; `visited` (the crawled-set, S5) is removed with a left-anti
+    join — broadcast when small, shuffle otherwise.
+    """
+    links = pages.select(
+        F.col("url").alias("base"),
+        F.explode(extract_links_udf(F.col("html"))).alias("href"),
+    )
+    frontier = (
+        links.select(
+            normalize_url_udf(resolve_url_udf(F.col("base"), F.col("href"))).alias("url")
+        )
+        .filter(~blocked_url(F.col("url")))
+        .dropDuplicates(["url"])
+    )
+    if visited is not None:
+        frontier = frontier.join(
+            visited.select("url"), "url", "left_anti"
+        )
+    return frontier

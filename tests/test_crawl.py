@@ -1,0 +1,75 @@
+"""Crawl-extension functions (functions/crawl.py — SURVEY F3/F9/F10/F11/F13)."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.functions.crawl import (
+    blocked_url,
+    crawl_frontier,
+    extract_links,
+    normalize_url,
+    resolve_url,
+)
+from search_engine_spark.sources.corpus import synth_pages
+
+
+def test_extract_links_document_order_with_dupes():
+    html = (
+        "<html><body><p><a href='/a'>one</a></p>"
+        "<div><a href='https://x.example/b'>two</a></div>"
+        "<a href='/a'>again</a><a>no-href</a></body></html>"
+    )
+    assert extract_links(html) == ["/a", "https://x.example/b", "/a"]
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        # fragment stripped
+        ("http://a.example/p#frag", "https://a.example/p"),
+        # utm-bearing KEYS dropped, others kept
+        ("https://a.example/p?utm_source=x&q=1", "https://a.example/p?q=1"),
+        # id/t keys dropped
+        ("https://a.example/watch?id=9&t=30&v=abc", "https://a.example/watch?v=abc"),
+        # http forced to https
+        ("http://a.example/p?x=1", "https://a.example/p?x=1"),
+        # no query survives → bare path
+        ("https://a.example/p?utm_campaign=z", "https://a.example/p"),
+    ],
+)
+def test_normalize_url(url, expected):
+    assert normalize_url(url) == expected
+
+
+def test_resolve_url():
+    assert resolve_url("https://a.example/dir/page", "../x") == "https://a.example/x"
+    assert resolve_url("https://a.example/dir/", "y") == "https://a.example/dir/y"
+    assert (
+        resolve_url("https://a.example/p", "https://b.example/q")
+        == "https://b.example/q"
+    )
+
+
+def test_frontier_end_to_end(spark):
+    pages = synth_pages(spark, 80, seed=17).select("url", "html").cache()
+    frontier = crawl_frontier(pages)
+    urls = [r["url"] for r in frontier.collect()]
+    assert len(urls) == len(set(urls))  # deduped
+    assert all(u.startswith("https://") for u in urls)
+    # corpus anchors are href="/x" → resolve to https://siteN.example/x
+    assert any(u.endswith("/x") for u in urls)
+
+    # visited anti-join removes known urls
+    visited = frontier.limit(3)
+    rest = crawl_frontier(pages, visited=visited)
+    removed = {r["url"] for r in visited.collect()}
+    assert removed.isdisjoint({r["url"] for r in rest.collect()})
+
+
+def test_blocked_url_predicate(spark):
+    df = spark.createDataFrame(
+        [("https://ok.example/a",), ("https://XVideos.example/b",)], "url string"
+    )
+    kept = [r["url"] for r in df.filter(~blocked_url(df.url)).collect()]
+    assert kept == ["https://ok.example/a"]
