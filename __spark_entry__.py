@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q(  # rows-only
             lambda s, d: dedup.simhash_pairs(_documents(s, d), max_hamming=3)
         ),
+        "minhash_dedup": q(  # rows-only (xxhash64)
+            lambda s, d: dedup.minhash_dedup(_documents(s, d))
+        ),
         "ngram_jaccard_pairs": q(
             lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d), n=3, threshold=0.8)
         ),

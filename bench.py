@@ -13,7 +13,9 @@ Headline queries:
 - bm25_search / tfidf_search: multi-query top-k against the built
   pages index (persisted + re-read so scans hit parquet like a real
   serving path).
-- minhash_lsh_pairs / cosine_topk: dedup + similarity headliners.
+- minhash_dedup / cosine_topk: dedup + similarity headliners
+  (doc→representative labeling, not pair enumeration — pairs are
+  quadratic in cluster size and the sf docs table has ~1M of them).
 """
 
 from __future__ import annotations
@@ -127,8 +129,10 @@ def main() -> None:
             ).postings.count(),
         )
         timed(
-            "minhash_lsh_pairs",
-            lambda: dedup.minhash_lsh_pairs(documents, threshold=0.9).count(),
+            "minhash_dedup",
+            lambda: dedup.minhash_dedup(documents)
+            .filter(F.col("keep_id") < F.col("doc_id"))
+            .count(),
         )
         timed("cosine_topk", lambda: similarity.cosine_topk(embeddings, 0).collect())
 

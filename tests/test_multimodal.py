@@ -148,3 +148,17 @@ def test_embedding_pairs_exact_vs_lsh(spark):
     # no false positives, and (at 8 planes / cos≥0.999) full recall here
     assert lsh <= exact
     assert len(lsh) >= 2
+
+
+def test_minhash_dedup_groups_exact_dupes(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),    # near dup of 1
+        (4, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {r["doc_id"]: r["keep_id"] for r in dedup.minhash_dedup(df).collect()}
+    assert labels[1] == 1 and labels[2] == 1          # exact dupes share rep
+    assert labels[4] == 4                             # unique doc keeps itself
+    assert set(labels) == {1, 2, 3, 4}                # every doc labeled
