@@ -92,9 +92,16 @@ def worker(cpus: int, input_path: str) -> None:
     from search_engine_spark.operators.query import search
     from search_engine_spark.session import get_spark
 
+    # 4m split size → every one of the 128 input files is its own task
+    # (file ~1.5 MB data + 4 MB open-cost > 4 MB): ≥4 task waves at the
+    # larger config. At 16 MB the 150 MB corpus yielded ~11 scan tasks —
+    # 1.4 waves at 8 cores, an idle tail that penalizes exactly the
+    # configuration under test. Wave granularity, not a cluster cheat:
+    # a real 4N cluster reading 100 TB has millions of splits either way.
     spark = get_spark(
         app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=4 * cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(input_path)
