@@ -62,6 +62,7 @@ def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.operators import dedup, similarity
     from search_engine_spark.operators import events as ev
+    from search_engine_spark.operators import relational as rel
     from search_engine_spark.operators import multimodal as mm
     from search_engine_spark.operators import text_analytics as ta
 
@@ -129,6 +130,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: ta.token_counts_by(_documents(s, d), "lang")
         ),
         "fingerprints": q(lambda s, d: ta.fingerprints(_documents(s, d))),
+        # relational showcase (joins/aggs/topk over the warehouse tables)
+        "pricing_summary": q(
+            lambda s, d: rel.pricing_summary(
+                s.read.parquet(f"{d}/lineitem.parquet")
+            )
+        ),
+        "top_revenue_orders": q(
+            lambda s, d: rel.top_revenue_orders(
+                s.read.parquet(f"{d}/customer.parquet"),
+                s.read.parquet(f"{d}/orders.parquet"),
+                s.read.parquet(f"{d}/lineitem.parquet"),
+            )
+        ),
+        "regional_revenue": q(
+            lambda s, d: rel.regional_revenue(
+                s.read.parquet(f"{d}/customer.parquet"),
+                s.read.parquet(f"{d}/orders.parquet"),
+                s.read.parquet(f"{d}/lineitem.parquet"),
+                s.read.parquet(f"{d}/nation.parquet"),
+                s.read.parquet(f"{d}/region.parquet"),
+            )
+        ),
         # event-time operators (engine additions; SURVEY §2.5/§2.8)
         "events_windowed": q(lambda s, d: ev.windowed_counts(_events(s, d))),
         "user_sessions": q(lambda s, d: ev.user_sessions(_events(s, d))),
@@ -244,6 +267,35 @@ dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
 SELECT vec_a, vec_b, round(dot / (x.nrm * y.nrm), 6) AS cos
 FROM dots JOIN norms x ON vec_a = x.vec_id JOIN norms y ON vec_b = y.vec_id
 WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "top_revenue_orders": """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10""",
+        "regional_revenue": """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY r_name""",
         "events_windowed": "SELECT date_trunc('hour', ts) AS ws, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2",

@@ -232,8 +232,15 @@ def remove_diacritics(s: str) -> str:
     )
 
 
+@lru_cache(maxsize=1 << 17)
 def normalize_term(token: str) -> str | None:
-    """tf-idf-indexer/src/lib.rs:125-159. None = rejected (digit-bearing)."""
+    """tf-idf-indexer/src/lib.rs:125-159. None = rejected (digit-bearing).
+
+    Memoized: token frequencies are Zipf, so the per-occurrence NFKD
+    fold + char scans hit the cache almost always (pure function of the
+    token — deterministic across workers; each python worker keeps its
+    own cache, bounded at 128k entries ≈ a few MB).
+    """
     t = remove_diacritics(token)
     for c in t:
         if not (c.isalpha() or c in _ASCII_PUNCT):
