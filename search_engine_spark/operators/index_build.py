@@ -288,6 +288,8 @@ def write_index(
     `salt_df_threshold` to split head-term posting lists over
     `num_salts` reducers (skew-safe path, §7.5).
     """
+    from search_engine_spark.catalog import write_table
+
     if salt_df_threshold is not None:
         laid_out = salted_by_term(
             index.postings, index.term_stats, salt_df_threshold, num_salts
@@ -296,21 +298,23 @@ def write_index(
         laid_out = index.postings.repartition(
             F.col("term")
         ).sortWithinPartitions("term", "doc_id")
-    laid_out.write.mode("overwrite").parquet(f"{path}/postings")
-    index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
-    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    write_table(laid_out, f"{path}/postings")
+    write_table(index.term_stats, f"{path}/term_stats")
+    write_table(index.doc_stats, f"{path}/doc_stats")
     meta = index.postings.sparkSession.createDataFrame(
         [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
     )
-    meta.write.mode("overwrite").parquet(f"{path}/meta")
+    write_table(meta, f"{path}/meta")
 
 
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    from search_engine_spark.catalog import read_table
+
+    meta = read_table(spark, f"{path}/meta").collect()[0]
     return InvertedIndex(
-        postings=spark.read.parquet(f"{path}/postings"),
-        term_stats=spark.read.parquet(f"{path}/term_stats"),
-        doc_stats=spark.read.parquet(f"{path}/doc_stats"),
+        postings=read_table(spark, f"{path}/postings"),
+        term_stats=read_table(spark, f"{path}/term_stats"),
+        doc_stats=read_table(spark, f"{path}/doc_stats"),
         n_docs=int(meta["n_docs"]),
         avgdl=float(meta["avgdl"]),
     )
