@@ -146,3 +146,24 @@ def search(
     if scorer == "tfidf_compat":
         return score_tfidf_compat(index, qt, k, terms=terms)
     raise ValueError(scorer)
+
+
+def search_and_present(
+    index: InvertedIndex,
+    pages: "DataFrame",
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    k: int = 10,
+    scorer: str = "bm25",
+) -> DataFrame:
+    """The reference's GET /search, end to end (app/main.py:51-95):
+    tokenize → score → top-k → join pages → title/domain/breadcrumb/
+    snippet. Returns one presented row per hit, ranked per query.
+
+    `pages` must carry (url, html[, title]); doc ids are re-minted with
+    the same xxhash64(url) used by prepare_docs/build_index_from_pages,
+    so any pages table that fed the index round-trips."""
+    from search_engine_spark.functions.presentation import present_results
+
+    topk = search(index, spark, queries, k=k, scorer=scorer)
+    return present_results(topk, pages, queries)

@@ -124,3 +124,17 @@ def test_present_results_end_to_end(spark):
     plain = [(r["query_id"], r["doc_id"]) for r in topk.collect()]
     pres = [(r["query_id"], r["doc_id"]) for r in out]
     assert plain == pres
+
+
+def test_search_and_present_end_to_end(spark):
+    """The GET /search equivalent: index → score → top-k → presented rows."""
+    from search_engine_spark.operators.index_build import build_index_from_pages
+    from search_engine_spark.operators.query import search_and_present
+
+    pages = synth_pages(spark, 100, seed=23).cache()
+    index = build_index_from_pages(pages, id_method="hash")
+    out = search_and_present(index, pages, spark, ["hippopotamus ladder"], k=5)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0]["score"] >= rows[-1]["score"]
+    assert all(r["url"].startswith("https://site") for r in rows)
