@@ -62,6 +62,7 @@ def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.operators import dedup, similarity
     from search_engine_spark.operators import events as ev
+    from search_engine_spark.operators import phrase as ph
     from search_engine_spark.operators import relational as rel
     from search_engine_spark.operators import multimodal as mm
     from search_engine_spark.operators import text_analytics as ta
@@ -87,6 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring + top-k (A5/A6/W1, J2/J3)
         "tfidf_topk": q(lambda s, d: ta.tfidf_topk(_documents(s, d), QUERY_TERMS)),
         "bm25_topk": q(lambda s, d: ta.bm25_topk(_documents(s, d), QUERY_TERMS)),
+        "bm25_and_topk": q(
+            lambda s, d: ta.bm25_topk(_documents(s, d), QUERY_TERMS, mode="and")
+        ),
+        "phrase_topk": q(
+            lambda s, d: ph.phrase_search(
+                _documents(s, d), ["table", "hash"], ta.ws_tokens, k=10
+            )
+        ),
         "engine_bm25_search": _engine_bm25,
         # dedup family
         "exact_dedup": q(lambda s, d: dedup.exact_dedup(_documents(s, d))),
@@ -223,6 +232,32 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 10""",
         "bm25_topk": _BM25_SQL.format(qid="", qid_group=""),
+        "bm25_and_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+), 6) AS score
+FROM matched m
+JOIN df USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+HAVING count(*) = 3
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
+        "phrase_topk": """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+m AS (SELECT doc_id,
+      CAST(len(list_filter(generate_series(1, len(l) - 1),
+                i -> l[i] = 'table' AND l[i + 1] = 'hash')) AS BIGINT)
+        AS n_occurrences
+      FROM s)
+SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
+ORDER BY n_occurrences DESC, doc_id ASC
+LIMIT 10""",
         "engine_bm25_search": _BM25_SQL.format(
             qid="CAST(0 AS INTEGER) AS query_id, ", qid_group=""
         ),

@@ -1,0 +1,102 @@
+"""AND-semantics and positional phrase queries (engine additions).
+
+The reference is OR-only (`term = ANY(...)` + per-page sum,
+app/main.py:67-71; SURVEY §2.6/Q9). A usable engine needs conjunctive
+and phrase retrieval too:
+
+- AND mode: posting-list intersection expressed as the standard
+  group-and-having shape — count distinct matched terms per doc equals
+  the query's term count. Same single shuffle as OR scoring; the
+  intersection is a post-aggregation filter, not an extra join chain.
+- Phrase: a positional index `(term, doc_id, positions array<int>)`
+  (posexplode → collect_list, one build shuffle), then consecutive-
+  position intersection: fold over the phrase's terms joining on
+  doc_id, carrying the array of candidate START positions and
+  intersecting `transform(starts, s -> s + i)` with term i's
+  positions — all JVM array math, no Python. k-term phrase = k-1
+  broadcast-sized joins on doc_id restricted to docs containing all
+  terms (the rarest-term list could seed the fold; Catalyst's join
+  reordering handles the sizes).
+
+Position semantics: positions index the POST-FILTER token stream (the
+same stream TF counts), so phrases match across dropped stop words the
+same way the tokenizer sees text. With the whitespace tokenizer on the
+pre-tokenized documents table, positions are plain word offsets —
+which is what the DuckDB oracle (list_filter over split positions)
+checks value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def positional_postings(docs: DataFrame, tokenizer) -> DataFrame:
+    """(term, doc_id, positions sorted array<int>) — the phrase index."""
+    tokens = docs.select(
+        "doc_id", F.posexplode(tokenizer(F.col("text"))).alias("pos", "term")
+    )
+    return tokens.groupBy("doc_id", "term").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_match(
+    pos_index: DataFrame, phrase_terms: list[str]
+) -> DataFrame:
+    """(doc_id, n_occurrences) for docs containing the exact consecutive
+    phrase; n counts all (possibly overlapping) start positions."""
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    t0 = phrase_terms[0]
+    cur = pos_index.filter(F.col("term") == t0).select(
+        "doc_id", F.col("positions").alias("starts")
+    )
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = pos_index.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("p")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform(F.col("starts"), lambda s: s + F.lit(i)),
+                    F.col("p"),
+                ).alias("shifted"),
+            )
+            # keep start positions, not the shifted ones
+            .select(
+                "doc_id",
+                F.transform(F.col("shifted"), lambda s: s - F.lit(i)).alias("starts"),
+            )
+            .filter(F.size("starts") > 0)
+        )
+    return cur.select(
+        "doc_id", F.size("starts").cast("long").alias("n_occurrences")
+    )
+
+
+def phrase_search(
+    docs: DataFrame, phrase_terms: list[str], tokenizer, k: int = 10
+) -> DataFrame:
+    """Top-k docs by phrase occurrence count (ties: doc_id asc)."""
+    idx = positional_postings(docs, tokenizer)
+    return (
+        phrase_match(idx, phrase_terms)
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def conjunctive_filter(
+    scored_with_counts: DataFrame, n_terms_required: Column | int
+) -> DataFrame:
+    """AND semantics: keep docs matching ALL query terms (post-agg filter)."""
+    need = (
+        F.lit(n_terms_required)
+        if isinstance(n_terms_required, int)
+        else n_terms_required
+    )
+    return scored_with_counts.filter(F.col("n_matched") == need)

@@ -114,14 +114,28 @@ def score_bm25(
     query_terms: DataFrame,
     k: int = 10,
     terms: list[str] | None = None,
+    mode: str = "or",
 ) -> DataFrame:
     """BM25 (quirk Q11): Σ_t idf_t · tf_norm — tf_norm precomputed at build,
-    so scoring is one broadcast-joined scan + one hash agg."""
+    so scoring is one broadcast-joined scan + one hash agg.
+
+    mode='and' → conjunctive retrieval: docs must match EVERY term of
+    their query (posting-list intersection as a post-agg filter against
+    each query's term count — no extra shuffle; reference is OR-only,
+    SURVEY §2.6/Q9)."""
     m = _matched(index, query_terms, terms)
     scored = m.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("bm25_idf") * F.col("tf_norm")).alias("score")
+        F.sum(F.col("bm25_idf") * F.col("tf_norm")).alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
     )
-    return topk(scored, k)
+    if mode == "and":
+        need = query_terms.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_required")
+        )
+        scored = scored.join(F.broadcast(need), "query_id").filter(
+            F.col("n_matched") == F.col("n_required")
+        ).drop("n_required")
+    return topk(scored.drop("n_matched"), k)
 
 
 def search(

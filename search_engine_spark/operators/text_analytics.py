@@ -86,9 +86,13 @@ def tfidf_topk(documents: DataFrame, terms: list[str], k: int = 10) -> DataFrame
 
 def bm25_topk(
     documents: DataFrame, terms: list[str], k: int = 10,
-    k1: float = K1, b: float = B,
+    k1: float = K1, b: float = B, mode: str = "or",
 ) -> DataFrame:
-    """BM25 top-k over the plain-token corpus, pure column math."""
+    """BM25 top-k over the plain-token corpus, pure column math.
+
+    mode='and' → conjunctive: only docs matching ALL query terms (the
+    posting-list intersection as a post-aggregation HAVING — same
+    single shuffle as OR)."""
     tf = term_tf(documents)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
@@ -100,11 +104,19 @@ def bm25_topk(
         F.col("tf") * (k1 + 1.0)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
     )
-    return (
+    scored = (
         matched.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+        .agg(
+            F.round(F.sum(idf * tf_norm), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    if mode == "and":
+        scored = scored.filter(F.col("n_matched") == len(set(terms)))
+    return (
+        scored.drop("n_matched")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -1,0 +1,84 @@
+"""Phrase + AND retrieval (operators/phrase.py, SURVEY §2.6 extension)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.phrase import (
+    phrase_match,
+    phrase_search,
+    positional_postings,
+)
+from search_engine_spark.operators.text_analytics import ws_tokens
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "red fish blue fish red fish"),
+        (2, "blue fish red fish"),
+        (3, "red red fish"),
+        (4, "fish red"),
+        (5, "red fish red fish red fish red fish"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_positional_postings(docs):
+    idx = positional_postings(docs, ws_tokens)
+    pos = {
+        (r["doc_id"], r["term"]): r["positions"]
+        for r in idx.filter(F.col("doc_id") == 1).collect()
+    }
+    assert pos[(1, "red")] == [0, 4]
+    assert pos[(1, "fish")] == [1, 3, 5]
+    assert pos[(1, "blue")] == [2]
+
+
+def test_phrase_match_counts(docs):
+    idx = positional_postings(docs, ws_tokens).cache()
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_match(idx, ["red", "fish"]).collect()}
+    assert got == {1: 2, 2: 1, 3: 1, 5: 4}
+
+    # 3-term phrase
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_match(idx, ["fish", "red", "fish"]).collect()}
+    assert got3 == {1: 1, 2: 1, 5: 3}
+
+    # overlapping self-phrase
+    overlap = {r["doc_id"]: r["n_occurrences"]
+               for r in phrase_match(idx, ["red", "red"]).collect()}
+    assert overlap == {3: 1}
+
+
+def test_phrase_search_ranks_by_count(docs):
+    top = phrase_search(docs, ["red", "fish"], ws_tokens, k=3).collect()
+    assert [(r["doc_id"], r["n_occurrences"]) for r in top] == [
+        (5, 4), (1, 2), (2, 1)
+    ]
+
+
+def test_and_mode_engine(spark, docs):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_bm25
+
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, "red"), (0, "blue"), (1, "red"), (1, "fish")],
+        "query_id int, term string",
+    )
+    or_hits = {
+        (r["query_id"], r["doc_id"]) for r in score_bm25(index, qt, k=10).collect()
+    }
+    and_hits = {
+        (r["query_id"], r["doc_id"])
+        for r in score_bm25(index, qt, k=10, mode="and").collect()
+    }
+    # query 0 (red AND blue): only docs 1, 2 have both
+    assert {d for q, d in and_hits if q == 0} == {1, 2}
+    # query 1 (red AND fish): docs 1,2,3,4,5 all have both
+    assert {d for q, d in and_hits if q == 1} == {1, 2, 3, 4, 5}
+    assert and_hits <= or_hits
