@@ -119,6 +119,19 @@ def main() -> None:
             lambda: block_search(blocks, spark, SEARCH_QUERIES, k=10).collect(),
         )
 
+        # per-query p50 (BASELINE.json metric wording): one Spark job per
+        # query against the persisted block index, median wall time
+        lat = []
+        for q in SEARCH_QUERIES:
+            t0 = time.perf_counter()
+            block_search(blocks, spark, [q], k=10).collect()
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        latencies = {
+            "query_p50": round(lat[len(lat) // 2], 3),
+            "query_p95": round(lat[int(len(lat) * 0.95) - 1], 3),
+        }
+
         # 3. documents-table operators (JVM-only paths)
         documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -137,6 +150,7 @@ def main() -> None:
         timed("cosine_topk", lambda: similarity.cosine_topk(embeddings, 0).collect())
 
     total = round(sum(timings.values()), 3)
+    timings.update(latencies)  # reported per-query latencies, excluded from total
     print(
         json.dumps(
             {

@@ -1,0 +1,63 @@
+"""Stateful streaming sessionization (applyInPandasWithState):
+data-driven closes emit immediately; open sessions close via event-time
+timeout once the watermark passes their gap horizon (AvailableNow runs
+a trailing batch, so timeouts reachable by the drain's own watermark
+fire within the same drain); state survives across drains."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from search_engine_spark.streaming.sessions import streaming_sessions
+
+BASE = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(minutes=m), u, "click", 1.0, "{}")
+            for i, (u, m) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _collect(df):
+    return {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in df.collect()
+    }
+
+
+def _s(u, m0, m1, n):
+    return (u, BASE + dt.timedelta(minutes=m0), BASE + dt.timedelta(minutes=m1), n)
+
+
+def test_sessions_close_by_gap_and_timeout(spark, tmp_path):
+    inp, state = str(tmp_path / "in"), str(tmp_path / "st")
+
+    # drain 1: u1's in-batch gap (00:10 -> 01:30) closes one session by
+    # DATA; the drain's watermark (01:30 - 30m = 01:00) then times out
+    # u2's open session (horizon 00:35). u1's 01:30 session stays open
+    # (horizon 02:00 > 01:00).
+    _events(spark, [(1, 0), (1, 10), (1, 90), (2, 5)]).write.parquet(f"{inp}/d1")
+    out1 = _collect(streaming_sessions(spark, f"{inp}/d*", state))
+    s1, s2 = _s(1, 0, 10, 2), _s(2, 5, 5, 1)
+    assert out1 == {s1, s2}
+
+    # drain 2: 03:00 data → watermark 02:30 ≥ u1's 02:00 horizon → the
+    # session held in state SINCE DRAIN 1 times out; u3 stays open.
+    _events(spark, [(3, 180)]).write.parquet(f"{inp}/d2")
+    out2 = _collect(streaming_sessions(spark, f"{inp}/d*", state))
+    s3 = _s(1, 90, 90, 1)
+    assert out2 == {s1, s2, s3}
+    assert not any(u == 3 for u, *_ in out2)  # u3 still open in state
+
+    # drain 3: 05:00 data → watermark 04:30 ≥ u3's 03:30 horizon.
+    _events(spark, [(4, 300)]).write.parquet(f"{inp}/d3")
+    out3 = _collect(streaming_sessions(spark, f"{inp}/d*", state))
+    s4 = _s(3, 180, 180, 1)
+    assert out3 == {s1, s2, s3, s4}
+    assert not any(u == 4 for u, *_ in out3)  # newest session open
