@@ -97,8 +97,12 @@ def _topk(scores: dict[int, float], k: int) -> list[tuple[int, float]]:
 
 
 def search_tfidf_compat(idx: OracleIndex, q: str, k: int = 10) -> list[tuple[int, float]]:
-    """Reference ranking: SUM(tf_idf) * COUNT(matched term), f32 (Q5/Q9)."""
-    terms = tokenize_query(q)
+    """Reference ranking: SUM(tf_idf) * COUNT(matched term), f32 (Q5/Q9).
+
+    Duplicate query terms are dropped: `term = ANY(array)` is a row
+    FILTER on the terms table (app/main.py:67), so a term row matches
+    once however often the query repeats it."""
+    terms = list(dict.fromkeys(tokenize_query(q)))
     acc: dict[int, list[float]] = {}
     for t in terms:
         for doc_id in idx.postings.get(t, {}):
@@ -117,7 +121,8 @@ def bm25_term_doc(idx: OracleIndex, term: str, doc_id: int) -> float:
 
 
 def search_bm25(idx: OracleIndex, q: str, k: int = 10) -> list[tuple[int, float]]:
-    terms = tokenize_query(q)
+    # duplicate query terms dropped — same ANY-filter semantics as above
+    terms = list(dict.fromkeys(tokenize_query(q)))
     acc: dict[int, list[float]] = {}
     for t in terms:
         for doc_id in idx.postings.get(t, {}):

@@ -330,8 +330,19 @@ def extract_tokens_udf(html: pd.Series) -> pd.Series:
     Use this for any pipeline that goes straight from raw html to
     postings; keep the separate UDFs for when `text` must be
     materialized (byte-identity verification, storage).
+
+    Returns NULL (not []) when the EXTRACTED TEXT is empty: empty-text
+    pages are excluded from the corpus entirely (crawler F12,
+    crawler.rs:278-291 — they never reach the indexer, so they must not
+    count toward N), while a non-empty page whose tokens all
+    stop-filter away returns [] and DOES count (lib.rs:558-563).
     """
     stop = load_stopwords("iso")
-    return html.map(
-        lambda b: tokenize(extract_text(_decode(b)), stop=stop)
-    )
+
+    def one(b):
+        text = extract_text(_decode(b))
+        if not text:
+            return None
+        return tokenize(text, stop=stop)
+
+    return html.map(one)

@@ -105,11 +105,24 @@ def raw_postings_from_docs(docs: DataFrame, tokenizer=None) -> DataFrame:
     reference-semantics pandas UDF (extract/normalize/stop-filter). Pass
     e.g. ``lambda c: F.split(c, ' ')`` for corpora that are already
     plain tokens (keeps the whole build JVM-side, zero Python).
+
+    Zero-token docs (e.g. all tokens stop-filtered) emit ONE marker row
+    (doc_id, term=NULL, tf=0) via explode_outer: the reference counts
+    every indexed page toward N and the oracle does too
+    (tf-idf-indexer/src/lib.rs:558-563), so empty docs must reach
+    doc_stats — including through checkpointed partitions and streaming
+    epochs, which persist exactly this relation. (Found by the
+    hypothesis rank-identity property on a corpus containing a
+    stop-word-only doc.)
     """
     tok = tokenizer or tokenize_udf
-    tokens = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+    tokens = docs.select(
+        "doc_id", F.explode_outer(tok(F.col("text"))).alias("term")
+    )
     return tokens.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("int").alias("tf")
+        F.sum(F.when(F.col("term").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("tf")
     )
 
 
@@ -146,7 +159,8 @@ def index_from_raw_postings(
     """
     raw_postings = raw_postings.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # doc length = Σ tf per doc (token count post stop-filter, incl. "")
+    # doc length = Σ tf per doc (token count post stop-filter, incl. "");
+    # NULL-term marker rows contribute tf=0 so zero-token docs are in N
     doc_stats = raw_postings.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("dl")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -157,8 +171,14 @@ def index_from_raw_postings(
     ).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
+    # real postings only (drop the zero-token marker rows) for term
+    # stats and the posting lists themselves
+    true_postings = raw_postings.filter(
+        F.col("term").isNotNull() & (F.col("tf") > 0)
+    )
+
     # A2+A4: DF and both IDFs — (term,doc) unique so count(*) == countDistinct
-    term_stats = raw_postings.groupBy("term").agg(
+    term_stats = true_postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     idf = F.when(
@@ -176,7 +196,7 @@ def index_from_raw_postings(
     # precompute the BM25 doc-length normalization into each posting
     # (shuffle join on doc_id happens ONCE at build, never at query time)
     postings = (
-        raw_postings.join(doc_stats, "doc_id")
+        true_postings.join(doc_stats, "doc_id")
         .select(
             "term",
             "doc_id",
@@ -209,12 +229,13 @@ def build_index_from_pages(
     extract+tokenize UDF (one Arrow pass, one python worker per task).
 
     Semantically identical to prepare_docs(recompute_text=True) +
-    build_index (property-tested) but skips materializing `text`:
-    empty-text pages simply yield zero tokens, so they fall out of
-    doc_stats/N exactly as the explicit length(text)>0 filter drops
-    them. This is the throughput path — the chained two-UDF form runs
-    2× python workers per core and anti-scales (see
-    textproc.extract_tokens_udf).
+    build_index (property-tested) but skips materializing `text`: the
+    fused UDF returns NULL for empty-text pages (the F12 exclusion —
+    filtered out, not counted in N) and [] for zero-token pages (which
+    DO count in N via the explode_outer marker row, matching the
+    reference's per-page num_pages increment). This is the throughput
+    path — the chained two-UDF form runs 2× python workers per core and
+    anti-scales (see textproc.extract_tokens_udf).
     """
     from search_engine_spark.functions.textproc import extract_tokens_udf
 
@@ -227,11 +248,15 @@ def build_index_from_pages(
         )
     else:
         raise ValueError(id_method)
-    tokens = df.select(
-        "doc_id", F.explode(extract_tokens_udf(F.col("html"))).alias("term")
+    tokens = (
+        df.withColumn("toks", extract_tokens_udf(F.col("html")))
+        .filter(F.col("toks").isNotNull())  # F12: empty-text pages out
+        .select("doc_id", F.explode_outer(F.col("toks")).alias("term"))
     )
     raw = tokens.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("int").alias("tf")
+        F.sum(F.when(F.col("term").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("tf")
     )
     return index_from_raw_postings(raw, k1=k1, b=b)
 
