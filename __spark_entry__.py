@@ -39,6 +39,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return _engine_bm25(spark, "/root/testdata/sf0.001")
 
 
+def _block_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the compressed block index + TA-pruned search —
+    rank-identical to engine_bm25_search (f32 block scores, so checked
+    rows-only here; exactness vs the exhaustive scorer is property-
+    tested in tests/test_blocks.py)."""
+    from search_engine_spark.operators.blocks import block_search, build_block_index
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    blocks = build_block_index(index, num_buckets=8)
+    return block_search(blocks, spark, [" ".join(QUERY_TERMS)], k=10)
+
+
 def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import score_bm25
@@ -63,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.operators import dedup, similarity
     from search_engine_spark.operators import events as ev
     from search_engine_spark.operators import phrase as ph
+    from search_engine_spark.operators import pipelines as pipe
     from search_engine_spark.operators import relational as rel
     from search_engine_spark.operators import multimodal as mm
     from search_engine_spark.operators import text_analytics as ta
@@ -110,6 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "minhash_dedup": q(  # rows-only (xxhash64)
             lambda s, d: dedup.minhash_dedup(_documents(s, d))
+        ),
+        "clean_corpus": q(  # rows-only (minhash stage uses xxhash64)
+            lambda s, d: pipe.clean_corpus(_documents(s, d))[0].select(
+                "doc_id", "lang"
+            )
+        ),
+        "block_engine_bm25": q(  # rows-only (f32 block scores vs f64 SQL)
+            lambda s, d: _block_bm25(s, d)
         ),
         "ngram_jaccard_pairs": q(
             lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d), n=3, threshold=0.8)

@@ -1,0 +1,72 @@
+"""Composed training-data pipeline: the cleaning pass a 100 TB corpus
+gets before pretraining, built entirely from this engine's operators.
+
+Stages (each individually tested/oracled elsewhere; this module is the
+composition a pipeline user runs):
+
+1. language filter (F8) — Catalyst predicate, pushed to the scan;
+2. exact dedup — md5 groupBy, keep min doc_id per fingerprint;
+3. near-dup dedup — MinHash-LSH label propagation (minhash_dedup),
+   keep each group's representative;
+4. quality filter — token-count and mean-token-length bounds
+   (quality_stats).
+
+Everything is one lazy DataFrame graph: Catalyst sees all four stages
+at once, so column pruning reaches the scan and the two dedup shuffles
+are the only wide dependencies. Returns (kept_docs, audit) where audit
+counts drops per stage — a pipeline without drop accounting reads as
+"covered everything" when it didn't.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.dedup import exact_dedup, minhash_dedup
+from search_engine_spark.operators.text_analytics import quality_stats
+
+
+@dataclass
+class CleaningAudit:
+    n_input: int
+    n_after_lang: int
+    n_after_exact: int
+    n_after_near: int
+    n_after_quality: int
+
+
+def clean_corpus(
+    documents: DataFrame,
+    lang_prefix: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+) -> tuple[DataFrame, CleaningAudit]:
+    """documents(doc_id, text, lang, ...) → (kept rows, per-stage audit)."""
+    n_input = documents.count()
+
+    lang_ok = documents.filter(F.col("lang").startswith(lang_prefix))
+    n_lang = lang_ok.count()
+
+    exact_keep = exact_dedup(lang_ok).select(F.col("keep_id").alias("doc_id"))
+    after_exact = lang_ok.join(exact_keep, "doc_id", "left_semi")
+    n_exact = after_exact.count()
+
+    near = minhash_dedup(after_exact)
+    near_keep = near.filter(F.col("keep_id") == F.col("doc_id")).select("doc_id")
+    after_near = after_exact.join(near_keep, "doc_id", "left_semi")
+    n_near = after_near.count()
+
+    q = quality_stats(after_near)
+    good = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("avg_token_len") >= min_avg_token_len)
+    ).select("doc_id")
+    kept = after_near.join(good, "doc_id", "left_semi")
+    n_quality = kept.count()
+
+    return kept, CleaningAudit(n_input, n_lang, n_exact, n_near, n_quality)

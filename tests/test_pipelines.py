@@ -1,0 +1,29 @@
+"""Composed corpus-cleaning pipeline (operators/pipelines.py)."""
+
+from __future__ import annotations
+
+from search_engine_spark.operators.pipelines import clean_corpus
+
+
+def test_clean_corpus_stages(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta", "en"),    # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zetaa", "en"),   # near dup of 1
+        (4, "completely different text with many proper words", "en"),
+        (5, "zu kurz", "de"),                                # wrong lang
+        (6, "too few", "en"),                                # < 5 tokens
+        (7, "a b c d e f g h", "en"),                        # avg token len 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept, audit = clean_corpus(docs, min_tokens=5, min_avg_token_len=2.0)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+
+    assert audit.n_input == 7
+    assert audit.n_after_lang == 6          # drop 5 (de)
+    assert audit.n_after_exact == 5         # drop 2 (exact dup)
+    assert audit.n_after_near <= 5          # near-dup 3 may collapse into 1
+    assert 1 in kept_ids and 4 in kept_ids
+    assert 2 not in kept_ids and 5 not in kept_ids
+    assert 6 not in kept_ids and 7 not in kept_ids
+    assert audit.n_after_quality == len(kept_ids)
