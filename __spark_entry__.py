@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analytics extras
         "quality_stats": q(lambda s, d: ta.quality_stats(_documents(s, d))),
         "langid_score": q(lambda s, d: ta.langid_score(_documents(s, d))),
+        "langid_ngram": q(lambda s, d: ta.langid_ngram(_documents(s, d))),
         "token_counts_by_lang": q(
             lambda s, d: ta.token_counts_by(_documents(s, d), "lang")
         ),
@@ -226,6 +227,30 @@ GROUP BY doc_id{{qid_group}}
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+
+
+def _langid_ngram_sql() -> str:
+    """Oracle sharing the ENGINE's trigram profiles (single source)."""
+    from search_engine_spark.operators.text_analytics import lang_trigram_profiles
+
+    values = ", ".join(
+        "('" + lang + "', '" + tri.replace("'", "''") + "')"
+        for lang, tri in lang_trigram_profiles()
+    )
+    return f"""
+WITH prof(plang, tri) AS (VALUES {values}),
+low AS (SELECT doc_id, lower(text) AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i FROM low),
+tris AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+         FROM idx WHERE length(substr(t, CAST(i AS INT), 3)) = 3),
+n AS (SELECT doc_id, count(*) AS n_tri FROM tris GROUP BY doc_id),
+hits AS (SELECT doc_id, plang, count(*) AS hits
+         FROM tris JOIN prof USING (tri) GROUP BY doc_id, plang),
+scored AS (SELECT h.doc_id, plang, round(CAST(hits AS DOUBLE) / n.n_tri, 6) AS hit_ratio,
+           row_number() OVER (PARTITION BY h.doc_id
+                              ORDER BY CAST(hits AS DOUBLE) / n.n_tri DESC, plang ASC) AS rn
+           FROM hits h JOIN n ON h.doc_id = n.doc_id)
+SELECT doc_id, plang AS pred_lang, hit_ratio FROM scored WHERE rn = 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -384,6 +409,7 @@ FROM s GROUP BY 1, 2""",
         "('the','a','of','is','and','to','in','that','it','for') THEN 1 ELSE 0 END) "
         "AS DOUBLE) / count(*), 6) AS en_score "
         "FROM tokens WHERE term <> '' GROUP BY doc_id",
+        "langid_ngram": _langid_ngram_sql(),
         "token_counts_by_lang": "WITH tokens AS (SELECT lang, "
         "unnest(string_split(text, ' ')) AS term FROM documents) "
         "SELECT lang, count(*) AS n_tokens FROM tokens WHERE term <> '' GROUP BY lang",

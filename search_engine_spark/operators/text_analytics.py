@@ -151,6 +151,87 @@ def langid_score(documents: DataFrame) -> DataFrame:
     )
 
 
+# Character-trigram language profiles built from small common-word
+# lists (public knowledge). The profile derivation is shared with the
+# DuckDB oracle (entry module embeds the same trigrams), so the
+# classifier is value-checkable end to end.
+_LANG_WORDS = {
+    "en": "the and of to in that it is was for on are with as his they at be "
+          "this have from one had word but not what all were when your can said".split(),
+    "de": "der die und in den von zu das mit sich des auf für ist im dem nicht "
+          "ein eine als auch es an werden aus er hat dass sie nach wird bei".split(),
+    "fr": "le la et les des en un du une que est pour qui dans par plus pas au "
+          "sur ne se ce il sont avec son ses mais comme ou si leur dont".split(),
+}
+
+
+def lang_trigram_profiles() -> list[tuple[str, str]]:
+    """(lang, trigram) rows — distinct character trigrams of each
+    language's common-word text (spaces included: boundary trigrams like
+    'th'+' ' carry most of the signal)."""
+    out = []
+    for lang, words in _LANG_WORDS.items():
+        text = " " + " ".join(words) + " "
+        tris = {text[i : i + 3] for i in range(len(text) - 2)}
+        out.extend((lang, t) for t in sorted(tris))
+    return out
+
+
+def langid_ngram(documents: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, hit_ratio): character-trigram language ID.
+
+    Doc trigrams (distinct, lowercased) join a broadcast profile table;
+    score per language = matching trigrams / doc's distinct trigrams;
+    argmax with (score DESC, lang ASC) tie-break. All JVM-side: the
+    trigram explode is the substring/sequence trick, the classify step
+    one broadcast join + two aggs.
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    profiles = F.broadcast(
+        spark.createDataFrame(lang_trigram_profiles(), "plang string, tri string")
+    )
+    lowered = documents.select("doc_id", F.lower(F.col("text")).alias("t"))
+    tris = (
+        lowered.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1))),
+                    lambda i: F.col("t").substr(i, F.lit(3)),
+                )
+            ).alias("tri"),
+        )
+        .filter(F.length("tri") == 3)
+        .distinct()
+    )
+    n_tris = tris.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tri"))
+    hits = (
+        tris.join(profiles, "tri")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    scored = hits.join(n_tris, "doc_id").select(
+        "doc_id",
+        "plang",
+        (F.col("hits") / F.col("n_tri")).alias("_raw"),
+    )
+    # order by the RAW ratio (oracle does too); round only for output
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_raw").desc(), F.col("plang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("plang").alias("pred_lang"),
+            F.round(F.col("_raw"), 6).alias("hit_ratio"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 of the raw text bytes."""
     return documents.select(

@@ -27,3 +27,16 @@ def test_clean_corpus_stages(spark):
     assert 2 not in kept_ids and 5 not in kept_ids
     assert 6 not in kept_ids and 7 not in kept_ids
     assert audit.n_after_quality == len(kept_ids)
+
+
+def test_langid_ngram_separates_languages(spark):
+    from search_engine_spark.operators.text_analytics import langid_ngram
+
+    rows = [
+        (1, "the cat and the dog are in the house with all of them"),
+        (2, "der hund und die katze sind in dem haus mit den kindern"),
+        (3, "le chat et le chien sont dans la maison avec les enfants"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in langid_ngram(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
