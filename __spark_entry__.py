@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: ta.token_counts_by(_documents(s, d), "lang")
         ),
         "fingerprints": q(lambda s, d: ta.fingerprints(_documents(s, d))),
+        "token_counts_bpe": q(lambda s, d: ta.token_counts_bpe(_documents(s, d))),
+        "rolling_fingerprints": q(  # rows-only (numpy rolling hash)
+            lambda s, d: ta.rolling_fingerprints(_documents(s, d))
+        ),
         # relational showcase (joins/aggs/topk over the warehouse tables)
         "pricing_summary": q(
             lambda s, d: rel.pricing_summary(
@@ -414,6 +418,11 @@ FROM s GROUP BY 1, 2""",
         "unnest(string_split(text, ' ')) AS term FROM documents) "
         "SELECT lang, count(*) AS n_tokens FROM tokens WHERE term <> '' GROUP BY lang",
         "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "token_counts_bpe": r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+FROM documents""",
         "cosine_topk": """
 WITH pos AS (SELECT pos FROM generate_series(1, 64) t(pos)),
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

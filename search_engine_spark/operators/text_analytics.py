@@ -239,6 +239,76 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the GPT-2-style split shape, restricted to a regex dialect
+# identical under Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_counts_bpe(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_ws, n_bpe): whitespace vs BPE-ish-regex token counts —
+    the two training-pipeline budget estimators, both JVM-side."""
+    return documents.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+
+
+def rolling_fingerprints(
+    documents: DataFrame, k: int = 7, window: int = 4
+) -> DataFrame:
+    """(doc_id, fp): winnowing document fingerprints.
+
+    Karp-Rabin rolling hash over character k-grams + window-minimum
+    sampling (the standard near-dup/plagiarism sketch): every k-gram
+    hash is computed with one vectorized numpy pass, then each sliding
+    window of `window` hashes contributes its minimum; distinct minima
+    form the fingerprint set. Guarantee: any shared substring of length
+    >= k + window - 1 between two docs yields a shared fingerprint.
+    mapInPandas (narrow, Arrow-batched) → explode to one row per
+    fingerprint, ready for the same groupBy-join dedup shapes as
+    MinHash buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B, M = np.uint64(257), np.uint64((1 << 61) - 1)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if len(s) < k:
+                    continue
+                # rolling hash h[i] = sum s[i+j] * B^(k-1-j) mod M
+                powers = np.array(
+                    [pow(int(B), k - 1 - j, int(M)) for j in range(k)], dtype=np.uint64
+                )
+                n = len(s) - k + 1
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(k):  # k (small) vectorized passes over n
+                    h = (h + (s[j : j + n] * powers[j]) % M) % M
+                if n >= window:
+                    mins = np.array(
+                        [h[i : i + window].min() for i in range(n - window + 1)],
+                        dtype=np.uint64,
+                    )
+                else:
+                    mins = np.array([h.min()], dtype=np.uint64)
+                for fp in np.unique(mins):
+                    ids.append(doc_id)
+                    fps.append(int(fp))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, fp long"
+    )
+
+
 def token_counts_by(documents: DataFrame, key: str) -> DataFrame:
     """Token counting rolled up by an arbitrary column (e.g. lang)."""
     return (

@@ -40,3 +40,27 @@ def test_langid_ngram_separates_languages(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["pred_lang"] for r in langid_ngram(docs).collect()}
     assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_rolling_fingerprints_shared_substring(spark):
+    from search_engine_spark.operators.text_analytics import rolling_fingerprints
+
+    shared = "identical shared passage of text here"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "other start " + shared + " different end"),
+        (3, "nothing in common with the others at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = rolling_fingerprints(docs, k=7, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing guarantee: a shared substring of length >= k+window-1
+    # (10) forces at least one common fingerprint
+    assert by_doc[1] & by_doc[2]
+    # determinism
+    again = {}
+    for r in rolling_fingerprints(docs, k=7, window=4).collect():
+        again.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert again == by_doc
