@@ -207,9 +207,16 @@ def present_results(
     topk: DataFrame,
     pages: DataFrame,
     queries: dict[int, str] | list[str],
+    id_method: str = "hash",
 ) -> DataFrame:
     """(query_id, doc_id, score) top-k → + url, title, domain, breadcrumb,
     snippet (reference search_results loop, app/main.py:80-95).
+
+    `id_method` MUST match the one the index was built with ('hash' =
+    xxhash64(url), 'dense' = row_number over url order): ids are
+    re-minted here to join the winners back to pages, and a mismatch
+    would silently join nothing. If `pages` already carries a `doc_id`
+    column it is used as-is.
 
     Plan shape: the top-k side is tiny (≤ k·n_queries rows) and is
     broadcast into a single hash join against the pages scan — the only
@@ -223,12 +230,25 @@ def present_results(
         [(qid, tokenize_query(q)) for qid, q in queries.items()],
         "query_id int, q_terms array<string>",
     )
-    docs = pages.select(
-        F.xxhash64("url").alias("doc_id"), "url", "html",
-        F.coalesce("title", F.lit("")).alias("title"),
-    ) if "title" in pages.columns else pages.select(
-        F.xxhash64("url").alias("doc_id"), "url", "html", F.lit("").alias("title")
+    if "doc_id" in pages.columns:
+        with_id = pages
+    elif id_method == "hash":
+        with_id = pages.withColumn("doc_id", F.xxhash64("url"))
+    elif id_method == "dense":
+        from pyspark.sql import Window
+
+        with_id = pages.withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy(F.col("url"))).cast("long"),
+        )
+    else:
+        raise ValueError(id_method)
+    title = (
+        F.coalesce("title", F.lit(""))
+        if "title" in pages.columns
+        else F.lit("")
     )
+    docs = with_id.select("doc_id", "url", "html", title.alias("title"))
     joined = docs.join(F.broadcast(topk), "doc_id").join(
         F.broadcast(qterms), "query_id"
     )

@@ -39,7 +39,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark.functions.textproc import tokenize_query
@@ -131,10 +131,6 @@ def write_block_index(blocks: DataFrame, path: str) -> None:
 # ---------------------------------------------------------------------------
 # serving path
 # ---------------------------------------------------------------------------
-
-def _decode_docs(row) -> np.ndarray:
-    return _decode_docs_bytes(bytes(row))
-
 
 def _decode_docs_bytes(b: bytes) -> np.ndarray:
     deltas = varbyte_decode(b)
@@ -247,7 +243,11 @@ def block_search(
     """
     if isinstance(queries, list):
         queries = dict(enumerate(queries))
-    qterms = {qid: tokenize_query(q) for qid, q in queries.items()}
+    # order-preserving dedup: a repeated query term must contribute once
+    # (ANY-filter semantics, same as queries_to_terms in query.py)
+    qterms = {
+        qid: list(dict.fromkeys(tokenize_query(q))) for qid, q in queries.items()
+    }
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], "query_id int, doc_id long, score double")
@@ -260,12 +260,7 @@ def block_search(
     local = cand.groupBy("bucket").applyInPandas(
         per_bucket, "query_id int, doc_id long, score double"
     )
-    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-        "query_id"
-    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        local.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
-    )
+    # same Q7-tie-break window-limit merge as the row-postings path
+    from search_engine_spark.operators.query import topk
+
+    return topk(local, k)

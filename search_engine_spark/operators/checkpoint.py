@@ -110,6 +110,8 @@ def checkpoint_state(
     spark: SparkSession, path: str, fingerprints: dict[int, int]
 ) -> CheckpointState:
     """Which parts are done (latest lineage row ok + fingerprint match)?"""
+    from pyspark.sql import Window
+
     lineage = _read_lineage(spark, path)
     completed: set[int] = set()
     if lineage is not None:
@@ -117,9 +119,7 @@ def checkpoint_state(
             lineage.withColumn(
                 "rn",
                 F.row_number().over(
-                    __import__(
-                        "pyspark.sql.window", fromlist=["Window"]
-                    ).Window.partitionBy("part").orderBy(F.col("seq").desc())
+                    Window.partitionBy("part").orderBy(F.col("seq").desc())
                 ),
             )
             .filter((F.col("rn") == 1) & (F.col("status") == "ok"))
@@ -142,9 +142,13 @@ def checkpointed_build(
     b: float = B,
     tokenizer=None,
     max_chunks: int | None = None,
+    force_restage: bool = False,
 ) -> InvertedIndex:
     """Resumable distributed index build. Call again after a kill to
-    resume; completed partitions are never recomputed.
+    resume; completed partitions are never recomputed. Input changes
+    that add/remove/rename urls re-stage automatically (and the staged
+    fingerprints then invalidate exactly the touched parts); in-place
+    text edits under unchanged urls require `force_restage=True`.
     """
     spark = docs.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -152,13 +156,30 @@ def checkpointed_build(
 
     staged_path = f"{path}/staged"
     try:
-        spark.read.parquet(staged_path).limit(1).collect()
+        spark.catalog.refreshByPath(staged_path)
+        staged = spark.read.parquet(staged_path)
         staged_ok = True
     except Exception:
         staged_ok = False
-    if not staged_ok:
+    if staged_ok and not force_restage:
+        # Cheap membership check WITHOUT evaluating the docs lineage's
+        # expensive text/extraction columns: url-set fingerprint of the
+        # input vs the staged snapshot. Detects added/removed/renamed
+        # docs; an in-place TEXT edit under an unchanged url is NOT
+        # visible here (that would require re-extracting everything) —
+        # pass force_restage=True for that case.
+        in_fp = docs.select("url").agg(
+            F.bit_xor(F.xxhash64("url")).alias("fp"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        st_fp = staged.select("url").agg(
+            F.bit_xor(F.xxhash64("url")).alias("fp"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if (in_fp["fp"], in_fp["n"]) != (st_fp["fp"], st_fp["n"]):
+            staged_ok = False
+    if not staged_ok or force_restage:
         _stage(docs, path, num_parts)
-    staged = spark.read.parquet(staged_path)
+        spark.catalog.refreshByPath(staged_path)
+        staged = spark.read.parquet(staged_path)
 
     fp_rows = _fingerprints(staged).collect()
     fps = {int(r["part"]): int(r["fingerprint"]) for r in fp_rows}

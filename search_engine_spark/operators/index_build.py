@@ -37,6 +37,27 @@ K1 = 1.2
 B = 0.75
 
 
+def check_doc_id_collisions(docs: DataFrame) -> int:
+    """Count url pairs colliding under the 64-bit doc_id (returns the
+    number of ids with >1 distinct url; 0 = clean).
+
+    At 10^12 docs the birthday bound expects ~3e4 colliding pairs for a
+    64-bit hash — a merged pair pools two pages' postings and corrupts
+    both docs' scores. A production deployment at that scale should run
+    this audit after minting (one agg over the url→id relation) and
+    either remap the few colliding urls (e.g. salt the hash input for
+    exactly those urls via a tiny broadcast remap table) or move to a
+    128-bit id split across two columns. Cheap insurance; O(docs) with
+    map-side combine.
+    """
+    return (
+        docs.groupBy("doc_id")
+        .agg(F.countDistinct("url").alias("n_urls"))
+        .filter(F.col("n_urls") > 1)
+        .count()
+    )
+
+
 def prepare_docs(
     pages: DataFrame,
     id_method: str = "hash",

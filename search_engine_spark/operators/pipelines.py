@@ -45,28 +45,53 @@ def clean_corpus(
     max_tokens: int = 100_000,
     min_avg_token_len: float = 2.0,
 ) -> tuple[DataFrame, CleaningAudit]:
-    """documents(doc_id, text, lang, ...) → (kept rows, per-stage audit)."""
+    """documents(doc_id, text, lang, ...) → (kept rows, per-stage audit).
+
+    Drop stages are expressed as ANTI-joins against the docs each stage
+    explicitly REJECTS, not semi-joins against its keeps: zero-token
+    docs have no rows in the minhash/quality relations, and a semi-join
+    would silently drop them in the wrong stage. A zero-token doc
+    therefore survives dedup and is judged by the quality bounds
+    (n_tokens=0), where its drop is correctly attributed. Intermediate
+    frames are persisted — each feeds both an audit count and the next
+    stage, and `kept` is returned persisted (caller unpersists).
+    """
     n_input = documents.count()
 
     lang_ok = documents.filter(F.col("lang").startswith(lang_prefix))
     n_lang = lang_ok.count()
 
     exact_keep = exact_dedup(lang_ok).select(F.col("keep_id").alias("doc_id"))
-    after_exact = lang_ok.join(exact_keep, "doc_id", "left_semi")
+    after_exact = lang_ok.join(exact_keep, "doc_id", "left_semi").persist()
     n_exact = after_exact.count()
 
-    near = minhash_dedup(after_exact)
-    near_keep = near.filter(F.col("keep_id") == F.col("doc_id")).select("doc_id")
-    after_near = after_exact.join(near_keep, "doc_id", "left_semi")
+    near_drop = (
+        minhash_dedup(after_exact)
+        .filter(F.col("keep_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    after_near = after_exact.join(near_drop, "doc_id", "left_anti").persist()
     n_near = after_near.count()
 
     q = quality_stats(after_near)
-    good = q.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-        & (F.col("avg_token_len") >= min_avg_token_len)
-    ).select("doc_id")
-    kept = after_near.join(good, "doc_id", "left_semi")
+    bad = (
+        after_near.select("doc_id")
+        .join(q, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("avg_token_len"), F.lit(0.0)).alias("avg_token_len"),
+        )
+        .filter(
+            (F.col("n_tokens") < min_tokens)
+            | (F.col("n_tokens") > max_tokens)
+            | (F.col("avg_token_len") < min_avg_token_len)
+        )
+        .select("doc_id")
+    )
+    kept = after_near.join(bad, "doc_id", "left_anti").persist()
     n_quality = kept.count()
+    after_exact.unpersist()
+    after_near.unpersist()
 
     return kept, CleaningAudit(n_input, n_lang, n_exact, n_near, n_quality)

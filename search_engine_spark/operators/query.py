@@ -169,15 +169,15 @@ def search_and_present(
     queries: dict[int, str] | list[str],
     k: int = 10,
     scorer: str = "bm25",
+    id_method: str = "hash",
 ) -> DataFrame:
     """The reference's GET /search, end to end (app/main.py:51-95):
     tokenize → score → top-k → join pages → title/domain/breadcrumb/
     snippet. Returns one presented row per hit, ranked per query.
 
-    `pages` must carry (url, html[, title]); doc ids are re-minted with
-    the same xxhash64(url) used by prepare_docs/build_index_from_pages,
-    so any pages table that fed the index round-trips."""
+    `pages` must carry (url, html[, title]); `id_method` must match the
+    index build ('hash' or 'dense') so the re-minted ids join back."""
     from search_engine_spark.functions.presentation import present_results
 
     topk = search(index, spark, queries, k=k, scorer=scorer)
-    return present_results(topk, pages, queries)
+    return present_results(topk, pages, queries, id_method=id_method)

@@ -293,10 +293,9 @@ def rolling_fingerprints(
                 for j in range(k):  # k (small) vectorized passes over n
                     h = (h + (s[j : j + n] * powers[j]) % M) % M
                 if n >= window:
-                    mins = np.array(
-                        [h[i : i + window].min() for i in range(n - window + 1)],
-                        dtype=np.uint64,
-                    )
+                    mins = np.lib.stride_tricks.sliding_window_view(
+                        h, window
+                    ).min(axis=1)
                 else:
                     mins = np.array([h.min()], dtype=np.uint64)
                 for fp in np.unique(mins):

@@ -76,22 +76,24 @@ DOC_STATS = StructType(
     ]
 )
 
-# index_blocks: block-structured compressed postings (SURVEY §7.4).
-# doc ids are sorted per (term, salt) slice, chunked into blocks of
-# BLOCK_SIZE, delta+varbyte encoded; per-block metadata powers block-max
-# pruned top-k (max_score is the BM25 upper bound of any doc in the block).
+# index_blocks: block-structured compressed postings (SURVEY §7.4),
+# matching operators/blocks.py BLOCKS_SCHEMA exactly: doc-bucketed
+# (bucket = pmod(xxhash64(doc_id), num_buckets)); within a bucket each
+# term's doc ids are sorted, chunked into BLOCK_SIZE blocks,
+# delta+varbyte encoded; score_bytes are per-posting f32 BM25
+# contributions; max_score powers the TA-pruned exact top-k.
 INDEX_BLOCKS = StructType(
     [
+        StructField("bucket", IntegerType(), False),
         StructField("term", StringType(), False),
-        StructField("salt", IntegerType(), False),
         StructField("block_id", IntegerType(), False),
         StructField("n", IntegerType(), False),
         StructField("min_doc", LongType(), False),
         StructField("max_doc", LongType(), False),
-        StructField("max_tf", IntegerType(), False),
         StructField("max_score", DoubleType(), False),
         StructField("doc_bytes", BinaryType(), False),
         StructField("tf_bytes", BinaryType(), False),
+        StructField("score_bytes", BinaryType(), False),
     ]
 )
 

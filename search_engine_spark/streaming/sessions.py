@@ -95,8 +95,16 @@ def _session_fn(gap_minutes: int):
                 if t - last_us > gap_us:
                     emit(start_us, last_us, n)
                     cur = (t, t, 1)
+                elif t < start_us - gap_us:
+                    # late (within-watermark) event older than the open
+                    # session by more than the gap: it is its own
+                    # earlier session, closed immediately — merging it
+                    # would corrupt session_start (batch-twin parity)
+                    emit(t, t, 1)
                 else:
-                    cur = (start_us, max(last_us, t), n + 1)
+                    # a late event just before the open session extends
+                    # its start backward, like the batch twin's sort
+                    cur = (min(start_us, t), max(last_us, t), n + 1)
             if cur is not None:
                 state.update(cur)
                 # event-time timeout: fire once the watermark passes the

@@ -86,3 +86,14 @@ def test_block_search_small_k(spark, built):
     assert [(r["query_id"], r["doc_id"]) for r in blocked] == [
         (r["query_id"], r["doc_id"]) for r in exhaustive
     ]
+
+
+def test_block_search_dedups_duplicate_query_terms(spark, built):
+    """A repeated query term must contribute once (ANY-filter semantics) —
+    block path must agree with the deduping row path."""
+    index, blocks = built
+    single = block_search(blocks, spark, ["hippopotamus"], k=10).collect()
+    doubled = block_search(blocks, spark, ["hippopotamus hippopotamus"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in doubled] == [
+        (r["doc_id"], r["score"]) for r in single
+    ]

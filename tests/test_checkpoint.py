@@ -133,3 +133,26 @@ def test_salted_spreads_head_terms(spark, docs):
         .count()
     )
     assert n_salts > 1, f"head term {head!r} maps to a single (term, salt) key"
+
+
+def test_changed_input_restages_and_rebuilds(spark, tmp_path):
+    """Adding docs after a completed build must re-stage and rebuild the
+    touched partitions (url-set fingerprint check)."""
+    p1 = synth_pages(spark, 60, seed=3)
+    d1 = prepare_docs(p1, id_method="hash")
+    path = str(tmp_path / "ckpt3")
+    idx1 = checkpointed_build(d1, path, num_parts=4, chunk_size=4)
+    n1 = idx1.n_docs
+
+    p2 = synth_pages(spark, 90, seed=3)  # superset: 30 new pages
+    d2 = prepare_docs(p2, id_method="hash")
+    idx2 = checkpointed_build(d2, path, num_parts=4, chunk_size=4)
+    direct = build_index(d2)
+    assert idx2.n_docs == direct.n_docs > n1
+    assert {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in idx2.postings.select("term", "doc_id", "tf").collect()
+    } == {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in direct.postings.select("term", "doc_id", "tf").collect()
+    }

@@ -138,3 +138,14 @@ def test_search_and_present_end_to_end(spark):
     assert 0 < len(rows) <= 5
     assert rows[0]["score"] >= rows[-1]["score"]
     assert all(r["url"].startswith("https://site") for r in rows)
+
+
+def test_present_results_dense_ids(spark):
+    """id_method must round-trip for dense-id indexes too (a hash-only
+    re-mint would silently join zero rows)."""
+    pages = synth_pages(spark, 80, seed=29).cache()
+    docs = prepare_docs(pages, id_method="dense")
+    index = build_index(docs)
+    topk = search(index, spark, ["hippopotamus"], k=5)
+    out = present_results(topk, pages, ["hippopotamus"], id_method="dense").collect()
+    assert len(out) == len(topk.collect()) > 0

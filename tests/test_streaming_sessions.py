@@ -61,3 +61,23 @@ def test_sessions_close_by_gap_and_timeout(spark, tmp_path):
     s4 = _s(3, 180, 180, 1)
     assert out3 == {s1, s2, s3, s4}
     assert not any(u == 4 for u, *_ in out3)  # newest session open
+
+
+def test_late_event_extends_or_splits(spark, tmp_path):
+    """Within-watermark out-of-order events: one just before the open
+    session extends its start backward; one older than start by more
+    than the gap becomes its own immediately-closed session."""
+    inp, state = str(tmp_path / "in2"), str(tmp_path / "st2")
+
+    _events(spark, [(1, 100), (2, 100)]).write.parquet(f"{inp}/d1")
+    streaming_sessions(spark, f"{inp}/d*", state, watermark="10 hours")
+    # u1: late event 10m before its open session (within gap) → extend;
+    # u2: late event 90m before (beyond gap) → separate closed session
+    _events(spark, [(1, 90), (2, 10)]).write.parquet(f"{inp}/d2")
+    streaming_sessions(spark, f"{inp}/d*", state)
+    # force timeouts with far-future data
+    _events(spark, [(9, 2000)]).write.parquet(f"{inp}/d3")
+    out = _collect(streaming_sessions(spark, f"{inp}/d*", state))
+    assert _s(1, 90, 100, 2) in out      # extended backward
+    assert _s(2, 10, 10, 1) in out       # split into its own session
+    assert _s(2, 100, 100, 1) in out     # original open session intact
