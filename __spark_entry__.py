@@ -2,8 +2,11 @@
 
 `queries()` exposes the engine's operator inventory (SURVEY.md §2) over
 the driver's testdata tables; each SQL-expressible entry has a DuckDB
-oracle in `oracle_sql()` with identical column names/rounding. Ops that
-depend on xxhash64 (MinHash/SimHash/hyperplane LSH) are rows-only.
+oracle in `oracle_sql()` with identical column names/rounding. Round 2
+moved the MinHash/SimHash/hyperplane-LSH family onto the portable
+md5-derived hash family (operators/hashing.py), so the previously
+rows-only LSH/dedup/multimodal/fingerprint entries now have value-exact
+oracles: every entry below is oracled.
 
 The web-pages pipeline (HTML extraction, reference tokenizer, f32
 TF-IDF compat, rank identity) is exercised by tests/ against the
@@ -40,18 +43,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _block_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 through the compressed block index + TA-pruned search —
-    rank-identical to engine_bm25_search (f32 block scores, so checked
-    rows-only here; exactness vs the exhaustive scorer is property-
-    tested in tests/test_blocks.py)."""
+    """BM25 through the compressed block index + TA-pruned search,
+    built with f64 score bytes so the result is value-identical to the
+    row-postings scorer and shares _BM25_SQL as its oracle (the f32
+    production layout is property-tested equal-rank in
+    tests/test_blocks.py)."""
     from search_engine_spark.operators.blocks import block_search, build_block_index
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.text_analytics import ws_tokens
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     index = build_index(docs, tokenizer=ws_tokens)
-    blocks = build_block_index(index, num_buckets=8)
-    return block_search(blocks, spark, [" ".join(QUERY_TERMS)], k=10)
+    blocks = build_block_index(index, num_buckets=8, score_dtype="float64")
+    top = block_search(blocks, spark, [" ".join(QUERY_TERMS)], k=10)
+    return top.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
 
 
 def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,21 +125,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q(
             lambda s, d: dedup.token_jaccard_pairs(_documents(s, d), threshold=0.9)
         ),
-        "minhash_lsh_pairs": q(  # rows-only: xxhash64 not in DuckDB
+        "minhash_lsh_pairs": q(
             lambda s, d: dedup.minhash_lsh_pairs(_documents(s, d), threshold=0.9)
         ),
-        "simhash_pairs": q(  # rows-only
+        "simhash_pairs": q(
             lambda s, d: dedup.simhash_pairs(_documents(s, d), max_hamming=3)
         ),
-        "minhash_dedup": q(  # rows-only (xxhash64)
+        "minhash_dedup": q(
             lambda s, d: dedup.minhash_dedup(_documents(s, d))
         ),
-        "clean_corpus": q(  # rows-only (minhash stage uses xxhash64)
+        "clean_corpus": q(
             lambda s, d: pipe.clean_corpus(_documents(s, d))[0].select(
                 "doc_id", "lang"
             )
         ),
-        "block_engine_bm25": q(  # rows-only (f32 block scores vs f64 SQL)
+        "block_engine_bm25": q(
             lambda s, d: _block_bm25(s, d)
         ),
         "ngram_jaccard_pairs": q(
@@ -141,7 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q(
             lambda s, d: dedup.embedding_cosine_pairs(_embeddings(s, d), threshold=0.4)
         ),
-        "embedding_neardup_pairs": q(  # rows-only (xxhash64 hyperplanes)
+        "embedding_neardup_pairs": q(
             lambda s, d: dedup.embedding_neardup_pairs(_embeddings(s, d), threshold=0.4)
         ),
         # multimodal plumbing (payload binary + typed meta; fake decoder)
@@ -150,11 +157,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", "kind", F.col("meta.n_bytes").alias("n_bytes")
             )
         ),
-        "media_features": q(  # rows-only: feature floats from numpy path
-            lambda s, d: mm.extract_features(mm.attach_media(_documents(s, d)))
+        "media_features": q(  # exploded f64 rows (canonicalizable scalars)
+            lambda s, d: mm.feature_rows(mm.attach_media(_documents(s, d)))
         ),
-        "media_frames": q(  # rows-only: binary frame payloads
-            lambda s, d: mm.sample_frames(mm.attach_media(_documents(s, d)), every_n=2)
+        "media_frames": q(  # binary frames projected to portable md5 fps
+            lambda s, d: mm.sample_frames(
+                mm.attach_media(_documents(s, d)), every_n=2
+            ).select(
+                "doc_id",
+                "frame_idx",
+                F.octet_length("frame").cast("long").alias("n_bytes"),
+                F.md5(F.lower(F.hex("frame"))).alias("fp"),
+            )
         ),
         # text analytics extras
         "quality_stats": q(lambda s, d: ta.quality_stats(_documents(s, d))),
@@ -165,7 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "fingerprints": q(lambda s, d: ta.fingerprints(_documents(s, d))),
         "token_counts_bpe": q(lambda s, d: ta.token_counts_bpe(_documents(s, d))),
-        "rolling_fingerprints": q(  # rows-only (numpy rolling hash)
+        "rolling_fingerprints": q(
             lambda s, d: ta.rolling_fingerprints(_documents(s, d))
         ),
         # relational showcase (joins/aggs/topk over the warehouse tables)
@@ -195,7 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q(lambda s, d: ev.user_sessions(_events(s, d))),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
-        "lsh_cosine_topk": q(  # rows-only (hyperplanes from xxhash64)
+        "lsh_cosine_topk": q(
             lambda s, d: similarity.lsh_cosine_topk(_embeddings(s, d), 0)
         ),
     }
@@ -231,6 +245,280 @@ GROUP BY doc_id{{qid_group}}
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+
+
+# -- portable-hash oracle fragments (constants shared with the engine
+#    via operators/hashing.py — single source of truth) -----------------
+
+def _h64_sql(expr: str) -> str:
+    from search_engine_spark.operators.hashing import h64_sql
+
+    return h64_sql(expr)
+
+
+_TOKS = "toks AS (SELECT DISTINCT doc_id, term FROM tokens WHERE term <> '')"
+
+
+def _minhash_ctes(num_hashes: int = 64, bands: int = 16) -> str:
+    """CTEs tokens→toks→sig→bands→cand: banded MinHash-LSH candidate
+    pairs, value-identical to dedup.minhash_buckets (same md5 base,
+    same (a·h+b) mod M31 permutations, same ','-joined band key md5)."""
+    from search_engine_spark.operators.hashing import M31, minhash_perms
+
+    rows = num_hashes // bands
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_perms(num_hashes))
+    )
+    bh = _h64_sql("string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)")
+    return f"""{_TOKENS}, {_TOKS},
+base AS (SELECT doc_id, {_h64_sql('term')} % {M31} AS h FROM toks),
+perm(i, a, b) AS (VALUES {perms}),
+sig AS (SELECT doc_id, i, min((a * h + b) % {M31}) AS v
+        FROM base CROSS JOIN perm GROUP BY doc_id, i),
+bands AS (SELECT doc_id, CAST(i // {rows} AS INT) AS band, {bh} AS bh
+          FROM sig GROUP BY doc_id, i // {rows}),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)"""
+
+
+def _verify_jaccard_sql(threshold: float) -> str:
+    """Exact token Jaccard over the `cand` pairs (dedup.verify_jaccard)."""
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+           FROM cand c
+           JOIN toks a ON a.doc_id = c.doc_a
+           JOIN toks b ON b.doc_id = c.doc_b AND a.term = b.term
+           GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= {threshold}"""
+
+
+def _minhash_lsh_pairs_sql() -> str:
+    return f"WITH {_minhash_ctes()}, {_verify_jaccard_sql(0.9)}"
+
+
+_CC_LABELS = """
+edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+          UNION ALL SELECT doc_b, doc_a FROM cand),
+r(n, rep) AS (SELECT doc_id, doc_id FROM toks
+              UNION
+              SELECT e.b, r.rep FROM r JOIN edges e ON e.a = r.n),
+labels AS (SELECT n AS doc_id, min(rep) AS keep_id FROM r GROUP BY n)"""
+
+
+def _minhash_dedup_sql() -> str:
+    """Connected components (min label) of the share-a-bucket graph —
+    the fixpoint dedup.minhash_dedup converges to, as a recursive CTE."""
+    return f"""WITH RECURSIVE {_minhash_ctes()}, {_CC_LABELS}
+SELECT doc_id, keep_id FROM labels"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    from search_engine_spark.operators.dedup import SIMHASH_BITS
+
+    band_bits = SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH {_TOKENS}, {_TF},
+h AS (SELECT doc_id, tf, {_h64_sql('term')} AS hv FROM tf),
+bits AS (SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN tf ELSE -tf END) AS vote
+         FROM h CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) bb
+         GROUP BY doc_id, b),
+sh AS (SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+       FROM bits GROUP BY doc_id),
+buckets AS (SELECT doc_id, simhash, band,
+            (simhash >> (band * {band_bits})) & {mask} AS bh
+            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bd),
+pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+          bit_count(xor(l.simhash, r.simhash)) AS hamming
+          FROM buckets l JOIN buckets r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+def _clean_corpus_sql() -> str:
+    """The full cleaning pipeline (pipelines.clean_corpus) as one SQL
+    composition: lang filter → exact dedup → near-dup CC drop →
+    quality bounds. Same drop-attribution semantics: zero-token docs
+    pass dedup untouched and are judged by the quality stage."""
+    minhash = _minhash_ctes().replace(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM after_exact",
+    )
+    return f"""WITH RECURSIVE
+lang_ok AS (SELECT * FROM documents WHERE lang LIKE 'en%'),
+fp AS (SELECT md5(text) AS f, min(doc_id) AS keep FROM lang_ok GROUP BY md5(text)),
+after_exact AS (SELECT d.* FROM lang_ok d JOIN fp ON d.doc_id = fp.keep),
+{minhash}, {_CC_LABELS},
+near_drop AS (SELECT doc_id FROM labels WHERE keep_id <> doc_id),
+after_near AS (SELECT * FROM after_exact
+               WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+q AS (SELECT doc_id, count(*) AS n_tokens,
+      round(avg(CAST(length(term) AS DOUBLE)), 6) AS avg_token_len
+      FROM tokens WHERE term <> ''
+        AND doc_id IN (SELECT doc_id FROM after_near)
+      GROUP BY doc_id),
+bad AS (SELECT d.doc_id FROM after_near d LEFT JOIN q USING (doc_id)
+        WHERE coalesce(q.n_tokens, 0) < 5
+           OR coalesce(q.n_tokens, 0) > 100000
+           OR coalesce(q.avg_token_len, 0.0) < 2.0)
+SELECT doc_id, lang FROM after_near
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
+
+
+def _hyperplane_ctes(n_tables: int = 8, n_planes: int = 8, dim: int = 64) -> str:
+    """CTEs planes→e→dots→sigs: per-(vector, table) sign signatures,
+    value-identical to hashing.hyperplane_sigs (the ±1 components hash
+    the same 'hp|t|p|i' strings)."""
+    sign = _h64_sql("'hp|' || t.t || '|' || p.p || '|' || i.i")
+    return f"""
+planes AS (SELECT t.t, p.p, i.i,
+           CASE WHEN {sign} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+           FROM (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) t,
+                (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p,
+                (SELECT unnest(generate_series(0, {dim - 1})) AS i) i),
+e AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
+dots AS (SELECT e.vec_id, pl.t, pl.p, sum(e.v * pl.s) AS d
+         FROM e JOIN planes pl ON pl.i = e.i GROUP BY e.vec_id, pl.t, pl.p),
+sigs AS (SELECT vec_id, t,
+         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS sig
+         FROM dots GROUP BY vec_id, t)"""
+
+
+def _embedding_neardup_sql(threshold: float = 0.4) -> str:
+    return f"""
+WITH {_hyperplane_ctes()},
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM sigs a JOIN sigs b
+           ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+dots2 AS (SELECT c.vec_a, c.vec_b, sum(x.v * y.v) AS dot
+          FROM cand c JOIN e x ON x.vec_id = c.vec_a
+          JOIN e y ON y.vec_id = c.vec_b AND y.i = x.i
+          GROUP BY c.vec_a, c.vec_b),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots2
+JOIN norms na ON vec_a = na.vec_id
+JOIN norms nb ON vec_b = nb.vec_id
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {threshold}"""
+
+
+def _lsh_cosine_topk_sql(
+    query_vec_id: int = 0, k: int = 10, probe_hamming: int = 2
+) -> str:
+    """Multi-probe candidates (hamming ≤ probe to the query signature in
+    any table — set-identical to the engine's enumerated probe buckets)
+    + exact cosine re-rank."""
+    return f"""
+WITH {_hyperplane_ctes()},
+qs AS (SELECT t, sig FROM sigs WHERE vec_id = {query_vec_id}),
+cands AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN qs ON s.t = qs.t
+          WHERE s.vec_id <> {query_vec_id}
+            AND bit_count(xor(s.sig, qs.sig)) <= {probe_hamming}),
+qe AS (SELECT i, v FROM e WHERE vec_id = {query_vec_id}),
+dots2 AS (SELECT x.vec_id, sum(x.v * qe.v) AS dot
+          FROM e x JOIN qe ON qe.i = x.i
+          WHERE x.vec_id IN (SELECT vec_id FROM cands)
+          GROUP BY x.vec_id),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+qn AS (SELECT sqrt(sum(v * v)) AS nrm FROM qe)
+SELECT d.vec_id AS vec_id, round(d.dot / (n.nrm * qn.nrm), 6) AS cos
+FROM dots2 d JOIN norms n ON d.vec_id = n.vec_id, qn
+ORDER BY cos DESC, d.vec_id ASC
+LIMIT {k}"""
+
+
+_BYTES_CTES = """
+hx AS (SELECT doc_id, hex(encode(text)) AS h,
+       octet_length(encode(text)) AS nb FROM documents),
+idx AS (SELECT doc_id, h, nb, unnest(generate_series(0, nb - 1)) AS i
+        FROM hx WHERE nb > 0),
+bytes AS (SELECT doc_id, i,
+          CAST(('0x' || substring(h, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT) AS b,
+          nb FROM idx)"""
+
+
+def _media_features_sql(dim: int = 64) -> str:
+    """Byte histogram folded mod dim, L2-normalized — exact f64 twin of
+    multimodal.extract_features(dtype='float64') (counts and the IEEE
+    sqrt/divide are bit-identical); empty payloads decode to one 0 byte."""
+    return f"""
+WITH {_BYTES_CTES},
+all_bytes AS (SELECT doc_id, b FROM bytes
+              UNION ALL SELECT doc_id, 0 FROM hx WHERE nb = 0),
+hist AS (SELECT doc_id, b % {dim} AS dim, count(*) AS c
+         FROM all_bytes GROUP BY doc_id, b % {dim}),
+grid AS (SELECT d.doc_id, g.dim
+         FROM (SELECT DISTINCT doc_id FROM documents) d,
+              (SELECT unnest(generate_series(0, {dim - 1})) AS dim) g),
+filled AS (SELECT g.doc_id, g.dim, CAST(coalesce(h.c, 0) AS DOUBLE) AS c
+           FROM grid g LEFT JOIN hist h
+             ON h.doc_id = g.doc_id AND h.dim = g.dim),
+nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM filled GROUP BY doc_id)
+SELECT f.doc_id,
+       CASE abs(f.doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(f.dim AS INT) AS dim,
+       round(CASE WHEN nrm.n > 0 THEN f.c / nrm.n ELSE f.c END, 6) AS value
+FROM filled f JOIN nrm ON f.doc_id = nrm.doc_id"""
+
+
+def _media_frames_sql(every_n: int = 2) -> str:
+    """Frame slicing of the fake video container (payload split into
+    n_frames chunks), fingerprinted as md5 of the lowercase frame hex —
+    byte-slice arithmetic over the hex string because DuckDB 1.0 has no
+    BLOB substring."""
+    return f"""
+WITH v AS (SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS nb,
+           abs(doc_id) % 24 + 2 AS nf
+           FROM documents WHERE abs(doc_id) % 3 = 2),
+pf AS (SELECT doc_id, h, nb, nf, greatest(1, nb // nf) AS per FROM v),
+fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1, {every_n})) AS i,
+       h, per FROM pf),
+sliced AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           lower(substring(h, CAST(i * per * 2 + 1 AS INT), CAST(per * 2 AS INT))) AS fh
+           FROM fr)
+SELECT doc_id, frame_idx,
+       CAST(length(fh) // 2 AS BIGINT) AS n_bytes,
+       md5(fh) AS fp
+FROM sliced"""
+
+
+def _rolling_fingerprints_sql(k: int = 7, window: int = 4) -> str:
+    """Karp-Rabin mod-M31 k-gram hashes + winnowing window minima —
+    value-identical to text_analytics.rolling_fingerprints (shared
+    base/modulus/powers from operators/hashing.py)."""
+    from search_engine_spark.operators.hashing import M31, kr_powers
+
+    pw = ", ".join(f"({j}, {p})" for j, p in enumerate(kr_powers(k)))
+    return f"""
+WITH {_BYTES_CTES},
+pw(j, p) AS (VALUES {pw}),
+win AS (SELECT b.doc_id, b.i - pw.j AS st, sum(b.b * pw.p) AS s,
+        count(*) AS c
+        FROM bytes b CROSS JOIN pw GROUP BY b.doc_id, b.i - pw.j),
+kh AS (SELECT doc_id, st, s % {M31} AS hh FROM win WHERE c = {k}),
+nw AS (SELECT doc_id, count(*) AS nwin FROM kh GROUP BY doc_id),
+wm AS (SELECT doc_id, st,
+       min(hh) OVER (PARTITION BY doc_id ORDER BY st
+                     ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m
+       FROM kh),
+sel AS (SELECT wm.doc_id, wm.m FROM wm JOIN nw USING (doc_id)
+        WHERE nw.nwin >= {window} AND wm.st <= nw.nwin - {window}
+        UNION ALL
+        SELECT kh.doc_id, min(hh) FROM kh JOIN nw USING (doc_id)
+        WHERE nw.nwin < {window} GROUP BY kh.doc_id)
+SELECT DISTINCT doc_id, m AS fp FROM sel"""
 
 
 def _langid_ngram_sql() -> str:
@@ -435,6 +723,18 @@ SELECT vec_id, round(dot / (sqrt(nb) * sqrt(qn.nq2)), 6) AS cos
 FROM prod, qn
 ORDER BY cos DESC, vec_id ASC
 LIMIT 10""",
-        # minhash_lsh_pairs / simhash_pairs / lsh_cosine_topk: omitted —
-        # they hash with Spark's xxhash64 (rows-only check).
+        # r2: the portable md5 hash family makes the whole LSH/dedup/
+        # multimodal/fingerprint surface value-checkable
+        "minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
+        "minhash_dedup": _minhash_dedup_sql(),
+        "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
+        "clean_corpus": _clean_corpus_sql(),
+        "block_engine_bm25": _BM25_SQL.format(
+            qid="CAST(0 AS INTEGER) AS query_id, ", qid_group=""
+        ),
+        "embedding_neardup_pairs": _embedding_neardup_sql(threshold=0.4),
+        "lsh_cosine_topk": _lsh_cosine_topk_sql(),
+        "media_features": _media_features_sql(),
+        "media_frames": _media_frames_sql(every_n=2),
+        "rolling_fingerprints": _rolling_fingerprints_sql(),
     }

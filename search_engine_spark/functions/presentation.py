@@ -31,6 +31,7 @@ corpus, so they are rank- and scale-irrelevant by construction.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from textwrap import shorten
 from urllib.parse import urlparse
 
@@ -143,26 +144,41 @@ def shorten_title(title: str | None) -> str:
     return shorten(title or "", width=TITLE_WIDTH_CHARS, placeholder="...")
 
 
-# common multi-label public suffixes (tldextract-subset approximation)
-_TWO_PART_SUFFIXES = frozenset(
-    {
-        "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-        "co.jp", "or.jp", "ne.jp", "co.nz", "co.in", "com.br", "com.cn",
-        "com.mx", "co.za", "com.sg", "com.hk",
-    }
-)
+@lru_cache(maxsize=1)
+def _public_suffixes() -> frozenset[str]:
+    """Vendored PSL subset: 900 ccSLD suffixes (data/public_suffixes.txt)
+    — covers the multi-label registration suffixes (co.uk, com.tr,
+    com.br, …) that the r1 18-entry list mislabeled. The full PSL's
+    wildcard/exception rules are out of scope; unknown TLDs use the
+    PSL's implicit '*' rule (last label is the public suffix)."""
+    from pathlib import Path
+
+    data = Path(__file__).parent.parent / "data" / "public_suffixes.txt"
+    return frozenset(
+        line.strip()
+        for line in data.read_text().splitlines()
+        if line.strip() and not line.startswith("#")
+    )
 
 
 def extract_domain(url: str) -> str:
-    """Registrable-domain label, title-cased (app/main.py:31-33)."""
-    host = urlparse(url).netloc.split("@")[-1].split(":")[0]
-    labels = host.split(".")
-    if len(labels) >= 3 and ".".join(labels[-2:]) in _TWO_PART_SUFFIXES:
-        dom = labels[-3]
-    elif len(labels) >= 2:
-        dom = labels[-2]
-    else:
-        dom = labels[0] if labels else ""
+    """Registrable-domain label, title-cased (app/main.py:31-33 —
+    tldextract semantics: the label left of the longest matching public
+    suffix; a bare public suffix has no domain)."""
+    host = urlparse(url).netloc.split("@")[-1].split(":")[0].lower().rstrip(".")
+    labels = [l for l in host.split(".") if l != ""]
+    if not labels:
+        return ""
+    suffixes = _public_suffixes()
+    # longest matching suffix wins (PSL algorithm); implicit '*' rule =
+    # the last label alone when nothing longer matches
+    for i in range(len(labels)):
+        if ".".join(labels[i:]) in suffixes:
+            dom = labels[i - 1] if i > 0 else ""
+            return dom.title()
+    # implicit '*' rule (len>=2) / bare unknown label = the domain
+    # itself (tldextract: extract("localhost").domain == "localhost")
+    dom = labels[-2] if len(labels) >= 2 else labels[0]
     return dom.title()
 
 

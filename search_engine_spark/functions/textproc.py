@@ -43,6 +43,7 @@ Reference semantics reproduced here (SURVEY.md §2.2, quirk register §7.0):
 
 from __future__ import annotations
 
+import re
 import string
 import unicodedata
 from functools import lru_cache
@@ -272,13 +273,87 @@ def tokenize(text: str, stop: frozenset[str] | None = None) -> list[str]:
     return out
 
 
+# --- Treebank-compatible query tokenizer (reference app/main.py:53) --------
+#
+# The reference tokenizes queries with NLTK's `word_tokenize` (punkt
+# sentence split + TreebankWordTokenizer). Queries are single sentences,
+# so the Treebank pass alone reproduces it; the rules below re-express
+# the published Penn-Treebank sed script as implemented by NLTK's
+# public TreebankWordTokenizer (nltk/tokenize/treebank.py, Apache-2.0
+# public source — NOT from /root/reference), in application order.
+# Goldens in tests/test_textproc.py pin the known NLTK outputs
+# ("don't"→["do","n't"], "hitman's"→["hitman","'s"], "cannot"→
+# ["can","not"], quote conversion to ``/'' , punctuation separation).
+
+_TB_STARTING_QUOTES = [
+    (re.compile(r"([«“‘„]|[`]+)"), r" \1 "),
+    (re.compile(r'^"'), r"``"),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r"([ \(\[{<])(\"|\'{2})"), r"\1 `` "),
+    (re.compile(r"(?i)(\')(?!re|ve|ll|m|t|s|d|n)(\w)\b"), r"\1 \2"),
+]
+_TB_PUNCTUATION = [
+    (re.compile(r'([^\.])(\.)([\]\)}>"\'' "»”’ " r"]*)\s*$"), r"\1 \2 \3 "),
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.{2,}"), r" \g<0> "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+    (re.compile(r"[*]"), r" \g<0> "),
+]
+_TB_PARENS = (re.compile(r"[\]\[\(\)\{\}\<\>]"), r" \g<0> ")
+_TB_ENDING_QUOTES = [
+    (re.compile(r"([»”’])"), r" \1 "),
+    (re.compile(r"''"), " '' "),
+    (re.compile(r'"'), " '' "),
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
+]
+_TB_CONTRACTIONS = [
+    re.compile(p, re.IGNORECASE)
+    for p in (
+        r"\b(can)(not)\b", r"\b(d)('ye)\b", r"\b(gim)(me)\b",
+        r"\b(gon)(na)\b", r"\b(got)(ta)\b", r"\b(lem)(me)\b",
+        r"\b(mor)('n)\b", r"\b(wan)(na)(?=\s)",
+    )
+]
+_TB_CONTRACTIONS3 = [
+    re.compile(p, re.IGNORECASE) for p in (r" ('t)(is)\b", r" ('t)(was)\b")
+]
+
+
+def treebank_word_tokenize(text: str) -> str | list[str]:
+    """NLTK-compatible TreebankWordTokenizer.tokenize (single sentence)."""
+    for regexp, sub in _TB_STARTING_QUOTES:
+        text = regexp.sub(sub, text)
+    for regexp, sub in _TB_PUNCTUATION:
+        text = regexp.sub(sub, text)
+    text = _TB_PARENS[0].sub(_TB_PARENS[1], text)
+    text = " " + text + " "
+    for regexp, sub in _TB_ENDING_QUOTES:
+        text = regexp.sub(sub, text)
+    for regexp in _TB_CONTRACTIONS:
+        text = regexp.sub(r" \1 \2 ", text)
+    for regexp in _TB_CONTRACTIONS3:
+        text = regexp.sub(r" \1 \2 ", text)
+    return text.split()
+
+
 def tokenize_query(q: str, side: str = "query") -> list[str]:
-    """Query tokenization. The reference lowercases then NLTK-tokenizes and
-    filters the NLTK stop list (app/main.py:53-54). We use the shared
-    normalizer (symmetry with the index; SURVEY §7.8) but honor the
-    side-appropriate stop list; "" never matches a query (reference
-    queries cannot produce the empty term either: NLTK drops it)."""
-    stop = load_stopwords("nltk" if side == "query" else "iso")
+    """Query tokenization, reference-faithful (app/main.py:53-54):
+    lowercase → NLTK-style word_tokenize → drop NLTK stop words. Query
+    terms are looked up AS TOKENIZED — the reference does NOT apply the
+    indexer's normalizer on the query side, so e.g. "don't" retrieves
+    the terms ``do``/``n't`` (quirk: ``do`` is then stop-filtered) and
+    punctuation tokens are searched verbatim (matching nothing).
+    side='index' applies the indexer normalizer + ISO stop list instead
+    (the r1 symmetric behavior, kept for index-side callers)."""
+    if side == "query":
+        stop = load_stopwords("nltk")
+        return [t for t in treebank_word_tokenize(q.lower()) if t not in stop]
+    stop = load_stopwords("iso")
     return [t for t in tokenize(q.lower(), stop=stop) if t != ""]
 
 

@@ -54,7 +54,7 @@ from search_engine_spark.operators.index_build import InvertedIndex
 BLOCKS_SCHEMA = (
     "bucket int, term string, block_id int, n int, min_doc long, "
     "max_doc long, max_score double, doc_bytes binary, tf_bytes binary, "
-    "score_bytes binary"
+    "score_bytes binary, score_width int"
 )
 
 
@@ -63,6 +63,7 @@ def build_block_index(
     num_buckets: int | None = None,
     block_size: int = BLOCK_SIZE,
     term_groups: int = 16,
+    score_dtype: str = "float32",
 ) -> DataFrame:
     """postings (+bm25_idf) → doc-bucketed compressed blocks.
 
@@ -78,10 +79,21 @@ def build_block_index(
     """
     spark = index.postings.sparkSession
     nb = num_buckets or spark.sparkContext.defaultParallelism * 2
+    # score_dtype: 'float32' (default — halves score bytes; the pruned
+    # search stays exact w.r.t. the stored f32 contributions) or
+    # 'float64' (bit-exact vs the f64 row-postings scorer and the SQL
+    # oracle — the block_engine_bm25 driver entry verifies this config
+    # against the shared BM25 SQL).
+    f64 = score_dtype == "float64"
+    np_dtype = np.float64 if f64 else np.float32
+    width = 8 if f64 else 4
 
     scored = (
         index.postings.join(index.term_stats.select("term", "bm25_idf"), "term")
-        .withColumn("score", (F.col("bm25_idf") * F.col("tf_norm")).cast("float"))
+        .withColumn(
+            "score",
+            (F.col("bm25_idf") * F.col("tf_norm")).cast("double" if f64 else "float"),
+        )
         .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
         .withColumn("tg", F.pmod(F.xxhash64("term"), F.lit(term_groups)).cast("int"))
         .select("bucket", "tg", "term", "doc_id", "tf", "score")
@@ -93,7 +105,7 @@ def build_block_index(
         for term, g in pdf.sort_values(["term", "doc_id"]).groupby("term", sort=False):
             docs = g["doc_id"].to_numpy(np.int64)
             tfs = g["tf"].to_numpy(np.int64)
-            scores = g["score"].to_numpy(np.float32)
+            scores = g["score"].to_numpy(np_dtype)
             for bid, s in enumerate(range(0, len(docs), block_size)):
                 d, t, sc = (
                     docs[s : s + block_size],
@@ -105,6 +117,7 @@ def build_block_index(
                     (
                         bucket, term, bid, len(d), int(d[0]), int(d[-1]),
                         float(sc.max()), doc_bytes, tf_bytes, sc.tobytes(),
+                        width,
                     )
                 )
         return pd.DataFrame(
@@ -112,6 +125,7 @@ def build_block_index(
             columns=[
                 "bucket", "term", "block_id", "n", "min_doc", "max_doc",
                 "max_score", "doc_bytes", "tf_bytes", "score_bytes",
+                "score_width",
             ],
         )
 
@@ -183,8 +197,9 @@ def _bucket_topk(
                 if not hit.any():
                     continue
                 if decoded_scores[i] is None:
+                    dt = np.float64 if getattr(r, "score_width", 4) == 8 else np.float32
                     decoded_scores[i] = np.frombuffer(
-                        bytes(r.score_bytes), dtype=np.float32
+                        bytes(r.score_bytes), dtype=dt
                     ).astype(np.float64)
                 total[hit] += decoded_scores[i][pos[hit]]
             return total

@@ -75,16 +75,30 @@ class CheckpointState:
 
 
 def _stage(docs: DataFrame, path: str, num_parts: int) -> None:
-    """Write docs partitioned by part bucket (idempotent, all-or-nothing)."""
-    (
-        docs.withColumn(
-            "part", F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
+    """Write docs partitioned by part bucket (idempotent, all-or-nothing).
+
+    Forced STATIC partition overwrite: checkpointed_build sets the
+    session-wide dynamic mode for the chunked postings writes, and under
+    dynamic mode a part that became EMPTY in the new input would keep
+    its stale staged/part= dir (its old docs would then leak into the
+    final index — r1 advisory). Static mode replaces the whole staged
+    tree.
+    """
+    spark = docs.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        (
+            docs.withColumn(
+                "part", F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
+            )
+            .repartition(F.col("part"))
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(f"{path}/staged")
         )
-        .repartition(F.col("part"))
-        .write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(f"{path}/staged")
-    )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _fingerprints(staged: DataFrame) -> DataFrame:
@@ -252,17 +266,26 @@ def checkpointed_build(
             "append"
         ).parquet(f"{path}/_metrics")
 
-    return finalize(spark, path, k1=k1, b=b)
+    return finalize(spark, path, k1=k1, b=b, parts=sorted(fps))
 
 
 def finalize(
-    spark: SparkSession, path: str, k1: float = K1, b: float = B
+    spark: SparkSession,
+    path: str,
+    k1: float = K1,
+    b: float = B,
+    parts: list[int] | None = None,
 ) -> InvertedIndex:
     """Global-stats recompute over all completed parts — identical math
     to the one-shot build (shared index_from_raw_postings).
 
     Only lineage-ok parts are read: a chunk that crashed mid-write may
     have left a partial `part=` dir which must not leak into stats.
+    `parts` (passed by checkpointed_build: the parts present in the
+    CURRENT staged input) further intersects lineage — a part whose
+    docs all disappeared from the input keeps its old lineage rows and
+    postings_raw/ dir, and without the intersection its deleted docs
+    would leak into the final index (r1 advisory: shrinking input).
     """
     # invalidate any cached plan over this path from an earlier
     # (interrupted) build in the same session — see streaming/incremental.py
@@ -273,6 +296,8 @@ def finalize(
         if lin is not None
         else []
     )
+    if parts is not None:
+        ok_parts = sorted(set(ok_parts) & set(int(p) for p in parts))
     raw = (
         spark.read.parquet(f"{path}/postings_raw")
         .filter(F.col("part").isin(ok_parts))

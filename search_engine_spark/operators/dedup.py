@@ -12,11 +12,13 @@ DataFrame ops (no Python on the hot path):
   candidate generation is a groupBy on (band, band_hash) buckets, so
   cost is O(near-dup candidates), not O(n²); candidates are then
   verified with true Jaccard.
-- simhash_pairs: 64-bit SimHash + banded hamming candidates verified by
+- simhash_pairs: 60-bit SimHash + banded hamming candidates verified by
   bit_count(xor) ≤ max_hamming.
 
-Hash family: xxhash64 with the permutation index mixed in as an extra
-hashed column — deterministic across runs/executors, no Python RNG.
+Hash family: the PORTABLE md5-derived family from operators/hashing.py
+— deterministic across runs/executors, no Python RNG, and computable
+verbatim in DuckDB so every operator here is value-checkable by the
+driver's oracle gate (the r1 xxhash64 family left them rows-only).
 """
 
 from __future__ import annotations
@@ -24,6 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from search_engine_spark.operators.hashing import (
+    N_MINHASH,
+    h64,
+    hyperplane_sigs,
+    minhash_columns,
+)
 from search_engine_spark.operators.text_analytics import tokens_df
 
 
@@ -76,45 +84,68 @@ def token_jaccard_pairs(
     )
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 64) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = N_MINHASH
+) -> DataFrame:
     """(doc_id, sig array<long>): per-doc MinHash signature.
 
     One wide aggregation: num_hashes min() columns over the distinct
-    (doc, term) relation — a single shuffle, map-side combined.
+    (doc, term) relation — a single shuffle, map-side combined. Hash
+    family: one portable md5 per (doc, term) row + num_hashes
+    (a·h+b) mod M31 permutations (hashing.minhash_columns) — pure
+    codegen long arithmetic, value-identical in the DuckDB oracle.
     """
     toks = distinct_terms(documents)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("term"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    wide = toks.groupBy("doc_id").agg(*mins)
+    hashed = toks.select("doc_id", *minhash_columns(F.col("term"), num_hashes))
+    wide = hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
     return wide.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
-def minhash_lsh_pairs(
-    documents: DataFrame,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.8,
+def minhash_buckets(
+    documents: DataFrame, num_hashes: int = N_MINHASH, bands: int = 16
 ) -> DataFrame:
-    """Banded-LSH candidate pairs verified with true token Jaccard.
+    """(doc_id, band, bh): one LSH bucket row per (doc, band).
 
-    bucket key = (band_id, xxhash64(rows of the band)); docs sharing any
-    bucket become candidates. rows/band = num_hashes/bands tunes the
-    S-curve. The candidate groupBy is the only shuffle that touches all
-    docs; verification joins only candidate pairs.
+    bucket key bh = portable h64 of the band's signature rows joined
+    with ',' — 8 bytes on the shuffle wire, reproducible in SQL as
+    md5(string_agg(v, ',' ORDER BY i)).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes)
     band_cols = []
     for bnd in range(bands):
-        cols = [F.col("sig")[i] for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(bnd).alias("band"), F.xxhash64(*cols).alias("bh")))
-    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        cols = [
+            F.col("sig")[i]
+            for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(bnd).alias("band"), h64(F.concat_ws(",", *cols)).alias("bh")
+            )
+        )
+    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = N_MINHASH,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified with true token Jaccard.
+
+    Docs sharing any (band, bh) bucket become candidates; rows/band =
+    num_hashes/bands tunes the S-curve. The candidate groupBy is the
+    only shuffle that touches all docs; verification joins only
+    candidate pairs.
+    """
+    buckets = minhash_buckets(documents, num_hashes, bands)
     l = buckets.alias("l")
     r = buckets.alias("r")
     cands = (
@@ -132,9 +163,9 @@ def minhash_lsh_pairs(
 
 def minhash_dedup(
     documents: DataFrame,
-    num_hashes: int = 64,
+    num_hashes: int = N_MINHASH,
     bands: int = 16,
-    iterations: int = 2,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """(doc_id, keep_id): canonical representative per near-dup group.
 
@@ -142,33 +173,43 @@ def minhash_dedup(
     quadratic in cluster size (a 1k-doc template cluster alone yields
     500k pairs — measured ~1M pairs on the sf0.1 documents table), but
     a dedup stage only needs doc→representative. Label propagation over
-    the LSH buckets: rep(bucket) = min doc in bucket, rep(doc) = min
-    over its buckets, iterated `iterations` times to approach the
-    connected-component fixpoint (each iteration is one groupBy+join —
-    O(n·bands) rows, no pair blowup). Docs with keep_id < doc_id are
-    near-dup drops.
+    the LSH buckets TO FIXPOINT: rep(bucket) = min label in bucket,
+    rep(doc) = min over its buckets, repeated until no label changes —
+    the exact connected components of the share-a-bucket graph (label
+    propagation halves the diameter per round, so rounds ≈ log2 of the
+    longest dup chain; a driver-side count() per round checks
+    convergence). Each round is one groupBy+join over O(n·bands) rows,
+    no pair blowup. Docs with keep_id < doc_id are near-dup drops.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes)
-    band_cols = []
-    for bnd in range(bands):
-        cols = [F.col("sig")[i] for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(bnd).alias("band"), F.xxhash64(*cols).alias("bh")))
-    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    from pyspark.storagelevel import StorageLevel
+
+    buckets = minhash_buckets(documents, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     labels = buckets.groupBy("doc_id").agg(F.min("doc_id").alias("keep_id"))
-    for _ in range(iterations):
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iterations):
         bucket_rep = (
             buckets.join(labels, "doc_id")
             .groupBy("band", "bh")
             .agg(F.min("keep_id").alias("rep"))
         )
-        labels = (
+        new_labels = (
             buckets.join(bucket_rep, ["band", "bh"])
             .groupBy("doc_id")
             .agg(F.min("rep").alias("keep_id"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.keep_id") != F.col("o.keep_id"))
+            .count()
         )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    buckets.unpersist()
     return labels
 
 
@@ -191,8 +232,13 @@ def verify_jaccard(
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # NO broadcast hint: the candidate doc set is unbounded at 100 TB
+    # (billions of rows in a duplicate-heavy crawl would OOM a forced
+    # broadcast). AQE still picks a broadcast join when the measured
+    # size is small — the common case — and falls back to shuffle
+    # hash/sort-merge when it isn't.
     tok_sets = (
-        toks.join(F.broadcast(cand_docs), "doc_id")
+        toks.join(cand_docs, "doc_id")
         .groupBy("doc_id")
         .agg(F.collect_set("term").alias("ts"))
     )
@@ -300,20 +346,34 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH buckets generate candidates
-    (same-signature vectors), then exact cosine verifies. The bucket
-    groupBy-join is the only shuffle touching all rows, carrying one
-    long per vector; near-dup pairs at cos ≥ 0.95 collide with high
-    probability at 8 planes (p = (1 - θ/π)^8 ≈ 0.86 per band)."""
-    from search_engine_spark.operators.similarity import _hyperplane_sig
-
-    with_sig = embeddings.withColumn(
-        "sig", _hyperplane_sig(F.col("embedding"), dim, n_planes)
+    """Scale path: multi-table random-hyperplane LSH candidates (vectors
+    sharing ANY table's signature — OR over tables, the banding fix for
+    the r1 single-table ~14% miss rate), then exact cosine verifies.
+    The bucket self-join is the only shuffle touching all rows, carrying
+    n_tables longs per vector; a near-dup pair at cos ≥ 0.95 collides
+    per table with p = (1 - θ/π)^8 ≈ 0.86, so the 8-table miss rate is
+    (1-p)^8 ≈ 1.4e-7."""
+    # bucket rows carry only (vec_id, t, sig): the self-join + distinct
+    # shuffles ids, never embeddings; vectors are re-joined only for the
+    # surviving candidate pairs.
+    sigs = embeddings.select(
+        "vec_id",
+        F.posexplode(
+            hyperplane_sigs(F.col("embedding"), dim, n_planes, n_tables)
+        ).alias("t", "sig"),
     )
-    l = with_sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "sig")
-    r = with_sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "sig")
-    cands = l.join(r, ["sig"]).filter(F.col("vec_a") < F.col("vec_b"))
+    l = sigs.select(F.col("vec_id").alias("vec_a"), "t", "sig")
+    r = sigs.select(F.col("vec_id").alias("vec_b"), "t", "sig")
+    cands = (
+        l.join(r, ["t", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -327,33 +387,38 @@ def embedding_neardup_pairs(
         )
     )
     return (
-        cands.select(
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .distinct()
     )
+
+
+SIMHASH_BITS = 60  # the portable h64 yields 60 hash bits
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """(doc_id, simhash long): 64-bit SimHash over tf-weighted terms."""
+    """(doc_id, simhash long): 60-bit SimHash over tf-weighted terms
+    (bit votes over the portable h64's 60 bits — oracle-reproducible)."""
     tf = tokens_df(documents).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    h = F.xxhash64(F.col("term"))
+    h = h64(F.col("term"))
     sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
                 -F.col("tf")
             )
         ).alias(f"s{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     wide = tf.groupBy("doc_id").agg(*sums)
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )
@@ -363,15 +428,15 @@ def simhash(documents: DataFrame) -> DataFrame:
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale:
-    64 bits → 4×16-bit bands; pairs sharing any band are candidates
+    60 bits → 4×15-bit bands; pairs sharing any band are candidates
     (guaranteed to include every pair with hamming ≤ 3 by pigeonhole;
     probabilistically most pairs up to max_hamming)."""
     sh = simhash(documents)
     bands = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftright(F.col("simhash"), i * 16)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("simhash"), i * 15)
+            .bitwiseAND(F.lit(0x7FFF))
             .alias("bh"),
         )
         for i in range(4)

@@ -319,23 +319,46 @@ def salted_by_term(
     return salted
 
 
+def auto_salt_threshold(
+    index: InvertedIndex, salt_df_floor: int = 100_000
+) -> int:
+    """MEASURED salting threshold (SURVEY §7.5 — r1 shipped the salted
+    path but defaulted it off; at 10^12 docs the unsalted default writes
+    a head-term reducer hotspot). Salt any term whose posting list alone
+    exceeds a quarter of a reducer's fair share (Σdf / shuffle
+    partitions / 4) — a Zipf head term always crosses this, tail terms
+    never do. `salt_df_floor` keeps small corpora unsalted (the salt
+    only buys anything when one term's list rivals a partition)."""
+    spark = index.postings.sparkSession
+    tot = index.term_stats.agg(F.sum("df").alias("t")).collect()[0]["t"] or 0
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(salt_df_floor, int(tot / max(sp, 1) / 4))
+
+
 def write_index(
     index: InvertedIndex,
     path: str,
-    salt_df_threshold: int | None = None,
+    salt_df_threshold: int | str | None = "auto",
     num_salts: int = 32,
+    salt_df_floor: int = 100_000,
 ) -> None:
     """Materialize to a parquet layout bucketed for query-time pruning.
 
     Postings are repartitioned by term and sorted (term, doc_id) within
     files so min/max parquet statistics prune file ranges on term
     lookups; at cluster scale this becomes Iceberg
-    `PARTITIONED BY (bucket(N, term))` (SURVEY §4.2.3). Pass
-    `salt_df_threshold` to split head-term posting lists over
-    `num_salts` reducers (skew-safe path, §7.5).
+    `PARTITIONED BY (bucket(N, term))` (SURVEY §4.2.3).
+
+    salt_df_threshold: 'auto' (default) measures the df distribution
+    and splits any head term's postings over `num_salts` reducers
+    (auto_salt_threshold); an int pins the threshold; None opts out
+    (plain term layout). Output CONTENT is identical in all three
+    modes (property-tested) — only physical placement changes.
     """
     from search_engine_spark.catalog import write_table
 
+    if salt_df_threshold == "auto":
+        salt_df_threshold = auto_salt_threshold(index, salt_df_floor)
     if salt_df_threshold is not None:
         laid_out = salted_by_term(
             index.postings, index.term_stats, salt_df_threshold, num_salts
@@ -351,6 +374,59 @@ def write_index(
         [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
     )
     write_table(meta, f"{path}/meta")
+
+
+def to_reference_rows(index: InvertedIndex) -> DataFrame:
+    """Export the index in the reference's `terms` row shape
+    (migrations/06_create_terms_table.sql:1-11): one row per term with
+    idf (f32, `real`) + page_frequency + the hstore maps as
+    map<string,float> keyed by page id — tf_scores and tf_idf_scores
+    (tf_idf = tf·idf rounded through f32, the reference's stored REAL).
+
+    Purpose: mechanical engine↔reference diffing — a reference Postgres
+    dump and this DataFrame compare row-for-row. One groupBy(term)
+    shuffle; map_from_entries keeps it all JVM-side.
+    """
+    scored = index.postings.join(
+        index.term_stats.select("term", "idf_f32", "df"), "term"
+    ).select(
+        "term",
+        "idf_f32",
+        "df",
+        F.col("doc_id").cast("string").alias("page_id"),
+        F.col("tf").cast("float").alias("tf_score"),
+        (F.col("tf") * F.col("idf_f32")).cast("float").alias("tf_idf_score"),
+    )
+    return (
+        scored.groupBy("term")
+        .agg(
+            F.first("idf_f32").alias("idf"),
+            F.first("df").cast("int").alias("page_frequency"),
+            F.map_from_entries(
+                F.collect_list(F.struct("page_id", "tf_score"))
+            ).alias("tf_scores"),
+            F.map_from_entries(
+                F.collect_list(F.struct("page_id", "tf_idf_score"))
+            ).alias("tf_idf_scores"),
+        )
+    )
+
+
+def from_reference_rows(
+    reference_rows: DataFrame, k1: float = K1, b: float = B
+) -> InvertedIndex:
+    """Rebuild an InvertedIndex from reference-shaped `terms` rows (the
+    inverse of to_reference_rows, up to global stats recompute): explode
+    tf_scores back to raw postings and re-derive df/idf/tf_norm via the
+    shared finalizer — round-trip tested in tests/test_checkpoint.py."""
+    raw = reference_rows.select(
+        "term", F.explode("tf_scores").alias("page_id", "tf")
+    ).select(
+        F.col("page_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("int").alias("tf"),
+    )
+    return index_from_raw_postings(raw, k1=k1, b=b)
 
 
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:

@@ -110,10 +110,18 @@ def _fake_decode(payload: bytes, n: int) -> np.ndarray:
 FEATURES_SCHEMA = "doc_id long, kind string, feature array<float>"
 
 
-def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 64, dtype: str = "float32"
+) -> DataFrame:
     """(doc_id, kind, feature array<float>[dim]): L2-normalized byte
     histogram folded to `dim` bins — the deterministic stand-in for a
-    CNN/audio embedding. mapInPandas: narrow, Arrow-batched."""
+    CNN/audio embedding. mapInPandas: narrow, Arrow-batched.
+
+    dtype='float32' (default, the production embedding width) or
+    'float64' (bit-exact vs an f64 SQL oracle: counts and the IEEE
+    sqrt/divide are identical in numpy and DuckDB)."""
+    f64 = dtype == "float64"
+    schema = FEATURES_SCHEMA.replace("float", "double") if f64 else FEATURES_SCHEMA
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,12 +130,25 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
                 raw = np.frombuffer(bytes(b), dtype=np.uint8) if b is not None and len(b) else np.zeros(1, np.uint8)
                 hist = np.bincount(raw % dim, minlength=dim).astype(np.float64)
                 norm = np.linalg.norm(hist)
-                feats.append((hist / norm if norm > 0 else hist).astype(np.float32).tolist())
+                vec = hist / norm if norm > 0 else hist
+                feats.append((vec if f64 else vec.astype(np.float32)).tolist())
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "kind": pdf["kind"], "feature": feats}
             )
 
-    return media.select("doc_id", "kind", "payload").mapInPandas(gen, FEATURES_SCHEMA)
+    return media.select("doc_id", "kind", "payload").mapInPandas(gen, schema)
+
+
+def feature_rows(media: DataFrame, dim: int = 64) -> DataFrame:
+    """(doc_id, kind, dim, value): the f64 feature vectors exploded to
+    scalar rows — the canonicalizable projection the driver harness can
+    sort and hash (an array<float> column crashed its pandas lexsort in
+    r1), and the shape a SQL oracle can reproduce value-exactly."""
+    return extract_features(media, dim, dtype="float64").select(
+        "doc_id",
+        "kind",
+        F.posexplode("feature").alias("dim", "value"),
+    ).withColumn("value", F.round(F.col("value"), 6))
 
 
 RESIZED_SCHEMA = (

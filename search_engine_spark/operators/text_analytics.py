@@ -262,36 +262,41 @@ def rolling_fingerprints(
 ) -> DataFrame:
     """(doc_id, fp): winnowing document fingerprints.
 
-    Karp-Rabin rolling hash over character k-grams + window-minimum
+    Karp-Rabin polynomial hash over character k-grams (mod M31 = 2^31-1,
+    base 257 — per-step products < 2^40, so the vectorized uint64 math
+    below never wraps; the shared constants live in operators/hashing.py
+    and the DuckDB oracle computes the identical values) + window-minimum
     sampling (the standard near-dup/plagiarism sketch): every k-gram
     hash is computed with one vectorized numpy pass, then each sliding
     window of `window` hashes contributes its minimum; distinct minima
-    form the fingerprint set. Guarantee: any shared substring of length
-    >= k + window - 1 between two docs yields a shared fingerprint.
-    mapInPandas (narrow, Arrow-batched) → explode to one row per
-    fingerprint, ready for the same groupBy-join dedup shapes as
-    MinHash buckets.
+    form the fingerprint set. Guarantee: any shared byte substring of
+    length >= k + window - 1 between two docs yields a shared
+    fingerprint. mapInPandas (narrow, Arrow-batched) → explode to one
+    row per fingerprint, ready for the same groupBy-join dedup shapes as
+    MinHash buckets. The 31-bit range trades collision margin for
+    portable exact-verifiability; collisions only add false bucket
+    candidates, which downstream verification rejects.
     """
     import numpy as np
     import pandas as pd
 
-    B, M = np.uint64(257), np.uint64((1 << 61) - 1)
+    from search_engine_spark.operators.hashing import M31, kr_powers
+
+    M = np.uint64(M31)
 
     def gen(batches):
         for pdf in batches:
             ids, fps = [], []
+            powers = np.array(kr_powers(k), dtype=np.uint64)
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 s = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
                 if len(s) < k:
                     continue
-                # rolling hash h[i] = sum s[i+j] * B^(k-1-j) mod M
-                powers = np.array(
-                    [pow(int(B), k - 1 - j, int(M)) for j in range(k)], dtype=np.uint64
-                )
+                # h[i] = sum s[i+j] * B^(k-1-j) mod M; s*p < 2^40 — no wrap
                 n = len(s) - k + 1
                 h = np.zeros(n, dtype=np.uint64)
                 for j in range(k):  # k (small) vectorized passes over n
-                    h = (h + (s[j : j + n] * powers[j]) % M) % M
+                    h = (h + s[j : j + n] * powers[j]) % M
                 if n >= window:
                     mins = np.lib.stride_tricks.sliding_window_view(
                         h, window

@@ -89,8 +89,10 @@ def _page_html(rng: np.random.Generator, zipf_words: list[str], scale: int = 1) 
         )
 
     # `scale` multiplies paragraph count (bench realism: ~10x gives
-    # Common-Crawl-sized ~10 KB pages); scale=1 keeps the default
-    # rng stream byte-identical to earlier corpora
+    # Common-Crawl-sized ~10 KB pages); scale=1 is byte-identical to
+    # this generator version with scale omitted (NOT to corpora from
+    # pre-`scale` versions: introducing the per-paragraph draws changed
+    # the rng stream)
     for _ in range(int(rng.integers(2, 7)) * scale):
         inline = rng.random()
         body = para(int(rng.integers(1, 4)))

@@ -82,29 +82,31 @@ def _session_fn(gap_minutes: int):
             emit(start_us, last_us, n)
             state.remove()
         else:
-            cur = state.get if state.exists else None
-            ts_us = sorted(
-                int(t.value // 1000)
+            # interval gap-fold: the open session (start, last, n) and
+            # each incoming event (t, t, 1) are intervals; sort by start
+            # and merge neighbors whose gap is ≤ gap_us — EXACTLY the
+            # batch twin's sort+fold, so a chain of late events older
+            # than the open session merges into sessions among
+            # themselves instead of one emitted session per event (r1
+            # advisory), and a chain that reaches back within the gap of
+            # the open session correctly extends it.
+            intervals = [
+                (int(t.value // 1000),) * 2 + (1,)
                 for pdf in pdfs
                 for t in pd.to_datetime(pdf["ts"])
-            )
-            for t in ts_us:
+            ]
+            if state.exists:
+                intervals.append(tuple(state.get))
+            intervals.sort()
+            cur = None
+            for s, e, c in intervals:
                 if cur is None:
-                    cur = (t, t, 0)
-                start_us, last_us, n = cur
-                if t - last_us > gap_us:
-                    emit(start_us, last_us, n)
-                    cur = (t, t, 1)
-                elif t < start_us - gap_us:
-                    # late (within-watermark) event older than the open
-                    # session by more than the gap: it is its own
-                    # earlier session, closed immediately — merging it
-                    # would corrupt session_start (batch-twin parity)
-                    emit(t, t, 1)
+                    cur = (s, e, c)
+                elif s - cur[1] <= gap_us:
+                    cur = (cur[0], max(cur[1], e), cur[2] + c)
                 else:
-                    # a late event just before the open session extends
-                    # its start backward, like the batch twin's sort
-                    cur = (min(start_us, t), max(last_us, t), n + 1)
+                    emit(*cur)
+                    cur = (s, e, c)
             if cur is not None:
                 state.update(cur)
                 # event-time timeout: fire once the watermark passes the

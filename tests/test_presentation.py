@@ -149,3 +149,43 @@ def test_present_results_dense_ids(spark):
     topk = search(index, spark, ["hippopotamus"], k=5)
     out = present_results(topk, pages, ["hippopotamus"], id_method="dense").collect()
     assert len(out) == len(topk.collect()) > 0
+
+
+def test_wikipedia_fixture_snippet_byte_equal():
+    """Reference golden (app/tests/test_utils.py:15-22) on the real
+    640 KB Wikipedia article fixture (app/tests/fixtures/
+    wikipedia_article.html, ported verbatim as test DATA): the snippet
+    must be byte-identical to the reference's pinned expected string."""
+    from pathlib import Path
+
+    html = (Path(__file__).parent / "fixtures" / "wikipedia_article.html").read_text()
+    expected = (
+        '<span class="prompt-bold">&#34;Hello&#34; is a song recorded by '
+        "British singer-songwriter Adele,</span> released on 23 October 2015 "
+        "by XL Recordings as the lead single from her third studio album,..."
+    )
+    assert generate_snippet(html, ["hello"]) == expected
+
+
+def test_domain_psl_parity():
+    """Vendored PSL-subset parity: expected values are tldextract's
+    known outputs (domain label left of the longest public suffix,
+    .title()-cased per app/main.py:31-33)."""
+    from search_engine_spark.functions.presentation import extract_domain
+
+    cases = {
+        "https://www.example.com/x": "Example",
+        "https://news.bbc.co.uk/story": "Bbc",
+        "https://sub.firm.com.tr/a": "Firm",       # r1 subset mislabeled *.com.tr
+        "https://loja.algo.com.br": "Algo",
+        "https://shop.example.co.jp": "Example",
+        "https://a.b.gouv.fr": "B",
+        "https://portal.empresa.com.mx": "Empresa",
+        "https://uni.ac.in": "Uni",
+        "https://user@host.gov.uk:443/p": "Host",  # userinfo + port stripped
+        "http://localhost:8080/": "Localhost",     # bare label = domain
+        "https://x.y.unknowntld": "Y",             # implicit '*' rule
+        "https://en.wikipedia.org/wiki/A": "Wikipedia",
+    }
+    for url, expected in cases.items():
+        assert extract_domain(url) == expected, url

@@ -34,6 +34,12 @@ QUERIES = [
     "the hippopotamus is on a ladder",
     "café naïve",
     "nosuchtermanywhere",
+    # treebank-tokenizer queries (reference app/main.py:53 — NLTK
+    # word_tokenize): contractions split to do+n't / hitman+'s,
+    # punctuation becomes searchable tokens — both sides must agree
+    "don't",
+    "hitman's ladder",
+    "seagull, elephant!",
 ]
 
 

@@ -81,3 +81,25 @@ def test_late_event_extends_or_splits(spark, tmp_path):
     assert _s(1, 90, 100, 2) in out      # extended backward
     assert _s(2, 10, 10, 1) in out       # split into its own session
     assert _s(2, 100, 100, 1) in out     # original open session intact
+
+
+def test_late_event_chain_merges(spark, tmp_path):
+    """A chain of late events, each older than the open session by more
+    than the gap but within the gap of EACH OTHER, must fold into one
+    merged session (batch-twin parity) — not one session per event
+    (r1 advisory)."""
+    inp, state = str(tmp_path / "in3"), str(tmp_path / "st3")
+
+    _events(spark, [(1, 200)]).write.parquet(f"{inp}/d1")
+    streaming_sessions(spark, f"{inp}/d*", state, watermark="10 hours")
+    # late chain at 10, 30, 50 (gaps 20m ≤ 30m) — far older than the
+    # open session at 200 (gap 150m > 30m)
+    _events(spark, [(1, 50), (1, 10), (1, 30)]).write.parquet(f"{inp}/d2")
+    streaming_sessions(spark, f"{inp}/d*", state)
+    _events(spark, [(9, 2000)]).write.parquet(f"{inp}/d3")
+    out = _collect(streaming_sessions(spark, f"{inp}/d*", state))
+    assert _s(1, 10, 50, 3) in out       # one merged late session
+    assert _s(1, 200, 200, 1) in out     # open session untouched
+    assert not any(
+        s in out for s in [_s(1, 10, 10, 1), _s(1, 30, 30, 1), _s(1, 50, 50, 1)]
+    )

@@ -180,5 +180,42 @@ class TestTokenize:
         assert "world" not in load_stopwords("nltk")
         assert tokenize_query("the world IS a Ladder") == ["world", "ladder"]
 
-    def test_empty_term_never_in_query(self):
-        assert tokenize_query("?! ...") == []
+    def test_punct_queries_search_punct_tokens(self):
+        # reference-faithful: NLTK word_tokenize emits punctuation as
+        # tokens and the app searches them verbatim (matching nothing
+        # in the normalized index)
+        assert tokenize_query("?! ...") == ["?", "!", "..."]
+
+
+class TestTreebankTokenizer:
+    """Goldens pinned to known NLTK word_tokenize outputs (the reference
+    tokenizes queries with nltk, app/main.py:53; nltk is not installed
+    here, so these values are the published behavior)."""
+
+    def test_contractions(self):
+        from search_engine_spark.functions.textproc import treebank_word_tokenize as t
+
+        assert t("don't") == ["do", "n't"]
+        assert t("hitman's") == ["hitman", "'s"]
+        assert t("they'll we're you've i'm he'd") == [
+            "they", "'ll", "we", "'re", "you", "'ve", "i", "'m", "he", "'d"
+        ]
+        assert t("cannot gonna wanna gotta") == [
+            "can", "not", "gon", "na", "wan", "na", "got", "ta"
+        ]
+
+    def test_punctuation_and_quotes(self):
+        from search_engine_spark.functions.textproc import treebank_word_tokenize as t
+
+        assert t("hello, world!") == ["hello", ",", "world", "!"]
+        assert t('"quoted"') == ["``", "quoted", "''"]
+        assert t("u.s. end.") == ["u.s.", "end", "."]
+        assert t("(persona 5) strikers:") == [
+            "(", "persona", "5", ")", "strikers", ":"
+        ]
+
+    def test_query_pipeline_contractions(self):
+        # "do" is an NLTK stop word → dropped; "n't"/"'s" searched raw
+        assert tokenize_query("Don't") == ["n't"]
+        assert tokenize_query("hitman's") == ["hitman", "'s"]
+        assert tokenize_query("persona 5 strikers") == ["persona", "5", "strikers"]
