@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators.hashing import (
+    M31,
     N_MINHASH,
     h64,
     hyperplane_sigs,
@@ -96,7 +97,8 @@ def minhash_signatures(
     codegen long arithmetic, value-identical in the DuckDB oracle.
     """
     toks = distinct_terms(documents)
-    hashed = toks.select("doc_id", *minhash_columns(F.col("term"), num_hashes))
+    based = toks.select("doc_id", (h64(F.col("term")) % M31).alias("base"))
+    hashed = based.select("doc_id", *minhash_columns(F.col("base"), num_hashes))
     wide = hashed.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -183,19 +185,32 @@ def minhash_dedup(
     """
     from pyspark.storagelevel import StorageLevel
 
-    buckets = minhash_buckets(documents, num_hashes, bands).persist(
+    # two persisted copies of the bucket relation, pre-partitioned on
+    # each iteration's join key: labels are groupBy outputs with the
+    # matching hash partitioning, so each round pays exactly two 8-byte
+    # per-row shuffles (band-rep agg, doc agg) instead of four
+    raw_buckets = minhash_buckets(documents, num_hashes, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    labels = buckets.groupBy("doc_id").agg(F.min("doc_id").alias("keep_id"))
+    by_doc = raw_buckets.repartition("doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    by_bucket = raw_buckets.repartition("band", "bh").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    by_doc.count()  # materialize both copies off ONE signature pass
+    by_bucket.count()
+    raw_buckets.unpersist()
+    labels = by_doc.groupBy("doc_id").agg(F.min("doc_id").alias("keep_id"))
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(max_iterations):
         bucket_rep = (
-            buckets.join(labels, "doc_id")
+            by_doc.join(labels, "doc_id")
             .groupBy("band", "bh")
             .agg(F.min("keep_id").alias("rep"))
         )
         new_labels = (
-            buckets.join(bucket_rep, ["band", "bh"])
+            by_bucket.join(bucket_rep, ["band", "bh"])
             .groupBy("doc_id")
             .agg(F.min("rep").alias("keep_id"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -209,7 +224,8 @@ def minhash_dedup(
         labels = new_labels
         if changed == 0:
             break
-    buckets.unpersist()
+    by_doc.unpersist()
+    by_bucket.unpersist()
     return labels
 
 

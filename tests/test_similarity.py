@@ -1,0 +1,86 @@
+"""ANN quality gates (r1 verdict items 2 and 6).
+
+- lsh_cosine_topk must RECALL the exact top-k: the r1 single-table
+  exact-signature variant returned 1 candidate for a k=10 query
+  (expected bucket population n/256). The multi-table multi-probe fix
+  is asserted here at recall ≥ 0.9 on the driver's sf0.01 embeddings —
+  the near-orthogonal worst case for sign-LSH.
+- embedding_neardup_pairs must find planted near-duplicates: an
+  OR-over-8-tables bucket union has miss probability ≈ (1-0.86)^8 per
+  cos≥0.95 pair, so every planted pair must surface.
+- minhash_dedup must fully merge a 10-doc near-dup CHAIN (A≈B≈C≈…,
+  ends dissimilar): the r1 fixed-2-iteration label propagation
+  under-merged long chains; the fixpoint loop may not.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_lsh_topk_recall(spark):
+    from search_engine_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()]
+    ann = [r["vec_id"] for r in lsh_cosine_topk(emb, 0, k=10).collect()]
+    assert len(ann) == 10
+    recall = len(set(exact) & set(ann)) / len(exact)
+    assert recall >= 0.9, f"ANN recall {recall} < 0.9 (ann={ann}, exact={exact})"
+
+
+def test_neardup_finds_planted_pairs(spark):
+    from search_engine_spark.operators.dedup import embedding_neardup_pairs
+
+    # 40 random-ish vectors + 5 planted near-dup pairs (cos ≈ 0.999)
+    import math
+
+    def vec(seed: int) -> list[float]:
+        # deterministic pseudo-random unit-ish vector, no RNG state
+        return [math.sin(0.7 * seed + 1.3 * i) for i in range(64)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    rows += [(100 + i, [x * 1.001 + 1e-4 for x in vec(i)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"planted pair ({i},{100+i}) missed"
+
+
+def test_minhash_dedup_merges_ten_doc_chain(spark):
+    from search_engine_spark.operators.dedup import minhash_dedup
+
+    # chain doc_i shares 19/20 tokens with doc_{i+1}; ends share nothing
+    base = [f"tok{j}" for j in range(30)]
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(base[i : i + 20])))
+    # plus unrelated docs that must NOT merge
+    rows += [(100 + i, f"other{i} thing{i} stuff{i} more{i} word{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {r["doc_id"]: r["keep_id"] for r in minhash_dedup(docs).collect()}
+    chain_labels = {labels[i] for i in range(10)}
+    assert chain_labels == {0}, f"chain under-merged: {chain_labels}"
+    for i in range(5):
+        assert labels[100 + i] == 100 + i
+
+
+def test_minhash_dedup_labels_are_component_minima(spark):
+    """Every keep_id must itself be a fixpoint (keep_id of the
+    representative is itself) — a non-converged propagation violates
+    this."""
+    from search_engine_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = minhash_dedup(docs).collect()
+    labels = {r["doc_id"]: r["keep_id"] for r in rows}
+    for d, k in labels.items():
+        assert labels.get(k, k) == k, f"rep {k} of {d} is not a fixpoint"
+        assert k <= d
