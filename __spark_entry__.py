@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q(lambda s, d: ev.user_sessions(_events(s, d))),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
+        "ivf_cosine_topk": q(
+            lambda s, d: similarity.ivf_cosine_topk(_embeddings(s, d), 0)
+        ),
         "lsh_cosine_topk": q(
             lambda s, d: similarity.lsh_cosine_topk(_embeddings(s, d), 0)
         ),
@@ -433,6 +436,47 @@ norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
 qn AS (SELECT sqrt(sum(v * v)) AS nrm FROM qe)
 SELECT d.vec_id AS vec_id, round(d.dot / (n.nrm * qn.nrm), 6) AS cos
 FROM dots2 d JOIN norms n ON d.vec_id = n.vec_id, qn
+ORDER BY cos DESC, d.vec_id ASC
+LIMIT {k}"""
+
+
+def _ivf_cosine_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """IVF-flat twin of similarity.ivf_cosine_topk: same portable-hash
+    seed sample, same 9dp-rounded cell assignment/probing, same exact
+    re-rank."""
+    seed_rank = _h64_sql("'ivf|' || vec_id")
+    return f"""
+WITH e AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+           FROM embeddings, (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id),
+seeds AS (SELECT vec_id AS cell FROM embeddings
+          ORDER BY {seed_rank}, vec_id LIMIT {n_cells}),
+se AS (SELECT s.cell, e.i, e.v FROM seeds s JOIN e ON e.vec_id = s.cell),
+ac AS (SELECT e.vec_id, se.cell, round(sum(e.v * se.v) / (nv.n * ns.n), 9) AS c
+       FROM e JOIN se ON se.i = e.i
+       JOIN nrm nv ON nv.vec_id = e.vec_id
+       JOIN nrm ns ON ns.vec_id = se.cell
+       GROUP BY e.vec_id, se.cell, nv.n, ns.n),
+assign AS (SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cell ASC) AS rn
+           FROM ac) t WHERE rn = 1),
+qcells AS (SELECT cell FROM ac WHERE vec_id = {query_vec_id}
+           ORDER BY c DESC, cell ASC LIMIT {n_probe}),
+cands AS (SELECT a.vec_id FROM assign a JOIN qcells USING (cell)
+          WHERE a.vec_id <> {query_vec_id}),
+qe AS (SELECT i, v FROM e WHERE vec_id = {query_vec_id}),
+d AS (SELECT x.vec_id, sum(x.v * qe.v) AS dot FROM e x JOIN qe USING (i)
+      WHERE x.vec_id IN (SELECT vec_id FROM cands) GROUP BY x.vec_id)
+SELECT d.vec_id AS vec_id, round(d.dot / (nv.n * qn.n), 6) AS cos
+FROM d JOIN nrm nv ON nv.vec_id = d.vec_id,
+     (SELECT n FROM nrm WHERE vec_id = {query_vec_id}) qn(n)
 ORDER BY cos DESC, d.vec_id ASC
 LIMIT {k}"""
 
@@ -734,6 +778,7 @@ LIMIT 10""",
         ),
         "embedding_neardup_pairs": _embedding_neardup_sql(threshold=0.4),
         "lsh_cosine_topk": _lsh_cosine_topk_sql(),
+        "ivf_cosine_topk": _ivf_cosine_topk_sql(),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(every_n=2),
         "rolling_fingerprints": _rolling_fingerprints_sql(),

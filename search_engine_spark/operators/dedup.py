@@ -201,8 +201,18 @@ def minhash_dedup(
     by_doc.count()  # materialize both copies off ONE signature pass
     by_bucket.count()
     raw_buckets.unpersist()
-    labels = by_doc.groupBy("doc_id").agg(F.min("doc_id").alias("keep_id"))
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    # seed labels with round 1 directly (label(d) = min doc over d's
+    # buckets' minima) — computable without a prior labels relation, so
+    # the loop starts one round ahead
+    bucket_min = by_bucket.groupBy("band", "bh").agg(
+        F.min("doc_id").alias("rep")
+    )
+    labels = (
+        by_bucket.join(bucket_min, ["band", "bh"])
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("keep_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     for _ in range(max_iterations):
         bucket_rep = (
             by_doc.join(labels, "doc_id")

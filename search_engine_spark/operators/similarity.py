@@ -71,6 +71,104 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFr
     ).limit(k)
 
 
+def _py_cos(a, b) -> float:
+    """Cosine in plain Python with the SAME left-to-right f64 fold order
+    as the engine's F.aggregate, so driver-side probe ranking matches
+    the JVM/SQL values bit-for-bit (modulo the 9dp rounding both use)."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+        na = na + float(x) * float(x)
+        nb = nb + float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ivf_seeds(embeddings: DataFrame, n_cells: int = 16) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the n_cells vectors with the
+    smallest portable hash of their id (a seeded 'random' sample with no
+    RNG state — reproducible in the DuckDB oracle). IVF-flat with
+    sampled seed centroids is the standard no-training baseline; a
+    Lloyd-refined codebook drops in here without changing the serving
+    shape."""
+    from search_engine_spark.operators.hashing import h64
+
+    ranked = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            h64(F.concat(lit("ivf|"), col("vec_id").cast("string"))).alias("rk"),
+        )
+        .orderBy("rk", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in ranked]
+
+
+def ivf_assign(
+    embeddings: DataFrame, seeds: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """+cell column: nearest seed by cosine (round 9dp; ties → smallest
+    cell id). Pure codegen column math over literal seed vectors — a
+    narrow map, no shuffle; at 10^12 rows this runs inside the scan
+    stage and the (vec → cell) table partitions by cell for serving."""
+    entries = []
+    for cid, vec in seeds:
+        sv = F.array(*[lit(float(x)) for x in vec])
+        c = F.round(_dot(col("embedding"), sv) / (_norm(col("embedding")) * _norm(sv)), 9)
+        entries.append(
+            F.struct(c.alias("c"), lit(-cid).cast("long").alias("negcell"))
+        )
+    best = F.array_max(F.array(*entries))
+    return embeddings.withColumn("cell", (-best["negcell"]).cast("long"))
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: the query probes its n_probe nearest cells and
+    exact-cosine re-ranks only their members. Complements the LSH path:
+    IVF partitions space into disjoint cells (better for clustered
+    data, cell-pruned scans), LSH ORs over hash tables (better recall
+    on uniform data). Cell ranking happens driver-side against the tiny
+    seed list; the member scan is an `isin`-pruned filter on the cell
+    column — with the assignment table partitioned by cell, a real
+    index probe."""
+    seeds = ivf_seeds(embeddings, n_cells)
+    qe = embeddings.filter(col("vec_id") == query_vec_id).collect()[0]["embedding"]
+    ranked = sorted(
+        ((round(_py_cos(qe, vec), 9), cid) for cid, vec in seeds),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_cells = [cid for _, cid in ranked[:n_probe]]
+    cands = (
+        ivf_assign(embeddings, seeds)
+        .filter(col("cell").isin(probe_cells) & (col("vec_id") != query_vec_id))
+        .select("vec_id", "embedding")
+    )
+    qe_col = F.array(*[lit(float(x)) for x in qe])
+    return (
+        cands.select(
+            "vec_id",
+            F.round(
+                _dot(col("embedding"), qe_col)
+                / (_norm(col("embedding")) * _norm(qe_col)),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(col("cos").desc(), col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def probe_keys(qsig: int, n_planes: int, probe_hamming: int) -> list[int]:
     """All signatures within hamming ≤ probe_hamming of qsig (the
     multi-probe bucket enumeration: 1 + P + C(P,2) + ... keys)."""

@@ -84,3 +84,32 @@ def test_minhash_dedup_labels_are_component_minima(spark):
     for d, k in labels.items():
         assert labels.get(k, k) == k, f"rep {k} of {d} is not a fixpoint"
         assert k <= d
+
+
+def test_ivf_finds_planted_neighbor(spark):
+    """IVF's guarantee: a true near neighbor shares the query's cell
+    (same argmax seed), so it is found at ANY n_probe ≥ 1."""
+    import math
+
+    from search_engine_spark.operators.similarity import ivf_cosine_topk
+
+    def vec(seed: int) -> list[float]:
+        return [math.sin(0.7 * seed + 1.3 * i) for i in range(64)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    rows.append((999, [x * 1.0005 + 1e-4 for x in vec(0)]))  # ≈ vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = [r["vec_id"] for r in ivf_cosine_topk(emb, 0, k=5, n_probe=1).collect()]
+    assert top and top[0] == 999, f"planted neighbor not first: {top}"
+
+
+def test_ivf_assignment_is_total_partition(spark):
+    """Every vector lands in exactly one cell, and cells are seed ids."""
+    from search_engine_spark.operators.similarity import ivf_assign, ivf_seeds
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seeds = ivf_seeds(emb, 16)
+    assigned = ivf_assign(emb, seeds)
+    assert assigned.count() == emb.count()
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= {cid for cid, _ in seeds}
