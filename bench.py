@@ -188,6 +188,9 @@ def main() -> None:
                     "pages_docs_per_sec": round(
                         N_PAGES / timings["pages_index_build"], 1
                     ),
+                    "block_queries_per_sec": round(
+                        len(batch_queries) / timings["block_bm25_100q"], 1
+                    ),
                 },
             }
         )
