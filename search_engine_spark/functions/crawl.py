@@ -35,9 +35,53 @@ from pyspark.sql.types import ArrayType, StringType
 
 from search_engine_spark.functions.textproc import _decode, _Element, _parse_html
 
-# F9 keyword set (policy-pluggable; the reference additionally runs a
-# profanity-ML analyzer we do not replicate — SURVEY §7.0/§2.2)
+# F9 keyword sets (policy-pluggable). The reference scores url+text with
+# the rustrict crate at the SEVERE threshold plus a custom trie entry
+# (url_handler.rs:8-69). We re-express rustrict's MECHANISM — matching
+# robust to leetspeak/confusable substitution, character repetition, and
+# separator obfuscation, with a severity threshold — as pure Catalyst
+# column ops (translate + regexp), with a deliberately small vendored
+# term list (the reference's own custom trie holds one entry; the policy
+# list is a deployment concern, the obfuscation-robust matcher is the
+# engine feature).
 BLOCKED_KEYWORDS = frozenset({"xvideos", "xxx", "porn"})
+# severe: distinctive adult-site tokens — matched as substrings, incl.
+# through stripped separators ("x-v-i-d-e-o-s")
+SEVERE_TERMS = ("xvideos", "pornhub", "xhamster", "xnxx", "redtube", "youporn")
+# moderate: short/ambiguous tokens — matched only at word boundaries on
+# the folded text ("sussex"/"essex" must NOT match)
+MODERATE_TERMS = ("porn", "xxx")
+
+
+def fold_obfuscation(c) -> "F.Column":
+    """rustrict-style confusable fold: lowercase + leet map (0→o, 3→e,
+    @→a, $→s, …) + collapse 3+ repeated chars to one. Pure codegen."""
+    x = F.lower(c)
+    x = F.translate(x, "@$!|013457", "asiloieast")
+    return F.regexp_replace(x, r"(.)\1\1+", "$1")
+
+
+def inappropriate(url_col, text_col=None, threshold: str = "severe") -> "F.Column":
+    """F9: reference is_inappropriate_page semantics (url_handler.rs:
+    44-69) — the url is scored first, then the extracted text; blocked
+    iff either crosses the threshold. threshold='severe' (the
+    reference's production setting, minimizes false positives) or
+    'moderate' (adds word-boundary matches of the short terms)."""
+    def scored(col) -> "F.Column":
+        folded = fold_obfuscation(col)
+        stripped = F.regexp_replace(folded, "[^a-z0-9]", "")
+        cond = F.lit(False)
+        for kw in SEVERE_TERMS:
+            cond = cond | folded.contains(kw) | stripped.contains(kw)
+        if threshold == "moderate":
+            for kw in MODERATE_TERMS:
+                cond = cond | folded.rlike(rf"\b{kw}")
+        return cond
+
+    cond = scored(url_col)
+    if text_col is not None:
+        cond = cond | scored(text_col)
+    return cond
 
 
 def extract_links(html: str) -> list[str]:
@@ -86,8 +130,10 @@ def resolve_url_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 
 
 def blocked_url(url_col) -> "F.Column":
-    """F9 policy predicate over the url (keyword set, Catalyst-side)."""
-    cond = F.lit(False)
+    """F9 policy predicate over the url alone (frontier pre-filter):
+    the plain keyword set PLUS the obfuscation-robust severe matcher —
+    a queued url is rejected before it is ever fetched."""
+    cond = inappropriate(url_col)
     for kw in sorted(BLOCKED_KEYWORDS):
         cond = cond | F.lower(url_col).contains(kw)
     return cond

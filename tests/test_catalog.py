@@ -30,3 +30,67 @@ def test_roundtrip_partitioned_sorted(spark, tmp_path):
     assert sorted(d for d in os.listdir(p) if d.startswith("part=")) == [
         "part=0", "part=1", "part=2"
     ]
+
+
+class TestMergeTable:
+    """K2 upsert sink (reference ON CONFLICT (url) DO UPDATE semantics,
+    db.rs:87-118) — parquet copy-on-write emulation of Iceberg MERGE."""
+
+    def test_upsert_updates_and_inserts(self, spark, tmp_path):
+        from search_engine_spark.catalog import merge_table, read_table
+
+        path = str(tmp_path / "pages")
+        base = spark.createDataFrame(
+            [(f"u{i}", f"old{i}") for i in range(10)], "url string, html string"
+        )
+        merge_table(base, path, keys=["url"])
+
+        delta = spark.createDataFrame(
+            [("u3", "NEW3"), ("u7", "NEW7"), ("u99", "NEW99")],
+            "url string, html string",
+        )
+        merge_table(delta, path, keys=["url"])
+
+        got = {r["url"]: r["html"] for r in read_table(spark, path).collect()}
+        assert len(got) == 11
+        assert got["u3"] == "NEW3" and got["u7"] == "NEW7"
+        assert got["u99"] == "NEW99"
+        assert got["u0"] == "old0"  # untouched row survives
+
+    def test_partitioned_merge_rewrites_only_touched_parts(self, spark, tmp_path):
+        import os
+
+        from search_engine_spark.catalog import merge_table, read_table
+
+        path = str(tmp_path / "parts")
+        base = spark.createDataFrame(
+            [(f"u{i}", i % 4, f"old{i}") for i in range(20)],
+            "url string, part int, html string",
+        )
+        merge_table(base, path, keys=["url"], partition_by=["part"])
+        mtimes = {
+            d: os.path.getmtime(os.path.join(path, d))
+            for d in os.listdir(path)
+            if d.startswith("part=")
+        }
+
+        delta = spark.createDataFrame(
+            [("u1", 1, "NEW1"), ("u100", 1, "NEW100")],
+            "url string, part int, html string",
+        )
+        import time
+
+        time.sleep(1.1)
+        merge_table(delta, path, keys=["url"], partition_by=["part"])
+
+        got = {r["url"]: r["html"] for r in read_table(spark, path).collect()}
+        assert len(got) == 21
+        assert got["u1"] == "NEW1" and got["u100"] == "NEW100"
+        assert got["u5"] == "old5"
+        # only part=1 was replaced on disk
+        for d, old_m in mtimes.items():
+            new_m = os.path.getmtime(os.path.join(path, d))
+            if d == "part=1":
+                assert new_m > old_m
+            else:
+                assert new_m == old_m, f"{d} was rewritten"

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from search_engine_spark.functions.crawl import (
     blocked_url,
     crawl_frontier,
@@ -73,3 +75,51 @@ def test_blocked_url_predicate(spark):
     )
     kept = [r["url"] for r in df.filter(~blocked_url(df.url)).collect()]
     assert kept == ["https://ok.example/a"]
+
+
+class TestInappropriateFilter:
+    """F9 upgraded to the reference's MECHANISM (url_handler.rs:44-69):
+    obfuscation-robust matching at a severity threshold, over url then
+    extracted text."""
+
+    def _hits(self, spark, rows, **kw):
+        from search_engine_spark.functions.crawl import inappropriate
+
+        df = spark.createDataFrame(rows, "url string, text string")
+        return {
+            r["url"]
+            for r in df.filter(
+                inappropriate(F.col("url"), F.col("text"), **kw)
+            ).collect()
+        }
+
+    def test_obfuscated_severe_terms_blocked(self, spark):
+        rows = [
+            ("https://xvideos.example/a", "hello"),
+            ("https://xv1d30s.example/b", "hello"),       # leet
+            ("https://x-v-i-d-e-o-s.example/c", "hello"),  # separators
+            ("https://p0rnhub.example/d", "hello"),
+            ("https://clean.example/e", "visit xxvideoss now"),  # repeats in text
+            ("https://fine.example/f", "an ordinary page"),
+        ]
+        hits = self._hits(spark, rows)
+        assert hits == {
+            "https://xvideos.example/a",
+            "https://xv1d30s.example/b",
+            "https://x-v-i-d-e-o-s.example/c",
+            "https://p0rnhub.example/d",
+            "https://clean.example/e",
+        }
+
+    def test_severe_threshold_minimizes_false_positives(self, spark):
+        # the reference pins SEVERE exactly to avoid these (is_severity_
+        # inappropriate comment): short ambiguous terms pass at severe
+        rows = [
+            ("https://sussex.ac.uk/essex", "the essex and sussex survey"),
+            ("https://example.com/cornporn", "popcorn porn research"),
+        ]
+        assert self._hits(spark, rows) == set()
+        # at moderate, boundary matches of the short terms do block
+        assert self._hits(spark, rows, threshold="moderate") == {
+            "https://example.com/cornporn",
+        }
