@@ -156,7 +156,148 @@ class _TreeBuilder(HTMLParser):
             self._append_text(data)
 
 
+# -- fast tag scanner --------------------------------------------------------
+#
+# stdlib html.parser spends ~90% of extraction time in its tolerant
+# per-tag machinery (goahead/parse_starttag/updatepos — profiled 0.43
+# ms/page, the dominant cost of the whole index build). This scanner
+# handles the CLEAN subset (well-formed start/end tags, quoted or plain
+# unquoted attributes, comments, doctypes, PIs, script/style raw-text
+# mode, charref conversion) with a single compiled regex per construct,
+# feeding the SAME _TreeBuilder callbacks — and returns None the moment
+# the input leaves that subset, upon which the caller re-parses the
+# whole document with html.parser. Engine semantics therefore remain
+# exactly html.parser's (goldens + the 640 KB Wikipedia fixture +
+# hypothesis fuzz assert fast == stdlib), only faster on the clean
+# majority.
+
+_F_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"((?:\s+[a-zA-Z_:][a-zA-Z0-9:._-]*"
+    r"""(?:\s*=\s*(?:"[^"<]*"|'[^'<]*'|(?!["'])[^>\s]*))?)*)"""
+    r"\s*(/?)>"
+)
+_F_ATTR = re.compile(
+    r"\s+([a-zA-Z_:][a-zA-Z0-9:._-]*)"
+    r"""(?:\s*=\s*("[^"<]*"|'[^'<]*'|(?!["'])[^>\s]*))?"""
+)
+_F_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
+_F_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_F_DECL = re.compile(r"<![a-zA-Z][^>]*>")
+_F_PI = re.compile(r"<\?[^>]*>")
+_F_RAWTEXT_END = {
+    t: re.compile(rf"</\s*{t}", re.I) for t in ("script", "style")
+}
+_F_END_TOL = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
+
+
+def _unesc(s: str) -> str:
+    if "&" in s:
+        from html import unescape
+
+        return unescape(s)
+    return s
+
+
+def _scan_fast(html: str, tb: _TreeBuilder) -> bool:
+    """Drive tb's callbacks over clean HTML; False → caller must fall
+    back to the stdlib parser (tb state is then unusable)."""
+    i, n = 0, len(html)
+    emit_data = tb.handle_data
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            emit_data(_unesc(html[i:]))
+            break
+        if lt > i:
+            emit_data(_unesc(html[i:lt]))
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt.isalpha():
+            m = _F_START.match(html, lt)
+            if not m:
+                return False
+            tag = m.group(1).lower()
+            raw_attrs, selfclose = m.group(2), m.group(3)
+            attrs = []
+            pos = 0
+            for am in _F_ATTR.finditer(raw_attrs):
+                if am.start() != pos and raw_attrs[pos : am.start()].strip():
+                    return False
+                pos = am.end()
+                v = am.group(2)
+                if v is None:
+                    v = ""
+                elif v[:1] in "\"'":
+                    v = _unesc(v[1:-1])
+                else:
+                    v = _unesc(v)
+                attrs.append((am.group(1).lower(), v))
+            if raw_attrs[pos:].strip():
+                return False
+            if selfclose:
+                tb.handle_startendtag(tag, attrs)
+            else:
+                tb.handle_starttag(tag, attrs)
+            i = m.end()
+            if tag in _F_RAWTEXT_END and not selfclose:
+                # raw-text mode: data (UNescaped) runs to the matching
+                # close tag; a non-matching </xxx> stays data, exactly
+                # like html.parser's cdata_elem handling
+                while True:
+                    em = _F_RAWTEXT_END[tag].search(html, i)
+                    if not em:
+                        # html.parser NEVER emits unterminated raw-text
+                        # content (goahead breaks out of cdata mode at
+                        # EOF without flushing) — drop it identically
+                        i = n
+                        break
+                    tm = _F_END_TOL.match(html, em.start())
+                    if not tm:
+                        return False
+                    if em.start() > i:
+                        emit_data(html[i : em.start()])
+                    if tm.group(1).lower() == tag:
+                        tb.handle_endtag(tag)
+                        i = tm.end()
+                        break
+                    emit_data(tm.group(0))
+                    i = tm.end()
+        elif nxt == "/":
+            m = _F_END.match(html, lt)
+            if not m:
+                return False
+            tb.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif nxt == "!":
+            m = _F_COMMENT.match(html, lt) or _F_DECL.match(html, lt)
+            if not m:
+                return False  # <![CDATA[, broken comment, …
+            i = m.end()
+        elif nxt == "?":
+            m = _F_PI.match(html, lt)
+            if not m:
+                return False
+            i = m.end()
+        else:
+            # html.parser treats a lone '<' before non-tag chars as text
+            emit_data("<")
+            i = lt + 1
+    return True
+
+
 def _parse_html(html: str) -> _Element:
+    tb = _TreeBuilder()
+    if _scan_fast(html, tb):
+        return tb.root
+    tb = _TreeBuilder()
+    tb.feed(html)
+    tb.close()
+    return tb.root
+
+
+def _parse_html_stdlib(html: str) -> _Element:
+    """Reference path (always stdlib html.parser) — parity twin for
+    tests; production goes through the fast scanner with fallback."""
     tb = _TreeBuilder()
     tb.feed(html)
     tb.close()

@@ -55,3 +55,77 @@ def test_normalize_url_total(u):
     except ValueError:
         return  # urlsplit rejects some byte soup; rejection is fine, crash is not
     assert out.startswith("https://")
+
+
+# -- fast-scanner parity (the fast path must be INVISIBLE semantically) -----
+
+def _tree_text(el):
+    """Serialize a parse tree for exact structural comparison."""
+    if isinstance(el, str):
+        return ("T", el)
+    return ("E", el.tag, tuple(sorted(el.attrs.items())),
+            tuple(_tree_text(c) for c in el.children))
+
+
+def _trees(s):
+    from search_engine_spark.functions.textproc import (
+        _parse_html,
+        _parse_html_stdlib,
+    )
+
+    return _tree_text(_parse_html(s)), _tree_text(_parse_html_stdlib(s))
+
+
+@given(st.one_of(html_ish, tagged))
+@settings(max_examples=300, deadline=None)
+def test_fast_scanner_tree_parity_fuzz(s):
+    fast, slow = _trees(s)
+    assert fast == slow
+
+
+def test_fast_scanner_tree_parity_handcrafted():
+    cases = [
+        '<html><head><title>T &amp; U</title></head><body><p>a<b>b</b>c</p></body></html>',
+        '<p>one<p>two<li>x<li>y<ul><li>z</li></ul>',
+        '<script>var a = "<p>not a tag</p>"; if (a<b) {}</script><p>after</p>',
+        '<script></scriptx></script><p>ok</p>',
+        "<a href='q?x=1&amp;y=2'>link</a><img alt=\"A &lt; B\">",
+        '<br/><input disabled><p class=plain id="q">t</p>',
+        '<!-- c -- comment --><!DOCTYPE html><?pi data?><p>t</p>',
+        '<p>3 < 5 and <3 hearts</p>',
+        '<P CLASS="X">Upper</P>',
+        '<div><p>unclosed',
+        '<![CDATA[a>b]]><p>after cdata</p>',       # falls back (stdlib path)
+        '</ p><p>tolerant endtag</p>',             # falls back
+        '<p a=">">quote-gt attr</p>',              # falls back
+        '<style>p{content:"</x>"}</style><p>s</p>',
+    ]
+    for s in cases:
+        fast, slow = _trees(s)
+        assert fast == slow, s
+
+
+def test_fast_scanner_parity_wikipedia_fixture():
+    from pathlib import Path
+
+    from search_engine_spark.functions.textproc import extract_text
+
+    html = (
+        Path(__file__).parent / "fixtures" / "wikipedia_article.html"
+    ).read_text()
+    fast, slow = _trees(html)
+    assert fast == slow
+    assert extract_text(html)  # non-empty through the production path
+
+
+def test_fast_scanner_parity_corpus_pages():
+    import numpy as np
+
+    from search_engine_spark.sources.corpus import _page_html, _vocab
+
+    vocab = _vocab(500)
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        s = _page_html(rng, vocab, scale=2)
+        fast, slow = _trees(s)
+        assert fast == slow
