@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: ta.token_counts_by(_documents(s, d), "lang")
         ),
         "fingerprints": q(lambda s, d: ta.fingerprints(_documents(s, d))),
+        "corpus_stats": q(lambda s, d: ta.corpus_stats(_documents(s, d))),
         "token_counts_bpe": q(lambda s, d: ta.token_counts_bpe(_documents(s, d))),
         "rolling_fingerprints": q(
             lambda s, d: ta.rolling_fingerprints(_documents(s, d))
@@ -750,6 +751,17 @@ FROM s GROUP BY 1, 2""",
         "unnest(string_split(text, ' ')) AS term FROM documents) "
         "SELECT lang, count(*) AS n_tokens FROM tokens WHERE term <> '' GROUP BY lang",
         "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "corpus_stats": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+v AS (SELECT count(DISTINCT term) AS v FROM tf)
+SELECT count(*) AS n_docs,
+       CAST(v.v AS BIGINT) AS vocab_size,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       round(avg(dl), 6) AS avg_dl,
+       round(quantile_cont(dl, 0.5), 6) AS p50_dl,
+       round(quantile_cont(dl, 0.95), 6) AS p95_dl
+FROM dl, v GROUP BY v.v""",
         "token_counts_bpe": r"""
 SELECT doc_id,
        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws,

@@ -55,10 +55,13 @@ MODERATE_TERMS = ("porn", "xxx")
 
 def fold_obfuscation(c) -> "F.Column":
     """rustrict-style confusable fold: lowercase + leet map (0→o, 3→e,
-    @→a, $→s, …) + collapse 3+ repeated chars to one. Pure codegen."""
+    @→a, $→s, …) + collapse 3+ repeated letters/digits to one. Pure
+    codegen. (Collapse is scoped to [a-z0-9] — the obfuscation target —
+    which keeps the transform RE2-expressible for SQL twins: RE2 has no
+    backreferences, but per-character `a{3,}` runs enumerate.)"""
     x = F.lower(c)
     x = F.translate(x, "@$!|013457", "asiloieast")
-    return F.regexp_replace(x, r"(.)\1\1+", "$1")
+    return F.regexp_replace(x, r"([a-z0-9])\1\1+", "$1")
 
 
 def inappropriate(url_col, text_col=None, threshold: str = "severe") -> "F.Column":

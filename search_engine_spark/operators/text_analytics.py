@@ -313,6 +313,24 @@ def rolling_fingerprints(
     )
 
 
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """One-row corpus profile: doc count, vocabulary size, total tokens,
+    mean/median/p95 document length — the summary a pipeline operator
+    prints before/after each cleaning stage. Two shuffles (doc agg +
+    global agg); the exact interpolated percentile matches DuckDB's
+    quantile_cont definition, so the row is value-oracled."""
+    dl = doc_lengths(documents)
+    vocab = term_df(documents).agg(F.count(F.lit(1)).alias("v")).collect()[0]["v"]
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(int(vocab)).alias("vocab_size"),
+        F.sum("dl").alias("total_tokens"),
+        F.round(F.avg("dl"), 6).alias("avg_dl"),
+        F.round(F.expr("percentile(dl, 0.5)"), 6).alias("p50_dl"),
+        F.round(F.expr("percentile(dl, 0.95)"), 6).alias("p95_dl"),
+    )
+
+
 def token_counts_by(documents: DataFrame, key: str) -> DataFrame:
     """Token counting rolled up by an arbitrary column (e.g. lang)."""
     return (

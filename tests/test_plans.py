@@ -114,3 +114,15 @@ def test_minhash_single_md5_per_row(spark):
         f"md5 appears {plan.count('md5')} times — base hash duplicated "
         "into the permutation columns"
     )
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """IVF cell assignment must be a shuffle-free map (literal seed
+    math inside the scan stage) — an Exchange here would mean the
+    10^12-row assignment pays a sort/shuffle it doesn't need."""
+    from search_engine_spark.operators.similarity import ivf_assign, ivf_seeds
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    seeds = ivf_seeds(emb, 8)
+    plan = _plan(ivf_assign(emb, seeds).filter(F.col("cell") == seeds[0][0]))
+    assert "Exchange" not in plan, plan[:1500]

@@ -219,3 +219,38 @@ class TestTreebankTokenizer:
         assert tokenize_query("Don't") == ["n't"]
         assert tokenize_query("hitman's") == ["hitman", "'s"]
         assert tokenize_query("persona 5 strikers") == ["persona", "5", "strikers"]
+
+
+class TestTreebankMoreGoldens:
+    """Additional pinned NLTK word_tokenize outputs (published
+    behavior; nltk itself is not installed in this environment)."""
+
+    def test_more_contractions(self):
+        from search_engine_spark.functions.textproc import treebank_word_tokenize as t
+
+        assert t("she's it's that's") == ["she", "'s", "it", "'s", "that", "'s"]
+        assert t("won't shouldn't isn't aren't") == [
+            "wo", "n't", "should", "n't", "is", "n't", "are", "n't"
+        ]
+        assert t("y'all d'ye lemme gimme") == [
+            "y'all", "d", "'ye", "lem", "me", "gim", "me"
+        ]
+        assert t("'tis 'twas") == ["'t", "is", "'t", "was"]
+
+    def test_symbols_and_numbers(self):
+        from search_engine_spark.functions.textproc import treebank_word_tokenize as t
+
+        assert t("$19.99 & 50% off!") == ["$", "19.99", "&", "50", "%", "off", "!"]
+        assert t("a,b;c:d") == ["a", ",", "b", ";", "c", ":", "d"]
+        assert t("3.14 is pi.") == ["3.14", "is", "pi", "."]
+        assert t("one...two") == ["one", "...", "two"]
+        assert t("[bracketed] (parens)") == [
+            "[", "bracketed", "]", "(", "parens", ")"
+        ]
+
+    def test_colon_before_digit_kept(self):
+        from search_engine_spark.functions.textproc import treebank_word_tokenize as t
+
+        # ([:,])([^\d]) rule: colon before a DIGIT is not split
+        assert t("10:30 pm") == ["10:30", "pm"]
+        assert t("3,000 items") == ["3,000", "items"]
