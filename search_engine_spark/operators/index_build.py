@@ -58,10 +58,29 @@ def check_doc_id_collisions(docs: DataFrame) -> int:
     )
 
 
+def latest_snapshot(pages: DataFrame) -> DataFrame:
+    """One row per url: the LATEST crawl snapshot by warc_ts (ties →
+    greatest warc_ts wins arbitrarily among identical timestamps via
+    row_number determinism on the sort). A Common-Crawl-style table
+    accumulates re-crawls of the same url; indexing must see exactly
+    one — the reference's Postgres upsert enforces this per-row
+    (db.rs:87-118), a warehouse table enforces it with this windowed
+    dedup. One shuffle on url; at 10^12 rows AQE skew-join settings
+    handle hot urls, and an Iceberg MERGE ingest (catalog.merge_table)
+    makes this a no-op."""
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def prepare_docs(
     pages: DataFrame,
     id_method: str = "hash",
     recompute_text: bool = False,
+    dedup_snapshots: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → docs(doc_id, url, text).
 
@@ -72,7 +91,12 @@ def prepare_docs(
       byte-identity invariant); default trusts the stored text column and
       NEVER reads the html binary column (column pruning keeps it out of
       the scan entirely — ReadSchema shows url/text/lang only).
+    - `dedup_snapshots=True` first reduces re-crawled urls to their
+      latest warc_ts snapshot (latest_snapshot); default off because the
+      synthetic corpus is single-snapshot and the window costs a shuffle.
     """
+    if dedup_snapshots:
+        pages = latest_snapshot(pages)
     df = pages.filter(F.col("lang").startswith("en"))
     if recompute_text:
         df = df.withColumn("text", extract_text_udf(F.col("html")))

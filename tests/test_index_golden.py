@@ -103,3 +103,33 @@ class TestSparkGolden:
         res = score_tfidf_compat(index, qt).collect()
         assert [(r["doc_id"]) for r in res] == [1, 2, 3]
         assert res[0]["score"] == pytest.approx(0.95424247, abs=1e-6)
+
+
+def test_latest_snapshot_dedups_recrawls(spark):
+    """input-hint semantics: a Common-Crawl-style table holds re-crawls
+    of the same url; prepare_docs(dedup_snapshots=True) must index only
+    the latest warc_ts snapshot per url."""
+    import datetime as dt
+
+    from search_engine_spark.operators.index_build import (
+        latest_snapshot,
+        prepare_docs,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example/x", t0, b"<p>old</p>", "old version", "en"),
+        ("https://a.example/x", t0 + dt.timedelta(days=2), b"<p>new</p>", "new version", "en"),
+        ("https://a.example/x", t0 + dt.timedelta(days=1), b"<p>mid</p>", "mid version", "en"),
+        ("https://b.example/y", t0, b"<p>only</p>", "only version", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    snap = {r["url"]: r["text"] for r in latest_snapshot(pages).collect()}
+    assert snap == {
+        "https://a.example/x": "new version",
+        "https://b.example/y": "only version",
+    }
+    docs = prepare_docs(pages, id_method="dense", dedup_snapshots=True)
+    assert {r["text"] for r in docs.collect()} == {"new version", "only version"}
