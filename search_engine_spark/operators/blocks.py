@@ -169,12 +169,37 @@ def _bucket_topk(
     for row in pdf.itertuples(index=False):
         by_term.setdefault(row.term, []).append(row)
 
+    # per-BUCKET decode caches: in a multi-query batch the same term's
+    # blocks serve every query that mentions the term — decode doc ids
+    # (and lazily, score bytes) once per block, not once per (query,
+    # block). At 100 batched queries over a shared vocabulary this is
+    # the difference between O(blocks) and O(queries·blocks) decodes.
+    doc_cache: dict[int, np.ndarray] = {}
+    score_cache: dict[int, np.ndarray] = {}
+
+    def docs_of(r) -> np.ndarray:
+        key = id(r)
+        d = doc_cache.get(key)
+        if d is None:
+            d = doc_cache[key] = _decode_docs_bytes(bytes(r.doc_bytes))
+        return d
+
+    def scores_of(r) -> np.ndarray:
+        key = id(r)
+        s = score_cache.get(key)
+        if s is None:
+            dt = np.float64 if getattr(r, "score_width", 4) == 8 else np.float32
+            s = score_cache[key] = np.frombuffer(
+                bytes(r.score_bytes), dtype=dt
+            ).astype(np.float64)
+        return s
+
     for qid, terms in query_terms.items():
         rows = [r for t in terms for r in by_term.get(t, [])]
         if not rows:
             continue
         # phase 1: doc ids + upper bounds (score bytes untouched)
-        doc_arrays = [_decode_docs_bytes(bytes(r.doc_bytes)) for r in rows]
+        doc_arrays = [docs_of(r) for r in rows]
         all_docs = np.concatenate(doc_arrays)
         ubs = np.concatenate(
             [np.full(len(d), r.max_score, dtype=np.float64) for d, r in zip(doc_arrays, rows)]
@@ -183,12 +208,10 @@ def _bucket_topk(
         ub = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(ub, inv, ubs)
 
-        decoded_scores: list[np.ndarray | None] = [None] * len(rows)
-
         def exact_scores(doc_sel: np.ndarray) -> np.ndarray:
             """complete scores for the selected doc ids (sorted array)."""
             total = np.zeros(len(doc_sel), dtype=np.float64)
-            for i, (r, darr) in enumerate(zip(rows, doc_arrays)):
+            for r, darr in zip(rows, doc_arrays):
                 # find which selected docs are in this block
                 pos = np.searchsorted(darr, doc_sel)
                 pos_ok = pos < len(darr)
@@ -196,12 +219,7 @@ def _bucket_topk(
                 hit[pos_ok] = darr[pos[pos_ok]] == doc_sel[pos_ok]
                 if not hit.any():
                     continue
-                if decoded_scores[i] is None:
-                    dt = np.float64 if getattr(r, "score_width", 4) == 8 else np.float32
-                    decoded_scores[i] = np.frombuffer(
-                        bytes(r.score_bytes), dtype=dt
-                    ).astype(np.float64)
-                total[hit] += decoded_scores[i][pos[hit]]
+                total[hit] += scores_of(r)[pos[hit]]
             return total
 
         if not prune or len(uniq) <= 2 * k:
