@@ -88,7 +88,9 @@ def merge_table(
     (the untouched partitions' files are never opened), which is
     exactly the partition-pruned copy-on-write a 100 TB upsert needs.
     The directory swap is the parquet stand-in for a snapshot commit;
-    on a real deployment the Iceberg path makes it atomic.
+    on a real deployment the Iceberg path makes it atomic. Pruning is
+    single-partition-column only (the swap replaces first-level dirs
+    whole); nested partition_by falls back to the full rewrite.
     """
     import shutil
 
@@ -114,15 +116,24 @@ def merge_table(
     spark.catalog.refreshByPath(path)
     target = spark.read.parquet(path)
     tmp = f"{local}.__merge_tmp"
+    if partition_by and len(partition_by) > 1:
+        # the dir-swap below replaces FIRST-LEVEL partition dirs whole;
+        # with nested partitioning a swapped date=D dir would drop the
+        # target's untouched hour= subdirs (review finding r2). Fall
+        # back to the full-table rewrite — still correct, not pruned.
+        partition_by = None
     if partition_by:
-        # prune to the partitions the source touches
+        # prune to the partitions the source touches (null-SAFE
+        # equality: a null partition value must select its partition,
+        # not evaluate the predicate to NULL and drop the kept rows —
+        # review finding r2)
         pcols = list(partition_by)
         touched = [tuple(r) for r in source.select(*pcols).distinct().collect()]
         pred = F.lit(False)
         for vals in touched:
             row_pred = F.lit(True)
             for c, v in zip(pcols, vals):
-                row_pred = row_pred & (F.col(c) == F.lit(v))
+                row_pred = row_pred & F.col(c).eqNullSafe(F.lit(v))
             pred = pred | row_pred
         keep = target.filter(pred).join(
             source.select(*keys).distinct(), keys, "left_anti"

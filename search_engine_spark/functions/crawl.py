@@ -24,6 +24,7 @@ Semantics re-expressed from the reference (not copied):
 
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, urlencode, urljoin, urlparse
 
 import pandas as pd
@@ -45,23 +46,38 @@ from search_engine_spark.functions.textproc import _decode, _Element, _parse_htm
 # list is a deployment concern, the obfuscation-robust matcher is the
 # engine feature).
 BLOCKED_KEYWORDS = frozenset({"xvideos", "xxx", "porn"})
-# severe: distinctive adult-site tokens — matched as substrings, incl.
-# through stripped separators ("x-v-i-d-e-o-s")
+# severe: distinctive adult-site tokens — substring on the collapsed
+# fold, or the fully-separated per-letter evasion ("x-v-i-d-e-o-s")
 SEVERE_TERMS = ("xvideos", "pornhub", "xhamster", "xnxx", "redtube", "youporn")
 # moderate: short/ambiguous tokens — matched only at word boundaries on
 # the folded text ("sussex"/"essex" must NOT match)
 MODERATE_TERMS = ("porn", "xxx")
 
 
-def fold_obfuscation(c) -> "F.Column":
-    """rustrict-style confusable fold: lowercase + leet map (0→o, 3→e,
-    @→a, $→s, …) + collapse 3+ repeated letters/digits to one. Pure
-    codegen. (Collapse is scoped to [a-z0-9] — the obfuscation target —
-    which keeps the transform RE2-expressible for SQL twins: RE2 has no
-    backreferences, but per-character `a{3,}` runs enumerate.)"""
+def fold_leet(c) -> "F.Column":
+    """Confusable fold only: lowercase + leet map (0→o, 3→e, @→a, $→s,
+    …). Pure codegen; no repeat collapse (moderate terms like 'xxx'
+    must stay visible — review finding r2)."""
     x = F.lower(c)
-    x = F.translate(x, "@$!|013457", "asiloieast")
-    return F.regexp_replace(x, r"([a-z0-9])\1\1+", "$1")
+    return F.translate(x, "@$!|013457", "asiloieast")
+
+
+def fold_obfuscation(c) -> "F.Column":
+    """fold_leet + collapse 3+ repeated letters/digits to one
+    ('xxvideoss' → 'xvideos'). Collapse is scoped to [a-z0-9] runs —
+    the obfuscation target — which keeps the transform RE2-expressible
+    for SQL twins (RE2 has no backreferences, but per-character
+    `a{3,}` runs enumerate)."""
+    return F.regexp_replace(fold_leet(c), r"([a-z0-9])\1\1+", "$1")
+
+
+def _spaced_term_re(kw: str) -> str:
+    """'xvideos' → 'x[-_. ]v[-_. ]i…': the fully-punctuated evasion
+    (a separator between EVERY adjacent letter pair). Requiring every
+    gap avoids the compound false positive 'xbox-videos' / 'xbox
+    videos' — one joining separator reads as a word boundary, the
+    per-letter pattern reads as deliberate obfuscation."""
+    return r"[-_. ]".join(re.escape(ch) for ch in kw)
 
 
 def inappropriate(url_col, text_col=None, threshold: str = "severe") -> "F.Column":
@@ -69,16 +85,24 @@ def inappropriate(url_col, text_col=None, threshold: str = "severe") -> "F.Colum
     44-69) — the url is scored first, then the extracted text; blocked
     iff either crosses the threshold. threshold='severe' (the
     reference's production setting, minimizes false positives) or
-    'moderate' (adds word-boundary matches of the short terms)."""
+    'moderate' (adds word-boundary matches of the short terms).
+
+    Severe matching = substring on the repeat-collapsed fold (leet +
+    repeated-char evasions) OR the fully-separated per-letter pattern
+    ('x-v-i-d-e-o-s'). Deliberately NOT a strip-all-separators
+    substring check: that matched across word boundaries ('xbox
+    videos' → 'xboxvideos' ⊃ 'xvideos') and silently dropped
+    legitimate pages (review finding r2)."""
     def scored(col) -> "F.Column":
-        folded = fold_obfuscation(col)
-        stripped = F.regexp_replace(folded, "[^a-z0-9]", "")
+        leet = fold_leet(col)
+        collapsed = F.regexp_replace(leet, r"([a-z0-9])\1\1+", "$1")
         cond = F.lit(False)
         for kw in SEVERE_TERMS:
-            cond = cond | folded.contains(kw) | stripped.contains(kw)
+            cond = cond | collapsed.contains(kw) | leet.rlike(_spaced_term_re(kw))
         if threshold == "moderate":
             for kw in MODERATE_TERMS:
-                cond = cond | folded.rlike(rf"\b{kw}")
+                # on the UNcollapsed fold: 'xxx' must stay matchable
+                cond = cond | leet.rlike(rf"\b{kw}")
         return cond
 
     cond = scored(url_col)

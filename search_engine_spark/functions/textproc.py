@@ -445,6 +445,7 @@ _TB_PUNCTUATION = [
     (re.compile(r"[*]"), r" \g<0> "),
 ]
 _TB_PARENS = (re.compile(r"[\]\[\(\)\{\}\<\>]"), r" \g<0> ")
+_TB_DOUBLE_DASHES = (re.compile(r"--"), r" -- ")
 _TB_ENDING_QUOTES = [
     (re.compile(r"([»”’])"), r" \1 "),
     (re.compile(r"''"), " '' "),
@@ -472,6 +473,7 @@ def treebank_word_tokenize(text: str) -> str | list[str]:
     for regexp, sub in _TB_PUNCTUATION:
         text = regexp.sub(sub, text)
     text = _TB_PARENS[0].sub(_TB_PARENS[1], text)
+    text = _TB_DOUBLE_DASHES[0].sub(_TB_DOUBLE_DASHES[1], text)
     text = " " + text + " "
     for regexp, sub in _TB_ENDING_QUOTES:
         text = regexp.sub(sub, text)

@@ -59,16 +59,20 @@ def check_doc_id_collisions(docs: DataFrame) -> int:
 
 
 def latest_snapshot(pages: DataFrame) -> DataFrame:
-    """One row per url: the LATEST crawl snapshot by warc_ts (ties →
-    greatest warc_ts wins arbitrarily among identical timestamps via
-    row_number determinism on the sort). A Common-Crawl-style table
+    """One row per url: the LATEST crawl snapshot by warc_ts; equal
+    timestamps tie-break on a content hash so the pick is a pure
+    function of the data, not of shuffle order (review finding r2 —
+    row_number over a non-total order differs across runs and task
+    retries). A Common-Crawl-style table
     accumulates re-crawls of the same url; indexing must see exactly
     one — the reference's Postgres upsert enforces this per-row
     (db.rs:87-118), a warehouse table enforces it with this windowed
     dedup. One shuffle on url; at 10^12 rows AQE skew-join settings
     handle hot urls, and an Iceberg MERGE ingest (catalog.merge_table)
     makes this a no-op."""
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).desc()
+    )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -143,7 +143,14 @@ def ivf_cosine_topk(
     column — with the assignment table partitioned by cell, a real
     index probe."""
     seeds = ivf_seeds(embeddings, n_cells)
-    qe = embeddings.filter(col("vec_id") == query_vec_id).collect()[0]["embedding"]
+    qrows = embeddings.filter(col("vec_id") == query_vec_id).limit(1).collect()
+    if not qrows:
+        # unknown/deleted query vector → empty result, not a crash
+        # (r1 behavior, restored per review finding r2)
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cos double"
+        )
+    qe = qrows[0]["embedding"]
     ranked = sorted(
         ((round(_py_cos(qe, vec), 9), cid) for cid, vec in seeds),
         key=lambda t: (-t[0], t[1]),
@@ -209,10 +216,19 @@ def lsh_cosine_topk(
     sig_col = hyperplane_sigs(col("embedding"), dim, n_planes, n_tables)
     with_sig = embeddings.select("vec_id", "embedding", sig_col.alias("sigs"))
 
-    qrow = with_sig.filter(col("vec_id") == query_vec_id).select(
-        "sigs", "embedding"
-    ).collect()[0]
-    qsigs, qe = qrow["sigs"], qrow["embedding"]
+    qrows = (
+        with_sig.filter(col("vec_id") == query_vec_id)
+        .select("sigs", "embedding")
+        .limit(1)
+        .collect()
+    )
+    if not qrows:
+        # unknown/deleted query vector → empty result, not a crash
+        # (r1 behavior, restored per review finding r2)
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cos double"
+        )
+    qsigs, qe = qrows[0]["sigs"], qrows[0]["embedding"]
 
     sigs = with_sig.select(
         "vec_id", "embedding", F.posexplode("sigs").alias("t", "sig")

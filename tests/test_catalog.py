@@ -94,3 +94,43 @@ class TestMergeTable:
                 assert new_m > old_m
             else:
                 assert new_m == old_m, f"{d} was rewritten"
+
+    def test_nested_partitioning_preserves_sibling_subparts(self, spark, tmp_path):
+        """Review finding: with multi-column partition_by the first-level
+        dir swap must NOT drop the target's untouched nested subparts
+        (falls back to a full rewrite)."""
+        from search_engine_spark.catalog import merge_table, read_table
+
+        path = str(tmp_path / "nested")
+        base = spark.createDataFrame(
+            [(f"u{h}", "d1", h % 4, f"old{h}") for h in range(8)],
+            "url string, d string, h int, html string",
+        )
+        merge_table(base, path, keys=["url"], partition_by=["d", "h"])
+        delta = spark.createDataFrame(
+            [("u1", "d1", 1, "NEW1")], "url string, d string, h int, html string"
+        )
+        merge_table(delta, path, keys=["url"], partition_by=["d", "h"])
+        got = {r["url"]: r["html"] for r in read_table(spark, path).collect()}
+        assert len(got) == 8
+        assert got["u1"] == "NEW1"
+        assert got["u2"] == "old2"  # sibling subpartition survived
+
+    def test_null_partition_values_survive(self, spark, tmp_path):
+        """Review finding: the pruning predicate must be null-safe — a
+        null partition value selects its partition instead of dropping
+        the kept rows."""
+        from search_engine_spark.catalog import merge_table, read_table
+
+        path = str(tmp_path / "nulls")
+        base = spark.createDataFrame(
+            [("u1", None, "old1"), ("u2", None, "old2"), ("u3", 1, "old3")],
+            "url string, part int, html string",
+        )
+        merge_table(base, path, keys=["url"], partition_by=["part"])
+        delta = spark.createDataFrame(
+            [("u2", None, "NEW2")], "url string, part int, html string"
+        )
+        merge_table(delta, path, keys=["url"], partition_by=["part"])
+        got = {r["url"]: r["html"] for r in read_table(spark, path).collect()}
+        assert got == {"u1": "old1", "u2": "NEW2", "u3": "old3"}

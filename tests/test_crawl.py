@@ -111,6 +111,26 @@ class TestInappropriateFilter:
             "https://clean.example/e",
         }
 
+    def test_compound_words_not_false_positives(self, spark):
+        # review finding: strip-all-separators matched across word
+        # boundaries; compound/adjacent words must pass at severe
+        rows = [
+            ("https://example.com/xbox-videos", "xbox videos and remix videos"),
+            ("https://remix.example/v", "the remix videos channel"),
+            ("https://fine.example/w", "an ordinary page"),
+        ]
+        assert self._hits(spark, rows) == set()
+        # while the fully-separated per-letter evasion still blocks
+        rows2 = [("https://x_v_i_d_e_o_s.example/z", "hello")]
+        assert len(self._hits(spark, rows2)) == 1
+
+    def test_moderate_xxx_matches(self, spark):
+        # review finding: the repeat collapse ran before the \bxxx
+        # check, making "xxx" unmatchable at moderate
+        rows = [("https://example.com/a", "hot xxx content")]
+        assert self._hits(spark, rows) == set()  # severe: no
+        assert len(self._hits(spark, rows, threshold="moderate")) == 1
+
     def test_severe_threshold_minimizes_false_positives(self, spark):
         # the reference pins SEVERE exactly to avoid these (is_severity_
         # inappropriate comment): short ambiguous terms pass at severe

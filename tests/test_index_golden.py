@@ -133,3 +133,23 @@ def test_latest_snapshot_dedups_recrawls(spark):
     }
     docs = prepare_docs(pages, id_method="dense", dedup_snapshots=True)
     assert {r["text"] for r in docs.collect()} == {"new version", "only version"}
+
+
+def test_latest_snapshot_tie_is_deterministic(spark):
+    """Review finding: equal warc_ts snapshots must resolve by content
+    hash (pure function of data), not shuffle order."""
+    import datetime as dt
+
+    from search_engine_spark.operators.index_build import latest_snapshot
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("https://t.example/x", t0, b"a", "alpha", "en"),
+            ("https://t.example/x", t0, b"b", "beta", "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    picks = {
+        latest_snapshot(pages.repartition(p)).collect()[0]["text"]
+        for p in (1, 2, 4, 8)
+    }
+    assert len(picks) == 1, f"tie resolved differently across layouts: {picks}"

@@ -113,3 +113,16 @@ def test_ivf_assignment_is_total_partition(spark):
     assert assigned.count() == emb.count()
     cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
     assert cells <= {cid for cid, _ in seeds}
+
+
+def test_topk_missing_query_vector_returns_empty(spark):
+    """Review finding: an unknown query_vec_id must yield an empty
+    result (the r1 contract), not an IndexError."""
+    from search_engine_spark.operators.similarity import (
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert lsh_cosine_topk(emb, 10**9).count() == 0
+    assert ivf_cosine_topk(emb, 10**9).count() == 0

@@ -248,6 +248,13 @@ class TestTreebankMoreGoldens:
             "[", "bracketed", "]", "(", "parens", ")"
         ]
 
+    def test_double_dashes(self):
+        from search_engine_spark.functions.textproc import treebank_word_tokenize as t
+
+        # NLTK DOUBLE_DASHES rule (review finding: was omitted)
+        assert t("rock--paper") == ["rock", "--", "paper"]
+        assert t("wait -- what") == ["wait", "--", "what"]
+
     def test_colon_before_digit_kept(self):
         from search_engine_spark.functions.textproc import treebank_word_tokenize as t
 
