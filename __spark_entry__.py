@@ -208,6 +208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time operators (engine additions; SURVEY §2.5/§2.8)
         "events_windowed": q(lambda s, d: ev.windowed_counts(_events(s, d))),
         "user_sessions": q(lambda s, d: ev.user_sessions(_events(s, d))),
+        "asof_join": q(
+            lambda s, d: ev.asof_join(_events(s, d), "click", "purchase")
+        ),
+        "range_join": q(
+            lambda s, d: ev.range_join(_events(s, d), "click", "purchase", 600)
+        ),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
         "ivf_cosine_topk": q(
@@ -733,6 +739,24 @@ s AS (SELECT user_id, e,
 SELECT user_id, session_id, count(*) AS n_events,
        max(e) - min(e) AS duration_s
 FROM s GROUP BY 1, 2""",
+        "asof_join": """
+WITH t AS (SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN value END AS r_val,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_l
+           FROM events WHERE event_type IN ('click', 'purchase')),
+w AS (SELECT user_id, event_id, is_l,
+      round(last_value(r_val IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, is_l, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS asof_value
+      FROM t)
+SELECT user_id, event_id, asof_value FROM w WHERE is_l = 1""",
+        "range_join": """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND epoch_us(b.ts) >= epoch_us(a.ts)
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000""",
         "media_meta": "SELECT doc_id, "
         "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "

@@ -2,14 +2,21 @@
 
 The reference has no time semantics at all (SURVEY §2.8 — its only
 timestamps are crawl bookkeeping); a training-data pipeline needs them
-for log/telemetry joins, so the engine adds the two canonical shapes:
+for log/telemetry joins, so the engine adds the canonical shapes:
 
 - tumbling-window aggregation: `F.window` (Catalyst-native; the same
   expression powers the Structured-Streaming path with a watermark);
 - gap-based sessionization: lag/cumsum window functions — one shuffle
-  on user_id, all JVM-side.
+  on user_id, all JVM-side;
+- AS-OF join (asof_join): Spark has no native ASOF — expressed as the
+  tagged-union + last(ignorenulls) window pattern (ONE shuffle, no
+  range blowup);
+- RANGE join (range_join): pairs within a time delta — expressed as
+  the bucketed-interval join (each left row probes 2 buckets; join
+  cost O(matches), never the |A|·|B| cross product an inequality-only
+  join degenerates to).
 
-Both are ANSI-SQL-expressible, so both carry DuckDB oracles in
+All are ANSI-SQL-expressible, so all carry DuckDB oracles in
 __spark_entry__.
 """
 
@@ -60,5 +67,103 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 F.max(F.col("ts").cast("timestamp").cast("long"))
                 - F.min(F.col("ts").cast("timestamp").cast("long"))
             ).alias("duration_s"),
+        )
+    )
+
+
+def asof_join(
+    events: DataFrame, left_type: str, right_type: str
+) -> DataFrame:
+    """For each `left_type` event: the value of the most recent
+    `right_type` event at-or-before it for the same user (NULL when no
+    prior right event exists).
+
+    Spark lacks a native ASOF join; the scalable expression is the
+    tagged UNION + last(ignorenulls) running window: both sides shuffle
+    ONCE on user_id and a single sort by (ts, side, event_id) resolves
+    every lookup — no per-row subquery, no range-join blowup, identical
+    cost profile at 10^12 events. Tie rule: a right event at exactly
+    the left event's ts counts (right rows sort before left rows at
+    equal ts); equal-ts right duplicates resolve to the max event_id —
+    a total order, so the result is a pure function of the data.
+    """
+    tagged = events.filter(
+        F.col("event_type").isin([left_type, right_type])
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == right_type, F.col("value")).alias("r_val"),
+        (F.col("event_type") == left_type).cast("int").alias("is_l"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_l", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "asof_value", F.round(F.last("r_val", ignorenulls=True).over(w), 6)
+        )
+        .filter(F.col("is_l") == 1)
+        .select("user_id", "event_id", "asof_value")
+    )
+
+
+def range_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    delta_s: int = 600,
+) -> DataFrame:
+    """(user_id, a_id, b_id, gap_us): every (left, right) event pair of
+    the same user with 0 ≤ right.ts - left.ts ≤ delta_s.
+
+    The naive inequality join is a per-user cross product; the scalable
+    expression buckets time into delta_s-wide cells and equi-joins on
+    (user_id, bucket) with the LEFT side exploded into its own and the
+    next bucket — every qualifying pair co-locates in exactly one
+    bucket pair, so join input is O(|A|·2 + |B|) rows and join output
+    is O(candidates within ≤2·delta_s), then the exact predicate
+    filters. Timestamps compare as integral microseconds (exact, no
+    float).
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    delta_us = delta_s * 1_000_000
+    a = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("a_id"),
+            us.alias("a_us"),
+        )
+        .withColumn(
+            "bk",
+            # integer div: float floor can be off-by-one at exact
+            # bucket boundaries on microsecond-scale longs
+            F.explode(
+                F.array(
+                    F.expr(f"a_us div {delta_us}"),
+                    F.expr(f"a_us div {delta_us}") + 1,
+                )
+            ),
+        )
+    )
+    b = events.filter(F.col("event_type") == right_type).select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        us.alias("b_us"),
+    ).withColumn("bk", F.expr(f"b_us div {delta_us}"))
+    return (
+        a.join(b, ["user_id", "bk"])
+        .filter(
+            (F.col("b_us") >= F.col("a_us"))
+            & (F.col("b_us") - F.col("a_us") <= delta_us)
+        )
+        .select(
+            "user_id",
+            "a_id",
+            "b_id",
+            (F.col("b_us") - F.col("a_us")).alias("gap_us"),
         )
     )

@@ -1,0 +1,84 @@
+"""AS-OF and RANGE join operators (brief's custom-operator checklist:
+operators Spark lacks natively, expressed as compositions of built-in
+DataFrame ops). The risky parts are the tie rules (asof) and the
+interval bucketing (range) — both pinned here against brute force."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.events import asof_join, range_join
+
+BASE = dt.datetime(2024, 5, 1)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(seconds=s), u, t, float(v), "{}")
+            for i, (u, t, s, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_asof_semantics_and_ties(spark):
+    ev = _events(spark, [
+        (1, "purchase", 0, 10),     # id 0
+        (1, "click", 5, 0),         # id 1 → sees 10
+        (1, "purchase", 5, 20),     # id 2: same-ts as click id 1? no — click at 5 too
+        (1, "click", 5, 0),         # id 3 → same ts as purchase id 2 → sees 20
+        (1, "click", 9, 0),         # id 4 → sees 20
+        (2, "click", 1, 0),         # id 5 → no prior purchase → NULL
+    ])
+    got = {r["event_id"]: r["asof_value"] for r in asof_join(ev, "click", "purchase").collect()}
+    assert got[1] == 20.0 or got[1] == 10.0  # id1 at ts=5: purchase id2 also ts=5 → ≤ counts → 20
+    # tie rule is exact: right rows sort before left at equal ts
+    assert got[1] == 20.0
+    assert got[3] == 20.0
+    assert got[4] == 20.0
+    assert got[5] is None
+
+
+def test_range_join_equals_brute_force(spark):
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(300):
+        rows.append((rng.randrange(5), rng.choice(["click", "purchase"]),
+                     rng.randrange(0, 5000), rng.randrange(100)))
+    ev = _events(spark, rows)
+    for delta in (1, 60, 601, 977):
+        fast = {
+            (r["user_id"], r["a_id"], r["b_id"], r["gap_us"])
+            for r in range_join(ev, "click", "purchase", delta).collect()
+        }
+        a = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("a_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("a_us"))
+        b = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("b_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("b_us"))
+        brute = {
+            (r["user_id"], r["a_id"], r["b_id"], r["b_us"] - r["a_us"])
+            for r in a.join(b, "user_id")
+            .filter((F.col("b_us") >= F.col("a_us"))
+                    & (F.col("b_us") - F.col("a_us") <= delta * 1_000_000))
+            .collect()
+        }
+        assert fast == brute, f"delta={delta}: {len(fast)} vs {len(brute)}"
+
+
+def test_range_join_boundary_inclusive(spark):
+    # gap exactly delta: included; delta + 1µs… next second: excluded
+    ev = _events(spark, [
+        (1, "click", 0, 0),
+        (1, "purchase", 600, 1),   # exactly delta=600s
+        (1, "purchase", 601, 2),   # beyond
+    ])
+    got = {(r["b_id"], r["gap_us"]) for r in range_join(ev, "click", "purchase", 600).collect()}
+    assert got == {(1, 600_000_000)}
