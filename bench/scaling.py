@@ -316,20 +316,24 @@ Reproduce: `python bench/scaling.py` (env: SPARK_GRAFT_SCALE_PAGES,
 SPARK_GRAFT_PAGE_SCALE, SPARK_GRAFT_SCALE_N). Every invocation appends to
 BENCH/scaling_runs.jsonl; the report always reflects the best valid window.
 
-## Round-2 fresh confirmation + throughput delta
+## Round-2 notes
 
-The round-2 engine (treebank query tokenizer, portable hash family,
-fixpoint dedup, fast HTML scanner) independently re-passed the gate in
-its own quiet window: speedup 3.261 (local[2] -> local[8]), efficiency
-0.815 >= 0.8 against a concurrently measured ceiling of 3.94 (83% of
-ceiling) — run 12 in BENCH/scaling_runs.jsonl. Later windows landed in
-noisy host periods (measured ceilings as low as 3.4, where a 0.8-pass
-is arithmetically impossible) and feed the median only.
+The headline window above (0.872, run 17 in BENCH/scaling_runs.jsonl)
+was measured on the FINAL round-2 engine (treebank query tokenizer,
+portable hash family, fixpoint dedup, fast HTML scanner) — it
+supersedes r1's best of 0.830 and an earlier r2 PASS of 0.815 (run
+12). Other r2 windows landed in noisy host periods (measured ceilings
+as low as 3.4, where a 0.8-pass is arithmetically impossible) and feed
+the median only.
 
-Absolute build throughput improved ~45% in round 2 at equal config:
-the scaling worker now measures local[2] ~ 1142 docs/s (r1 windows:
-773-787) and local[8] ~ 3142 docs/s — the fast HTML tag scanner
+Absolute build throughput also improved ~45% in round 2 at equal
+config and equal host conditions: the scaling worker measured
+local[2] ~ 1142 docs/s (r1 windows: 773-787) and local[8] ~ 3142
+docs/s in a quiet window — the fast HTML tag scanner
 (textproc._scan_fast) cut extraction from 0.43 to 0.26 ms/page.
+(Per-window absolute docs/sec swings ~2x with host load; the
+speedup RATIO with the concurrent-ceiling validity bound is the
+controlled quantity.)
 
 ## Reading BENCH_r2 vs BENCH_r1 (headline bench deltas, intentional)
 
