@@ -569,7 +569,7 @@ sel AS (SELECT wm.doc_id, wm.m FROM wm JOIN nw USING (doc_id)
         UNION ALL
         SELECT kh.doc_id, min(hh) FROM kh JOIN nw USING (doc_id)
         WHERE nw.nwin < {window} GROUP BY kh.doc_id)
-SELECT DISTINCT doc_id, m AS fp FROM sel"""
+SELECT DISTINCT doc_id, CAST(m AS BIGINT) AS fp FROM sel"""
 
 
 def _langid_ngram_sql() -> str:
