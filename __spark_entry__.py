@@ -126,16 +126,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: dedup.token_jaccard_pairs(_documents(s, d), threshold=0.9)
         ),
         "minhash_lsh_pairs": q(
-            lambda s, d: dedup.minhash_lsh_pairs(_documents(s, d), threshold=0.9)
+            lambda s, d: dedup.minhash_lsh_pairs(
+                _documents(s, d), threshold=0.9, family="portable"
+            )
         ),
         "simhash_pairs": q(
-            lambda s, d: dedup.simhash_pairs(_documents(s, d), max_hamming=3)
+            lambda s, d: dedup.simhash_pairs(
+                _documents(s, d), max_hamming=3, family="portable"
+            )
         ),
         "minhash_dedup": q(
-            lambda s, d: dedup.minhash_dedup(_documents(s, d))
+            lambda s, d: dedup.minhash_dedup(_documents(s, d), family="portable")
         ),
         "clean_corpus": q(
-            lambda s, d: pipe.clean_corpus(_documents(s, d))[0].select(
+            lambda s, d: pipe.clean_corpus(_documents(s, d), family="portable")[
+                0
+            ].select(
                 "doc_id", "lang"
             )
         ),

@@ -15,10 +15,17 @@ DataFrame ops (no Python on the hot path):
 - simhash_pairs: 60-bit SimHash + banded hamming candidates verified by
   bit_count(xor) ≤ max_hamming.
 
-Hash family: the PORTABLE md5-derived family from operators/hashing.py
-— deterministic across runs/executors, no Python RNG, and computable
-verbatim in DuckDB so every operator here is value-checkable by the
-driver's oracle gate (the r1 xxhash64 family left them rows-only).
+Hash family (`family=` on every MinHash/SimHash operator, see
+hashing.FAMILIES): the production default is `xxhash64` — Spark's
+native hash masked to the same 60-bit range, pure codegen, no md5. The
+`portable` md5-derived family is computable verbatim in DuckDB, so the
+oracle-gated `__spark_entry__` entries pass family="portable"
+explicitly; it costs ~3× (measured at sf0.1) and exists only for
+verification. Both families produce identical labelings on dup-cluster
+data (asserted in tests/test_dedup_family.py): signatures within an
+exact-dup cluster are equal under ANY hash, and near-dup banding
+differs only in which borderline candidates surface — candidates are
+verified with exact Jaccard downstream either way.
 """
 
 from __future__ import annotations
@@ -86,18 +93,21 @@ def token_jaccard_pairs(
 
 
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = N_MINHASH
+    documents: DataFrame, num_hashes: int = N_MINHASH, family: str = "xxhash64"
 ) -> DataFrame:
     """(doc_id, sig array<long>): per-doc MinHash signature.
 
     One wide aggregation: num_hashes min() columns over the distinct
-    (doc, term) relation — a single shuffle, map-side combined. Hash
-    family: one portable md5 per (doc, term) row + num_hashes
-    (a·h+b) mod M31 permutations (hashing.minhash_columns) — pure
-    codegen long arithmetic, value-identical in the DuckDB oracle.
+    (doc, term) relation — a single shuffle, map-side combined. One
+    base hash per (doc, term) row (xxhash64 by default; portable md5
+    when the DuckDB oracle must recompute it) + num_hashes (a·h+b)
+    mod M31 permutations (hashing.minhash_columns) — pure codegen
+    long arithmetic either way.
     """
     toks = distinct_terms(documents)
-    based = toks.select("doc_id", (h64(F.col("term")) % M31).alias("base"))
+    based = toks.select(
+        "doc_id", (h64(F.col("term"), family) % M31).alias("base")
+    )
     hashed = based.select("doc_id", *minhash_columns(F.col("base"), num_hashes))
     wide = hashed.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"h{i}") for i in range(num_hashes)]
@@ -108,16 +118,19 @@ def minhash_signatures(
 
 
 def minhash_buckets(
-    documents: DataFrame, num_hashes: int = N_MINHASH, bands: int = 16
+    documents: DataFrame,
+    num_hashes: int = N_MINHASH,
+    bands: int = 16,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, band, bh): one LSH bucket row per (doc, band).
 
-    bucket key bh = portable h64 of the band's signature rows joined
-    with ',' — 8 bytes on the shuffle wire, reproducible in SQL as
-    md5(string_agg(v, ',' ORDER BY i)).
+    bucket key bh = h64 (in the chosen family) of the band's signature
+    rows joined with ',' — 8 bytes on the shuffle wire; the portable
+    family is reproducible in SQL as md5(string_agg(v, ',' ORDER BY i)).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes)
+    sigs = minhash_signatures(documents, num_hashes, family)
     band_cols = []
     for bnd in range(bands):
         cols = [
@@ -126,7 +139,8 @@ def minhash_buckets(
         ]
         band_cols.append(
             F.struct(
-                F.lit(bnd).alias("band"), h64(F.concat_ws(",", *cols)).alias("bh")
+                F.lit(bnd).alias("band"),
+                h64(F.concat_ws(",", *cols), family).alias("bh"),
             )
         )
     return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
@@ -139,6 +153,7 @@ def minhash_lsh_pairs(
     num_hashes: int = N_MINHASH,
     bands: int = 16,
     threshold: float = 0.8,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified with true token Jaccard.
 
@@ -147,7 +162,7 @@ def minhash_lsh_pairs(
     only shuffle that touches all docs; verification joins only
     candidate pairs.
     """
-    buckets = minhash_buckets(documents, num_hashes, bands)
+    buckets = minhash_buckets(documents, num_hashes, bands, family)
     l = buckets.alias("l")
     r = buckets.alias("r")
     cands = (
@@ -168,6 +183,7 @@ def minhash_dedup(
     num_hashes: int = N_MINHASH,
     bands: int = 16,
     max_iterations: int = 50,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, keep_id): canonical representative per near-dup group.
 
@@ -189,7 +205,7 @@ def minhash_dedup(
     # each iteration's join key: labels are groupBy outputs with the
     # matching hash partitioning, so each round pays exactly two 8-byte
     # per-row shuffles (band-rep agg, doc agg) instead of four
-    raw_buckets = minhash_buckets(documents, num_hashes, bands).persist(
+    raw_buckets = minhash_buckets(documents, num_hashes, bands, family).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     by_doc = raw_buckets.repartition("doc_id").persist(
@@ -213,27 +229,46 @@ def minhash_dedup(
         .agg(F.min("rep").alias("keep_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    # Convergence check: min-propagation is MONOTONE (labels only ever
+    # decrease), so Σ keep_id strictly decreases until the fixpoint —
+    # an exact-decimal aggregate replaces the old join-against-previous-
+    # labels + count (one join fewer per round, and the sum rides the
+    # same job that materializes the round's labels). decimal(38,0)
+    # because ids may be xxhash64-minted (|Σ| up to n·2^63 overflows a
+    # long and Spark's long sum wraps silently).
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("keep_id").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
-        bucket_rep = (
-            by_doc.join(labels, "doc_id")
-            .groupBy("band", "bh")
-            .agg(F.min("keep_id").alias("rep"))
-        )
-        new_labels = (
-            by_bucket.join(bucket_rep, ["band", "bh"])
-            .groupBy("doc_id")
-            .agg(F.min("rep").alias("keep_id"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.keep_id") != F.col("o.keep_id"))
-            .count()
-        )
+        # TWO propagation hops per job: each hop halves the remaining
+        # component diameter, and fusing them halves the number of
+        # driver barriers/actions — at toy scale the per-round job
+        # overhead dominates (measured ~2 s/round at sf0.1 for ~100k
+        # bucket rows), at cluster scale fewer shuffle barriers means
+        # fewer straggler waits for the same data volume.
+        step = labels
+        for _hop in range(2):
+            bucket_rep = (
+                by_doc.join(step, "doc_id")
+                .groupBy("band", "bh")
+                .agg(F.min("keep_id").alias("rep"))
+            )
+            step = (
+                by_bucket.join(bucket_rep, ["band", "bh"])
+                .groupBy("doc_id")
+                .agg(F.min("rep").alias("keep_id"))
+            )
+        new_labels = step.persist(StorageLevel.MEMORY_AND_DISK)
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     by_doc.unpersist()
     by_bucket.unpersist()
     return labels
@@ -427,13 +462,14 @@ def embedding_neardup_pairs(
 SIMHASH_BITS = 60  # the portable h64 yields 60 hash bits
 
 
-def simhash(documents: DataFrame) -> DataFrame:
+def simhash(documents: DataFrame, family: str = "xxhash64") -> DataFrame:
     """(doc_id, simhash long): 60-bit SimHash over tf-weighted terms
-    (bit votes over the portable h64's 60 bits — oracle-reproducible)."""
+    (bit votes over h64's 60 bits; family="portable" is
+    oracle-reproducible)."""
     tf = tokens_df(documents).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    h = h64(F.col("term"))
+    h = h64(F.col("term"), family)
     sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
@@ -452,12 +488,14 @@ def simhash(documents: DataFrame) -> DataFrame:
     return wide.select("doc_id", acc.alias("simhash"))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 8, family: str = "xxhash64"
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale:
     60 bits → 4×15-bit bands; pairs sharing any band are candidates
     (guaranteed to include every pair with hamming ≤ 3 by pigeonhole;
     probabilistically most pairs up to max_hamming)."""
-    sh = simhash(documents)
+    sh = simhash(documents, family)
     bands = [
         F.struct(
             F.lit(i).alias("band"),

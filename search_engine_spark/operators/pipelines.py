@@ -44,6 +44,7 @@ def clean_corpus(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     min_avg_token_len: float = 2.0,
+    family: str = "xxhash64",
 ) -> tuple[DataFrame, CleaningAudit]:
     """documents(doc_id, text, lang, ...) → (kept rows, per-stage audit).
 
@@ -66,7 +67,7 @@ def clean_corpus(
     n_exact = after_exact.count()
 
     near_drop = (
-        minhash_dedup(after_exact)
+        minhash_dedup(after_exact, family=family)
         .filter(F.col("keep_id") != F.col("doc_id"))
         .select("doc_id")
     )
