@@ -77,6 +77,60 @@ def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# materialized ANN indexes (similarity.build_lsh_index/build_ivf_index):
+# built once per sf_dir into a /tmp cache, then every query is a
+# partition-pruned probe — the serving shape the engine promises at
+# scale. Results are identical to the query-time paths (asserted in
+# tests/test_similarity.py), so the DuckDB oracles are unchanged.
+_ANN_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    import hashlib
+    import os
+
+    from search_engine_spark.operators import similarity
+
+    key = (kind, sf_dir)
+    if key not in _ANN_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        path = f"/tmp/se_spark_ann/{tag}/{kind}"
+        done = f"{path}/_BUILT"
+        if not os.path.exists(done):
+            emb = _embeddings(spark, sf_dir)
+            if kind == "lsh":
+                similarity.build_lsh_index(emb, path)
+            else:
+                similarity.build_ivf_index(emb, path)
+            open(done, "w").close()
+        _ANN_CACHE[key] = path
+    return _ANN_CACHE[key]
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    row = _embeddings(spark, sf_dir).filter(F.col("vec_id") == vec_id).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import similarity
+
+    path = _ann_index(spark, sf_dir, "lsh")
+    return similarity.lsh_index_topk(
+        spark, path, _query_vec(spark, sf_dir, 0), query_vec_id=0
+    )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import similarity
+
+    path = _ann_index(spark, sf_dir, "ivf")
+    return similarity.ivf_index_topk(
+        spark, path, _query_vec(spark, sf_dir, 0), query_vec_id=0
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -222,12 +276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
-        "ivf_cosine_topk": q(
-            lambda s, d: similarity.ivf_cosine_topk(_embeddings(s, d), 0)
-        ),
-        "lsh_cosine_topk": q(
-            lambda s, d: similarity.lsh_cosine_topk(_embeddings(s, d), 0)
-        ),
+        # served through the MATERIALIZED index tables (build-once +
+        # partition-pruned probe); query-time equivalents are covered by
+        # tests/test_similarity.py equality asserts
+        "ivf_cosine_topk": q(_ivf_topk),
+        "lsh_cosine_topk": q(_lsh_topk),
     }
 
 

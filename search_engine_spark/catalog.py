@@ -135,6 +135,24 @@ def merge_table(
             for c, v in zip(pcols, vals):
                 row_pred = row_pred & F.col(c).eqNullSafe(F.lit(v))
             pred = pred | row_pred
+        # upsert semantics guard (advisory r2): if a key MOVED partitions
+        # (its target row lives in a partition the source does not
+        # touch), the pruned swap would leave the stale row alive next
+        # to the new one — duplicate keys. Detect (key-columns-only
+        # anti-scan of the untouched partitions) and fall back to the
+        # full rewrite; the common case — partition columns functionally
+        # dependent on the keys — pays only this narrow probe.
+        moved = (
+            target.filter(~pred)
+            .select(*keys)
+            .join(source.select(*keys).distinct(), keys, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if moved:
+            pcols = None
+            partition_by = None
+    if partition_by:
         keep = target.filter(pred).join(
             source.select(*keys).distinct(), keys, "left_anti"
         )

@@ -85,7 +85,11 @@ def inappropriate(url_col, text_col=None, threshold: str = "severe") -> "F.Colum
     44-69) — the url is scored first, then the extracted text; blocked
     iff either crosses the threshold. threshold='severe' (the
     reference's production setting, minimizes false positives) or
-    'moderate' (adds word-boundary matches of the short terms).
+    'moderate' (adds LEADING-word-boundary prefix matches of the short
+    terms: 'porn', 'porny', 'pornhub' all fire, 'sussex' does not —
+    the boundary is deliberately required only on the left so
+    suffixed/pluralized variants are caught; 'xxxl' firing is the
+    accepted cost of that trade).
 
     Severe matching = substring on the repeat-collapsed fold (leet +
     repeated-char evasions) OR the fully-separated per-letter pattern
@@ -95,7 +99,7 @@ def inappropriate(url_col, text_col=None, threshold: str = "severe") -> "F.Colum
     legitimate pages (review finding r2)."""
     def scored(col) -> "F.Column":
         leet = fold_leet(col)
-        collapsed = F.regexp_replace(leet, r"([a-z0-9])\1\1+", "$1")
+        collapsed = fold_obfuscation(col)  # leet fold + repeat collapse
         cond = F.lit(False)
         for kw in SEVERE_TERMS:
             cond = cond | collapsed.contains(kw) | leet.rlike(_spaced_term_re(kw))

@@ -146,6 +146,29 @@ def hyperplane_sigs(
     return F.array(*sigs)
 
 
+def py_hyperplane_sigs(
+    vec, dim: int, n_planes: int, n_tables: int
+) -> list[int]:
+    """Driver-side twin of hyperplane_sigs for a single query vector —
+    same plane literals, same left-to-right f64 fold from 0.0, so the
+    Python sig is bit-identical to the Spark column's (f64 arithmetic
+    is deterministic; float32 embedding values widen exactly). Used by
+    the materialized-index probe path to compute the query's bucket
+    keys without running a Spark job over the full table."""
+    signs = plane_signs(n_tables, n_planes, dim)
+    sigs = []
+    for t in range(n_tables):
+        bits = 0
+        for p in range(n_planes):
+            d = 0.0
+            for x, s in zip(vec, signs[t][p]):
+                d = d + float(x) * s
+            if d > 0:
+                bits |= 1 << p
+        sigs.append(bits)
+    return sigs
+
+
 @lru_cache(maxsize=4)
 def kr_powers(k: int) -> tuple[int, ...]:
     """(B^(k-1), ..., B^1, B^0) mod M31 — Karp-Rabin window weights."""

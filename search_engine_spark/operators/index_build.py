@@ -70,8 +70,14 @@ def latest_snapshot(pages: DataFrame) -> DataFrame:
     dedup. One shuffle on url; at 10^12 rows AQE skew-join settings
     handle hot urls, and an Iceberg MERGE ingest (catalog.merge_table)
     makes this a no-op."""
+    # tie-break hashes the FULL payload (every non-key column), not just
+    # text: two snapshots with equal warc_ts and equal text but
+    # differing html/lang would otherwise still be picked
+    # nondeterministically across retries (advisory r2). xxhash64
+    # accepts mixed types incl. binary; null vs non-null hash apart.
+    payload = [c for c in pages.columns if c not in ("url", "warc_ts")]
     w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).desc()
+        F.col("warc_ts").desc(), F.xxhash64(*[F.col(c) for c in payload]).desc()
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))

@@ -134,3 +134,30 @@ class TestMergeTable:
         merge_table(delta, path, keys=["url"], partition_by=["part"])
         got = {r["url"]: r["html"] for r in read_table(spark, path).collect()}
         assert got == {"u1": "old1", "u2": "NEW2", "u3": "old3"}
+
+
+def test_merge_key_moving_partitions_has_no_duplicate(spark, tmp_path):
+    """Advisory r2: a key whose partition-column value CHANGES between
+    target and source must not survive twice (stale row in the
+    untouched partition + new row in the touched one). merge_table
+    detects moved keys and falls back to the full rewrite."""
+    from search_engine_spark.catalog import merge_table, read_table
+
+    path = str(tmp_path / "moved")
+    base = spark.createDataFrame(
+        [("u0", 0, "old0"), ("u1", 1, "old1"), ("u2", 2, "old2")],
+        "url string, part int, html string",
+    )
+    merge_table(base, path, keys=["url"], partition_by=["part"])
+
+    # u1 moves from part=1 to part=3; part=1 itself is untouched by delta
+    delta = spark.createDataFrame(
+        [("u1", 3, "MOVED1")], "url string, part int, html string"
+    )
+    merge_table(delta, path, keys=["url"], partition_by=["part"])
+
+    rows = read_table(spark, path).collect()
+    got = {r["url"]: (r["part"], r["html"]) for r in rows}
+    assert len(rows) == 3, rows  # no duplicate u1
+    assert got["u1"] == (3, "MOVED1")
+    assert got["u0"] == (0, "old0") and got["u2"] == (2, "old2")

@@ -126,3 +126,59 @@ def test_ivf_assignment_is_narrow(spark):
     seeds = ivf_seeds(emb, 8)
     plan = _plan(ivf_assign(emb, seeds).filter(F.col("cell") == seeds[0][0]))
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_lsh_index_probe_is_partition_pruned(spark, tmp_path):
+    """The ANN serving path must be an index PROBE: the (t, sig) probe
+    predicates appear as PartitionFilters on the index scan (directory
+    pruning at planning time), and the scan reads only the probed
+    buckets' files — not the whole index."""
+    from search_engine_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lsh")
+    build_lsh_index(emb, path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probe = lsh_index_topk(spark, path, qvec, query_vec_id=0)
+    plan = _plan(probe)
+    scan_part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_part, plan[:3000]
+    # large literal sets render as INSET, small ones as IN
+    assert "sig" in scan_part[0], scan_part[0]
+    assert " IN " in scan_part[0] or " INSET " in scan_part[0], scan_part[0]
+    # pruning is real, not cosmetic: executed scan reads fewer files
+    # than the index holds (8 tables x 37 probe keys << all buckets)
+    probe.collect()
+    import re
+
+    exec_plan = probe._jdf.queryExecution().executedPlan().toString()
+    total_parts = len(
+        [d for d in (tmp_path / "lsh").glob("t=*/sig=*") if d.is_dir()]
+    )
+    m = re.search(r"number of files read: (\d+)", exec_plan)
+    if m:  # metric name is version-dependent; the filter assert above is primary
+        assert int(m.group(1)) < total_parts
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probe = ivf_index_topk(spark, path, qvec, query_vec_id=0, n_probe=4)
+    plan = _plan(probe)
+    scan_part = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "cell" in l
+    ]
+    assert scan_part, plan[:3000]
+    assert " IN " in scan_part[0] or " INSET " in scan_part[0], scan_part[0]

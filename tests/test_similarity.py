@@ -126,3 +126,47 @@ def test_topk_missing_query_vector_returns_empty(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     assert lsh_cosine_topk(emb, 10**9).count() == 0
     assert ivf_cosine_topk(emb, 10**9).count() == 0
+
+
+def test_lsh_index_topk_equals_querytime(spark, tmp_path):
+    from search_engine_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_cosine_topk,
+        lsh_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "lsh")
+    build_lsh_index(emb, path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed = [
+        (r["vec_id"], r["cos"])
+        for r in lsh_index_topk(spark, path, qvec, query_vec_id=0).collect()
+    ]
+    querytime = [
+        (r["vec_id"], r["cos"]) for r in lsh_cosine_topk(emb, 0).collect()
+    ]
+    assert indexed == querytime
+    assert len(indexed) == 10
+
+
+def test_ivf_index_topk_equals_querytime(spark, tmp_path):
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_cosine_topk,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed = [
+        (r["vec_id"], r["cos"])
+        for r in ivf_index_topk(spark, path, qvec, query_vec_id=0).collect()
+    ]
+    querytime = [
+        (r["vec_id"], r["cos"]) for r in ivf_cosine_topk(emb, 0).collect()
+    ]
+    assert indexed == querytime
+    assert len(indexed) == 10
