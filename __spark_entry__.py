@@ -83,10 +83,10 @@ def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition-pruned probe — the serving shape the engine promises at
 # scale. Results are identical to the query-time paths (asserted in
 # tests/test_similarity.py), so the DuckDB oracles are unchanged.
-_ANN_CACHE: dict[tuple[str, str], str] = {}
+_ANN_CACHE: dict[tuple[str, str], object] = {}
 
 
-def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
     import hashlib
     import os
 
@@ -104,7 +104,12 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
             else:
                 similarity.build_ivf_index(emb, path)
             open(done, "w").close()
-        _ANN_CACHE[key] = path
+        # hold the LOADED handle, not the path: probes must not re-list
+        # the partition directories per query (similarity docstrings)
+        if kind == "lsh":
+            _ANN_CACHE[key] = spark.read.parquet(path)
+        else:
+            _ANN_CACHE[key] = similarity.load_ivf_index(spark, path)
     return _ANN_CACHE[key]
 
 
@@ -116,18 +121,18 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
 def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import similarity
 
-    path = _ann_index(spark, sf_dir, "lsh")
+    idx = _ann_index(spark, sf_dir, "lsh")
     return similarity.lsh_index_topk(
-        spark, path, _query_vec(spark, sf_dir, 0), query_vec_id=0
+        spark, idx, _query_vec(spark, sf_dir, 0), query_vec_id=0
     )
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import similarity
 
-    path = _ann_index(spark, sf_dir, "ivf")
+    idx = _ann_index(spark, sf_dir, "ivf")
     return similarity.ivf_index_topk(
-        spark, path, _query_vec(spark, sf_dir, 0), query_vec_id=0
+        spark, idx, _query_vec(spark, sf_dir, 0), query_vec_id=0
     )
 
 

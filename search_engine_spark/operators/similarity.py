@@ -213,12 +213,17 @@ def build_lsh_index(
             hyperplane_sigs(col("embedding"), dim, n_planes, n_tables)
         ).alias("t", "sig"),
     )
-    sigs.write.mode("overwrite").partitionBy("t", "sig").parquet(path)
+    # repartition on the partition keys so each (t, sig) directory gets
+    # ONE file instead of one per upstream task (up to tasks×2^P tiny
+    # files otherwise — footer-read cost lands on every future probe)
+    sigs.repartition("t", "sig").write.mode("overwrite").partitionBy(
+        "t", "sig"
+    ).parquet(path)
 
 
 def lsh_index_topk(
     spark,
-    index_path: str,
+    index,
     query_vec,
     query_vec_id: int | None = None,
     k: int = 10,
@@ -234,11 +239,16 @@ def lsh_index_topk(
     non-matching bucket directory at planning time (plan-asserted in
     tests/test_plans.py). Results are identical to the query-time
     lsh_cosine_topk (same candidate semantics, same f64 rerank).
+
+    `index` is a path OR the DataFrame from one spark.read.parquet of
+    that path: a serving loop MUST load once and probe many — passing
+    the path re-lists the 2^P·n_tables partition directories per query
+    (measured ~4 s/probe at sf0.01 vs sub-second on a held DataFrame).
     """
     from search_engine_spark.operators.hashing import py_hyperplane_sigs
 
     qsigs = py_hyperplane_sigs(query_vec, dim, n_planes, n_tables)
-    idx = spark.read.parquet(index_path)
+    idx = spark.read.parquet(index) if isinstance(index, str) else index
     per_table = [
         (col("t") == t)
         & col("sig").isin(
@@ -283,14 +293,25 @@ def build_ivf_index(
         [(cid, [float(x) for x in vec]) for cid, vec in seeds],
         "cell long, seed array<float>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/seeds")
-    ivf_assign(embeddings, seeds).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/assign")
+    ivf_assign(embeddings, seeds).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/assign")
+
+
+def load_ivf_index(spark, path: str):
+    """One-time load of a build_ivf_index layout for a serving loop:
+    (seeds list, assignment DataFrame). Probing via the handle skips
+    the per-query seeds collect and partition-directory listing."""
+    seeds = [
+        (int(r["cell"]), [float(x) for x in r["seed"]])
+        for r in spark.read.parquet(f"{path}/seeds").collect()
+    ]
+    return seeds, spark.read.parquet(f"{path}/assign")
 
 
 def ivf_index_topk(
     spark,
-    index_path: str,
+    index,
     query_vec,
     query_vec_id: int | None = None,
     k: int = 10,
@@ -300,19 +321,19 @@ def ivf_index_topk(
     side (same rounded f64 cosine as the build), then scan ONLY the
     n_probe winning cells — `cell` is a partition column, so the filter
     prunes directories at planning time. Identical results to the
-    query-time ivf_cosine_topk."""
-    seeds = [
-        (int(r["cell"]), [float(x) for x in r["seed"]])
-        for r in spark.read.parquet(f"{index_path}/seeds").collect()
-    ]
+    query-time ivf_cosine_topk.
+
+    `index` is a path or a load_ivf_index handle; serving loops load
+    once and probe many (see lsh_index_topk docstring)."""
+    seeds, assign = (
+        load_ivf_index(spark, index) if isinstance(index, str) else index
+    )
     ranked = sorted(
         ((round(_py_cos(query_vec, vec), 9), cid) for cid, vec in seeds),
         key=lambda t: (-t[0], t[1]),
     )
     probe_cells = [cid for _, cid in ranked[:n_probe]]
-    cands = spark.read.parquet(f"{index_path}/assign").filter(
-        col("cell").isin(probe_cells)
-    )
+    cands = assign.filter(col("cell").isin(probe_cells))
     if query_vec_id is not None:
         cands = cands.filter(col("vec_id") != query_vec_id)
     qe_col = F.array(*[lit(float(x)) for x in query_vec])
