@@ -377,12 +377,22 @@ BENCH/scaling_runs.jsonl.
   state. bench.py now reports `bm25_search_warm` / `tfidf_search_warm`
   rows so steady-state serving cost is diffed across rounds separately
   from the cold constant.
-- minhash_dedup at sf0.1 runs ~6 s (was ~12 s in r2): the fixpoint now
-  fuses two propagation hops per job and checks convergence via the
-  monotone label sum — same exact connected components, half the
+- minhash_dedup at sf0.1 runs ~6-10 s (was ~12 s in r2): the fixpoint
+  now fuses two propagation hops per job and checks convergence via
+  the monotone label sum — same exact connected components, half the
   driver barriers. The portable-vs-xxhash64 family delta at sf0.1 is
   noise-level (the md5 tax only matters at real row counts); both
   families are benched per-round.
+- Representative round-3 sf0.1 local[32] run (quiet window):
+  pages_index_build 15.5 s (1290 docs/s), bm25 3.2 s cold / 1.6 s
+  warm, tfidf 2.2/1.5, block_bm25 1.4 s (100-query batch 3.5 s =
+  29 q/s), minhash_dedup 9.6 s, clean_corpus 12.6 s, cosine_topk
+  0.8 s, lsh_index build 21.9 s + 1.2 s/probe, ivf_index build 7.8 s
+  + 0.3 s/probe. The new `minhash_lsh_pairs` row is 72 s and stays:
+  the sf docs table near-dups into a ~5k near-clique, so PAIR
+  enumeration is quadratic there by construction — the row documents
+  why doc→representative labeling (minhash_dedup) is the dedup
+  headline and pair enumeration is the verification baseline.
 
 ## Reading BENCH_r2 vs BENCH_r1 (headline bench deltas, intentional)
 

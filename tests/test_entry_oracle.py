@@ -73,10 +73,12 @@ def test_query_matches_oracle(spark, ddb, name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = ALL_QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_query_has_a_value_oracle():
+    """No rows-only entries: every queries() entry has a DuckDB twin
+    (r2 closed the last 9; this pins the invariant — if a future entry
+    is genuinely non-SQL-expressible, parametrize a rows-only runner
+    for it again instead of silently weakening the gate)."""
+    assert set(ALL_QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):
