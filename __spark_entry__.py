@@ -94,7 +94,15 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
 
     key = (kind, sf_dir)
     if key not in _ANN_CACHE:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        # tag includes the embeddings file's (mtime, size) so a
+        # regenerated testdata parquet invalidates the /tmp cache
+        # instead of silently serving a stale index (review finding r3)
+        try:
+            st = os.stat(f"{sf_dir}/embeddings.parquet")
+            stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+        except OSError:
+            stamp = sf_dir
+        tag = hashlib.md5(stamp.encode()).hexdigest()[:10]
         path = f"/tmp/se_spark_ann/{tag}/{kind}"
         done = f"{path}/_BUILT"
         if not os.path.exists(done):

@@ -202,10 +202,16 @@ def main() -> None:
             "minhash_lsh_pairs",
             lambda: dedup.minhash_lsh_pairs(documents, threshold=0.9).count(),
         )
-        timed(
-            "clean_corpus",
-            lambda: pipelines.clean_corpus(documents)[0].unpersist().count(),
-        )
+        def _clean_corpus():
+            # the audit counts inside clean_corpus already materialize
+            # `kept`; unpersist AFTER so the row times the pipeline once
+            # (unpersist().count() re-ran the whole lineage uncached —
+            # review finding r3)
+            kept, audit = pipelines.clean_corpus(documents)
+            kept.unpersist()
+            return audit
+
+        timed("clean_corpus", _clean_corpus)
         timed("cosine_topk", lambda: similarity.cosine_topk(embeddings, 0).collect())
 
         # ANN serving path (r2 judge item 3): one-time index build +

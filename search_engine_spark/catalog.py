@@ -116,6 +116,11 @@ def merge_table(
     spark.catalog.refreshByPath(path)
     target = spark.read.parquet(path)
     tmp = f"{local}.__merge_tmp"
+    # the DISK layout keeps the caller's partitioning even when a
+    # fallback below abandons the pruned dir-swap: a full rewrite that
+    # dropped partitionBy would leave root-level files that corrupt the
+    # next partitioned merge's dir-swap (review finding r3)
+    layout_partition_by = list(partition_by) if partition_by else None
     if partition_by and len(partition_by) > 1:
         # the dir-swap below replaces FIRST-LEVEL partition dirs whole;
         # with nested partitioning a swapped date=D dir would drop the
@@ -170,7 +175,10 @@ def merge_table(
     else:
         keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
         out = keep.unionByName(source)
-        out.write.mode("overwrite").parquet(tmp)
+        writer = out.write.mode("overwrite")
+        if layout_partition_by:
+            writer = writer.partitionBy(*layout_partition_by)
+        writer.parquet(tmp)
         shutil.rmtree(local)
         shutil.move(tmp, local)
     spark.catalog.refreshByPath(path)

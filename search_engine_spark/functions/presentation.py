@@ -161,27 +161,21 @@ def _psl_rules() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
     already punycoded (xn--…) matches only the implicit rule — the
     reference has the same gap unless idna is installed.
     """
-    global _PSL_CACHE
-    if _PSL_CACHE is None:
-        from pathlib import Path
+    from pathlib import Path
 
-        data = Path(__file__).parent.parent / "data" / "public_suffix_list.dat"
-        rules, wilds, excs = set(), set(), set()
-        for line in data.read_text(encoding="utf-8").splitlines():
-            line = line.strip()
-            if not line or line.startswith("//"):
-                continue
-            if line.startswith("!"):
-                excs.add(line[1:])
-            elif line.startswith("*."):
-                wilds.add(line[2:])
-            else:
-                rules.add(line)
-        _PSL_CACHE = (frozenset(rules), frozenset(wilds), frozenset(excs))
-    return _PSL_CACHE
-
-
-_PSL_CACHE: tuple[frozenset[str], frozenset[str], frozenset[str]] | None = None
+    data = Path(__file__).parent.parent / "data" / "public_suffix_list.dat"
+    rules, wilds, excs = set(), set(), set()
+    for line in data.read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            excs.add(line[1:])
+        elif line.startswith("*."):
+            wilds.add(line[2:])
+        else:
+            rules.add(line)
+    return (frozenset(rules), frozenset(wilds), frozenset(excs))
 
 
 def _public_suffix_len(labels: list[str]) -> int | None:
@@ -220,11 +214,12 @@ def extract_domain(url: str) -> str:
         if len(labels) > ps_len:
             return labels[len(labels) - ps_len - 1].title()
         return ""  # bare public suffix has no registrable domain
-    # no explicit rule matched — tldextract's implicit behavior: the
-    # last label is the suffix for multi-label hosts; a bare unknown
-    # label IS the domain (tldextract("localhost").domain=="localhost")
-    dom = labels[-2] if len(labels) >= 2 else labels[0]
-    return dom.title()
+    # no explicit rule matched — tldextract's documented behavior for
+    # unknown TLDs is suffix='' and domain = the LAST label
+    # ("google.notavalidsuffix" → domain "notavalidsuffix";
+    # "localhost" → "localhost"), NOT the PSL spec's implicit-'*' rule
+    # (review finding r3: the old labels[-2] fallback broke parity)
+    return labels[-1].title()
 
 
 def breadcrumb(url: str) -> str:

@@ -155,6 +155,12 @@ def py_hyperplane_sigs(
     is deterministic; float32 embedding values widen exactly). Used by
     the materialized-index probe path to compute the query's bucket
     keys without running a Spark job over the full table."""
+    if len(vec) != dim:
+        raise ValueError(
+            f"query vector has {len(vec)} dims, index built with {dim} — "
+            "Spark's zip_with would null-pad while zip() truncates, so a "
+            "mismatch silently diverges from the stored signatures"
+        )
     signs = plane_signs(n_tables, n_planes, dim)
     sigs = []
     for t in range(n_tables):

@@ -73,11 +73,25 @@ def latest_snapshot(pages: DataFrame) -> DataFrame:
     # tie-break hashes the FULL payload (every non-key column), not just
     # text: two snapshots with equal warc_ts and equal text but
     # differing html/lang would otherwise still be picked
-    # nondeterministically across retries (advisory r2). xxhash64
-    # accepts mixed types incl. binary; null vs non-null hash apart.
-    payload = [c for c in pages.columns if c not in ("url", "warc_ts")]
+    # nondeterministically across retries (advisory r2). Spark's hash
+    # exprs reject MapType, so map columns are hashed via their sorted
+    # entries cast to string; a payload-less frame falls back to a
+    # constant (url+warc_ts is then the whole row anyway).
+    from pyspark.sql.types import MapType
+
+    hash_cols = []
+    for f in pages.schema.fields:
+        if f.name in ("url", "warc_ts"):
+            continue
+        if isinstance(f.dataType, MapType):
+            hash_cols.append(
+                F.to_json(F.array_sort(F.map_entries(F.col(f.name))))
+            )
+        else:
+            hash_cols.append(F.col(f.name))
+    tiebreak = F.xxhash64(*hash_cols) if hash_cols else F.lit(0)
     w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.xxhash64(*[F.col(c) for c in payload]).desc()
+        F.col("warc_ts").desc(), tiebreak.desc()
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))

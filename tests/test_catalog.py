@@ -161,3 +161,20 @@ def test_merge_key_moving_partitions_has_no_duplicate(spark, tmp_path):
     assert len(rows) == 3, rows  # no duplicate u1
     assert got["u1"] == (3, "MOVED1")
     assert got["u0"] == (0, "old0") and got["u2"] == (2, "old2")
+
+    # review finding r3: the fallback full-rewrite must KEEP the
+    # partitioned disk layout — an unpartitioned rewrite leaves root-
+    # level files that corrupt the NEXT partitioned merge's dir-swap
+    import os
+
+    assert any(
+        d.startswith("part=") for d in os.listdir(path)
+    ), os.listdir(path)
+    delta2 = spark.createDataFrame(
+        [("u9", 2, "NEW9")], "url string, part int, html string"
+    )
+    merge_table(delta2, path, keys=["url"], partition_by=["part"])
+    rows2 = read_table(spark, path).collect()
+    got2 = {r["url"]: (r["part"], r["html"]) for r in rows2}
+    assert len(rows2) == 4, rows2
+    assert got2["u9"] == (2, "NEW9") and got2["u1"] == (3, "MOVED1")

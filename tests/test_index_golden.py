@@ -153,3 +153,23 @@ def test_latest_snapshot_tie_is_deterministic(spark):
         for p in (1, 2, 4, 8)
     }
     assert len(picks) == 1, f"tie resolved differently across layouts: {picks}"
+
+
+def test_latest_snapshot_handles_map_and_minimal_columns(spark):
+    """Review finding r3: the full-payload tie-break must not crash on
+    map-typed payload columns (Spark's hash exprs reject MapType) or on
+    frames with no payload columns at all."""
+    from search_engine_spark.operators.index_build import latest_snapshot
+
+    with_map = spark.createDataFrame(
+        [("u", 1, "x", {"k": "v"}), ("u", 1, "x", {"k": "w"})],
+        "url string, warc_ts long, text string, meta map<string,string>",
+    )
+    rows = latest_snapshot(with_map).collect()
+    assert len(rows) == 1  # deterministic single winner, no crash
+
+    minimal = spark.createDataFrame(
+        [("u", 1), ("u", 2)], "url string, warc_ts long"
+    )
+    out = latest_snapshot(minimal).collect()
+    assert len(out) == 1 and out[0]["warc_ts"] == 2
