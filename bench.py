@@ -250,12 +250,24 @@ def main() -> None:
             ],
         )
 
-    total = round(sum(timings.values()), 3)
+    # the headline `value` sums the SAME nine components every round
+    # (the r1/r2 set) so BENCH_rN.json diffs like-for-like; breadth rows
+    # added later (warm twins, portable-family twin, pair enumeration,
+    # ANN index build/probe) are reported per-row and in
+    # extra.full_suite_sec, not folded into the headline — otherwise
+    # every added measurement reads as a regression.
+    CORE = (
+        "pages_index_build", "bm25_search", "tfidf_search",
+        "block_index_build", "block_bm25_search", "block_bm25_100q",
+        "docs_index_build", "minhash_dedup", "cosine_topk",
+    )
+    total = round(sum(timings[k] for k in CORE), 3)
+    full_suite = round(sum(timings.values()), 3)
     timings.update(latencies)  # reported per-query latencies, excluded from total
     print(
         json.dumps(
             {
-                "metric": "headline pipeline wall time (index build + search + dedup + ann)",
+                "metric": "headline pipeline wall time (index build + search + dedup + ann core)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -263,6 +275,7 @@ def main() -> None:
                 "extra": {
                     "n_pages": N_PAGES,
                     "cpus": CPUS,
+                    "full_suite_sec": full_suite,
                     "pages_docs_per_sec": round(
                         N_PAGES / timings["pages_index_build"], 1
                     ),
