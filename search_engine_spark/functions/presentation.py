@@ -161,11 +161,10 @@ def _psl_rules() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
     already punycoded (xn--…) matches only the implicit rule — the
     reference has the same gap unless idna is installed.
     """
-    from pathlib import Path
+    from search_engine_spark.pkgdata import read_data
 
-    data = Path(__file__).parent.parent / "data" / "public_suffix_list.dat"
     rules, wilds, excs = set(), set(), set()
-    for line in data.read_text(encoding="utf-8").splitlines():
+    for line in read_data("public_suffix_list.dat").splitlines():
         line = line.strip()
         if not line or line.startswith("//"):
             continue

@@ -48,13 +48,12 @@ import string
 import unicodedata
 from functools import lru_cache
 from html.parser import HTMLParser
-from pathlib import Path
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-_DATA_DIR = Path(__file__).resolve().parent.parent / "data"
+from search_engine_spark.pkgdata import read_data
 
 _ASCII_PUNCT = set(string.punctuation)  # == Rust char::is_ascii_punctuation
 
@@ -397,7 +396,7 @@ def load_stopwords(which: str) -> frozenset[str]:
     lib.rs:22-28); 'nltk' = query-side (app/main.py:13-15). Quirk Q4:
     two different lists, both vendored as data files."""
     fname = {"iso": "stopwords_iso_en.txt", "nltk": "stopwords_nltk_en.txt"}[which]
-    words = (_DATA_DIR / fname).read_text().split("\n")
+    words = read_data(fname).split("\n")
     return frozenset(w for w in (w.strip() for w in words) if w and not w.startswith("#"))
 
 
