@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
@@ -275,6 +275,139 @@ def lsh_index_topk(
         )
         .orderBy(col("cos").desc(), col("vec_id").asc())
         .limit(k)
+    )
+
+
+def lsh_index_topk_batch(
+    spark,
+    index,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_hamming: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Answer MANY queries against a build_lsh_index layout in ONE Spark
+    job — the serving-loop shape. A per-query lsh_index_topk loop pays
+    the fixed job-scheduling constant per query (~1-2 s at toy scale,
+    and Q sequential barriers at any scale); here the scan reads the
+    UNION of every query's probe buckets once (still a static partition
+    filter — pruned at planning time), then a broadcast join against
+    the tiny (query_id, t, sig) probe-key relation routes candidates to
+    their queries, and one window per query_id takes top-k.
+
+    Row-for-row equal to the per-query loop (same candidate semantics,
+    same 6dp f64 rerank, same (cos desc, vec_id asc) tie rule) —
+    asserted in tests/test_similarity.py. `exclude_self` mirrors the
+    single-query query_vec_id exclusion: each query drops the vector
+    whose vec_id equals its own query_id.
+
+    Returns (query_id, vec_id, cos), k rows per query.
+    """
+    from search_engine_spark.operators.hashing import py_hyperplane_sigs
+
+    idx = spark.read.parquet(index) if isinstance(index, str) else index
+    qkey_rows = []
+    keys_by_table: dict[int, set[int]] = {t: set() for t in range(n_tables)}
+    for qid, vec in queries.items():
+        qsigs = py_hyperplane_sigs(vec, dim, n_planes, n_tables)
+        for t in range(n_tables):
+            for s in probe_keys(int(qsigs[t]), n_planes, probe_hamming):
+                qkey_rows.append((int(qid), t, int(s)))
+                keys_by_table[t].add(int(s))
+
+    bucket_pred = None
+    for t in range(n_tables):
+        p = (col("t") == t) & col("sig").isin(sorted(keys_by_table[t]))
+        bucket_pred = p if bucket_pred is None else (bucket_pred | p)
+
+    qkeys = spark.createDataFrame(qkey_rows, "query_id long, t int, sig long")
+    qvecs = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries.items()],
+        "query_id long, qe array<double>",
+    )
+    cands = (
+        idx.filter(bucket_pred)
+        .join(F.broadcast(qkeys), ["t", "sig"])
+        .select("query_id", "vec_id", "embedding")
+        .distinct()
+    )
+    if exclude_self:
+        cands = cands.filter(col("vec_id") != col("query_id"))
+    scored = cands.join(F.broadcast(qvecs), "query_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(col("embedding"), col("qe"))
+            / (_norm(col("embedding")) * _norm(col("qe"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos").desc(), col("vec_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", col("cos").desc(), col("vec_id").asc())
+    )
+
+
+def ivf_index_topk_batch(
+    spark,
+    index,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched twin of ivf_index_topk — see lsh_index_topk_batch. Seeds
+    are ranked driver-side per query; the scan reads the UNION of all
+    queries' probe cells once (partition-pruned), a broadcast
+    (query_id, cell) join routes candidates, one window takes top-k.
+    Returns (query_id, vec_id, cos), k rows per query."""
+    seeds, assign = (
+        load_ivf_index(spark, index) if isinstance(index, str) else index
+    )
+    qcell_rows = []
+    all_cells: set[int] = set()
+    for qid, vec in queries.items():
+        ranked = sorted(
+            ((round(_py_cos(vec, svec), 9), cid) for cid, svec in seeds),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for _, cid in ranked[:n_probe]:
+            qcell_rows.append((int(qid), int(cid)))
+            all_cells.add(int(cid))
+
+    qcells = spark.createDataFrame(qcell_rows, "query_id long, cell long")
+    qvecs = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries.items()],
+        "query_id long, qe array<double>",
+    )
+    cands = (
+        assign.filter(col("cell").isin(sorted(all_cells)))
+        .join(F.broadcast(qcells), "cell")
+        .select("query_id", "vec_id", "embedding")
+    )
+    if exclude_self:
+        cands = cands.filter(col("vec_id") != col("query_id"))
+    scored = cands.join(F.broadcast(qvecs), "query_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(col("embedding"), col("qe"))
+            / (_norm(col("embedding")) * _norm(col("qe"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos").desc(), col("vec_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", col("cos").desc(), col("vec_id").asc())
     )
 
 

@@ -170,3 +170,65 @@ def test_ivf_index_topk_equals_querytime(spark, tmp_path):
     ]
     assert indexed == querytime
     assert len(indexed) == 10
+
+
+def test_lsh_batch_probe_equals_perquery_loop(spark, tmp_path):
+    """One-job batched probe must be row-for-row equal to the per-query
+    lsh_index_topk loop (same candidates, same 6dp rerank, same tie
+    rule) — the batch path is the serving-loop shape; a divergence
+    would mean the union-of-buckets scan or the query routing join
+    changed semantics."""
+    from search_engine_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+        lsh_index_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "lsh")
+    build_lsh_index(emb, path)
+    idx = spark.read.parquet(path)
+    queries = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    batch = lsh_index_topk_batch(spark, idx, queries).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    for qid, vec in queries.items():
+        loop = [
+            (r["vec_id"], r["cos"])
+            for r in lsh_index_topk(spark, idx, vec, query_vec_id=qid).collect()
+        ]
+        assert got[qid] == loop, f"query {qid} diverged"
+        assert len(loop) == 10
+
+
+def test_ivf_batch_probe_equals_perquery_loop(spark, tmp_path):
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_index_topk_batch,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    handle = load_ivf_index(spark, path)
+    queries = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    batch = ivf_index_topk_batch(spark, handle, queries).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    for qid, vec in queries.items():
+        loop = [
+            (r["vec_id"], r["cos"])
+            for r in ivf_index_topk(spark, handle, vec, query_vec_id=qid).collect()
+        ]
+        assert got[qid] == loop, f"query {qid} diverged"
+        assert len(loop) == 10
