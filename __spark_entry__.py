@@ -144,6 +144,37 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# batched serving path: one Spark job answers _BATCH_NQ queries against
+# the materialized index (union-of-buckets pruned scan + broadcast
+# routing join) — oracled by generalizing the single-query SQL over
+# query_id, so the gate verifies the batch path's candidate semantics,
+# rerank, and per-query tie rule end-to-end.
+_BATCH_NQ = 5
+
+
+def _query_vecs(spark: SparkSession, sf_dir: str, n: int) -> dict:
+    rows = _embeddings(spark, sf_dir).filter(F.col("vec_id") < n).collect()
+    return {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+
+
+def _lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import similarity
+
+    idx = _ann_index(spark, sf_dir, "lsh")
+    return similarity.lsh_index_topk_batch(
+        spark, idx, _query_vecs(spark, sf_dir, _BATCH_NQ)
+    )
+
+
+def _ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import similarity
+
+    idx = _ann_index(spark, sf_dir, "ivf")
+    return similarity.ivf_index_topk_batch(
+        spark, idx, _query_vecs(spark, sf_dir, _BATCH_NQ)
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -294,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_similarity.py equality asserts
         "ivf_cosine_topk": q(_ivf_topk),
         "lsh_cosine_topk": q(_lsh_topk),
+        "ivf_cosine_topk_batch": q(_ivf_topk_batch),
+        "lsh_cosine_topk_batch": q(_lsh_topk_batch),
     }
 
 
@@ -517,6 +550,92 @@ SELECT d.vec_id AS vec_id, round(d.dot / (n.nrm * qn.nrm), 6) AS cos
 FROM dots2 d JOIN norms n ON d.vec_id = n.vec_id, qn
 ORDER BY cos DESC, d.vec_id ASC
 LIMIT {k}"""
+
+
+def _lsh_cosine_batch_sql(
+    nq: int = 5, k: int = 10, probe_hamming: int = 2
+) -> str:
+    """Batched twin of _lsh_cosine_topk_sql: the single-query candidate
+    rule (hamming ≤ probe in any table) generalized over query_id =
+    vec_id < nq, per-query top-k via one window — value-identical to
+    similarity.lsh_index_topk_batch (same 6dp rerank, same (cos desc,
+    vec_id asc) tie rule)."""
+    return f"""
+WITH {_hyperplane_ctes()},
+qs AS (SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id < {nq}),
+cands AS (SELECT DISTINCT qs.query_id, s.vec_id FROM sigs s
+          JOIN qs ON s.t = qs.t
+          WHERE s.vec_id <> qs.query_id
+            AND bit_count(xor(s.sig, qs.sig)) <= {probe_hamming}),
+dots2 AS (SELECT c.query_id, c.vec_id, sum(x.v * q.v) AS dot
+          FROM cands c
+          JOIN e x ON x.vec_id = c.vec_id
+          JOIN e q ON q.vec_id = c.query_id AND q.i = x.i
+          GROUP BY c.query_id, c.vec_id),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+scored AS (SELECT d.query_id, d.vec_id,
+           round(d.dot / (n.nrm * qn.nrm), 6) AS cos
+           FROM dots2 d
+           JOIN norms n ON n.vec_id = d.vec_id
+           JOIN norms qn ON qn.vec_id = d.query_id)
+SELECT query_id, vec_id, cos FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored) t
+WHERE rn <= {k}
+ORDER BY query_id, cos DESC, vec_id ASC"""
+
+
+def _ivf_cosine_batch_sql(
+    nq: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """Batched twin of _ivf_cosine_topk_sql: per-query n_probe cells from
+    the same 9dp-rounded seed ranking, assignment join routes candidates,
+    one window per query_id — value-identical to
+    similarity.ivf_index_topk_batch."""
+    seed_rank = _h64_sql("'ivf|' || vec_id")
+    return f"""
+WITH e AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+           FROM embeddings, (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id),
+seeds AS (SELECT vec_id AS cell FROM embeddings
+          ORDER BY {seed_rank}, vec_id LIMIT {n_cells}),
+se AS (SELECT s.cell, e.i, e.v FROM seeds s JOIN e ON e.vec_id = s.cell),
+ac AS (SELECT e.vec_id, se.cell, round(sum(e.v * se.v) / (nv.n * ns.n), 9) AS c
+       FROM e JOIN se ON se.i = e.i
+       JOIN nrm nv ON nv.vec_id = e.vec_id
+       JOIN nrm ns ON ns.vec_id = se.cell
+       GROUP BY e.vec_id, se.cell, nv.n, ns.n),
+assign AS (SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cell ASC) AS rn
+           FROM ac) t WHERE rn = 1),
+qc AS (SELECT query_id, cell FROM (
+       SELECT vec_id AS query_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cell ASC) AS rn
+       FROM ac WHERE vec_id < {nq}) t WHERE rn <= {n_probe}),
+cands AS (SELECT q.query_id, a.vec_id FROM assign a JOIN qc q USING (cell)
+          WHERE a.vec_id <> q.query_id),
+d AS (SELECT c.query_id, c.vec_id, sum(x.v * q.v) AS dot
+      FROM cands c
+      JOIN e x ON x.vec_id = c.vec_id
+      JOIN e q ON q.vec_id = c.query_id AND q.i = x.i
+      GROUP BY c.query_id, c.vec_id)
+SELECT query_id, vec_id, cos FROM (
+  SELECT d.query_id, d.vec_id,
+         round(d.dot / (nv.n * nq2.n), 6) AS cos,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY round(d.dot / (nv.n * nq2.n), 6) DESC,
+                                     d.vec_id ASC) AS rn
+  FROM d JOIN nrm nv ON nv.vec_id = d.vec_id
+       JOIN nrm nq2 ON nq2.vec_id = d.query_id) t
+WHERE rn <= {k}
+ORDER BY query_id, cos DESC, vec_id ASC"""
 
 
 def _ivf_cosine_topk_sql(
@@ -887,6 +1006,8 @@ LIMIT 10""",
         "embedding_neardup_pairs": _embedding_neardup_sql(threshold=0.4),
         "lsh_cosine_topk": _lsh_cosine_topk_sql(),
         "ivf_cosine_topk": _ivf_cosine_topk_sql(),
+        "lsh_cosine_topk_batch": _lsh_cosine_batch_sql(),
+        "ivf_cosine_topk_batch": _ivf_cosine_batch_sql(),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(every_n=2),
         "rolling_fingerprints": _rolling_fingerprints_sql(),

@@ -19,8 +19,10 @@ Headline queries:
   minhash_lsh_pairs / clean_corpus / cosine_topk: dedup + pipeline +
   similarity headliners (dedup reports doc→representative labeling,
   not pair enumeration — pairs are quadratic in cluster size).
-- lsh/ivf_index_build + *_probe_10q: the materialized ANN serving
-  path — build once, then 10 partition-pruned probes.
+- lsh/ivf_index_build + *_probe_10q + *_probe_batch10: the
+  materialized ANN serving path — build once, then 10 partition-pruned
+  probes (per-query jobs vs one batched job; the gap is the per-job
+  scheduling constant the batch path amortizes).
 """
 
 from __future__ import annotations
@@ -235,6 +237,13 @@ def main() -> None:
                 for i, v in qvecs.items()
             ],
         )
+        # batched twin: same 10 queries in ONE job (union-of-buckets
+        # pruned scan + broadcast routing) — the serving-loop shape;
+        # the gap vs the row above is the per-job scheduling constant
+        timed(
+            "lsh_index_probe_batch10",
+            lambda: similarity.lsh_index_topk_batch(spark, lsh_idx, qvecs).collect(),
+        )
         timed(
             "ivf_index_build",
             lambda: similarity.build_ivf_index(embeddings, f"{tmp}/ivf_idx"),
@@ -248,6 +257,10 @@ def main() -> None:
                 ).collect()
                 for i, v in qvecs.items()
             ],
+        )
+        timed(
+            "ivf_index_probe_batch10",
+            lambda: similarity.ivf_index_topk_batch(spark, ivf_idx, qvecs).collect(),
         )
 
     # the headline `value` sums the SAME nine components every round
