@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, BooleanType, StringType
 
 from search_engine_spark.functions.textproc import _decode, _Element, _parse_html
 
@@ -168,6 +168,26 @@ def blocked_url(url_col) -> "F.Column":
     for kw in sorted(BLOCKED_KEYWORDS):
         cond = cond | F.lower(url_col).contains(kw)
     return cond
+
+
+def is_english_html(html: str) -> bool:
+    """F8 at crawl time — reference UrlHandler::is_english
+    (url_handler.rs:29-42): true iff ANY `html` element carries a
+    `lang` attribute starting with "en" (case-sensitive, exactly as the
+    Rust `starts_with`; `lang="EN"` does NOT pass, quirk-exact)."""
+    root = _parse_html(html)
+    work: list[_Element] = [root]
+    while work:
+        el = work.pop()
+        if el.tag == "html" and el.attrs.get("lang", "").startswith("en"):
+            return True
+        work.extend(c for c in el.children if isinstance(c, _Element))
+    return False
+
+
+@pandas_udf(BooleanType())
+def is_english_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: is_english_html(_decode(b)))
 
 
 def crawl_frontier(pages: DataFrame, visited: DataFrame | None = None) -> DataFrame:

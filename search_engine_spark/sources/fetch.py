@@ -179,13 +179,25 @@ class DeterministicTransport:
     `rate_limit_every=k` makes every k-th url (by hash) answer 429 with
     `Retry-After: 0` once per attempt sequence — exercising the retry
     path without wall-clock sleeps. `error_every=k` makes a disjoint
-    hash class answer 500.
+    hash class answer 500. `nonenglish_every=k` makes a third class
+    serve `lang="de"` pages (rejected by the crawl loop's is_english
+    gate), and `adult_every=k` a fourth whose body contains a blocked
+    term (rejected by the inappropriate gate).
     """
 
-    def __init__(self, n_links: int = 3, rate_limit_every: int = 0, error_every: int = 0):
+    def __init__(
+        self,
+        n_links: int = 3,
+        rate_limit_every: int = 0,
+        error_every: int = 0,
+        nonenglish_every: int = 0,
+        adult_every: int = 0,
+    ):
         self.n_links = n_links
         self.rate_limit_every = rate_limit_every
         self.error_every = error_every
+        self.nonenglish_every = nonenglish_every
+        self.adult_every = adult_every
         self._pending_429: dict[str, bool] = {}
 
     def _h(self, url: str) -> int:
@@ -200,15 +212,18 @@ class DeterministicTransport:
                 self._pending_429[url] = True
                 return 429, "0", b""
             self._pending_429[url] = False
+        lang = "de" if self.nonenglish_every and h % self.nonenglish_every == 2 else "en-US"
         words = ["hippopotamus", "ladder", "pipe", "seagull", "elephant",
                  "castle", "meadow", "lantern", "orchard", "harbor"]
         body_words = " ".join(words[(h >> i) % len(words)] for i in range(0, 24, 3))
+        if self.adult_every and h % self.adult_every == 3:
+            body_words += " xvideos"
         links = "".join(
             f'<a href="https://site{(h + 7 * j) % 40}.example/page{(h + 13 * j) % 97}">l</a>'
             for j in range(self.n_links)
         )
         html = (
-            f"<html><head><title>page {h % 997}</title></head>"
+            f'<html lang="{lang}"><head><title>page {h % 997}</title></head>'
             f"<body><p>{body_words}</p>{links}</body></html>"
         )
         return 200, None, html.encode()
