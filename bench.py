@@ -23,6 +23,8 @@ Headline queries:
   materialized ANN serving path — build once, then 10 partition-pruned
   probes (per-query jobs vs one batched job; the gap is the per-job
   scheduling constant the batch path amortizes).
+- crawl_2rounds: the S1/S2 crawl loop (fetch + gates + frontier +
+  ledgers) over the deterministic synthetic web, seeds scaled with sf.
 """
 
 from __future__ import annotations
@@ -263,6 +265,30 @@ def main() -> None:
             lambda: similarity.ivf_index_topk_batch(spark, ivf_idx, qvecs).collect(),
         )
 
+        # crawl loop (S1/S2, round 3): 2 BFS rounds over the
+        # deterministic synthetic web — fetch (domain-partitioned,
+        # retry policy live via rate_limit class) + gates + frontier +
+        # ledger writes. Wall is dominated by per-round job constants
+        # at this scale; pages/sec is the fetch+gate throughput row.
+        from search_engine_spark.operators.crawl_loop import crawl, fetch_log
+        from search_engine_spark.sources.fetch import DeterministicTransport
+
+        n_seeds = max(400, N_PAGES // 5)
+        seeds = spark.createDataFrame(
+            [(f"https://seed{i}.example/p{i}",) for i in range(n_seeds)],
+            "url string",
+        )
+        transport = DeterministicTransport(
+            rate_limit_every=5, error_every=9, nonenglish_every=7, adult_every=11
+        )
+        timed(
+            "crawl_2rounds",
+            lambda: crawl(
+                spark, seeds, f"{tmp}/crawl", max_rounds=2, transport=transport
+            ).count(),
+        )
+        n_fetched = fetch_log(spark, f"{tmp}/crawl").count()
+
     # the headline `value` sums the SAME nine components every round
     # (the r1/r2 set) so BENCH_rN.json diffs like-for-like; breadth rows
     # added later (warm twins, portable-family twin, pair enumeration,
@@ -294,6 +320,9 @@ def main() -> None:
                     ),
                     "block_queries_per_sec": round(
                         len(batch_queries) / timings["block_bm25_100q"], 1
+                    ),
+                    "crawl_fetches_per_sec": round(
+                        n_fetched / timings["crawl_2rounds"], 1
                     ),
                 },
             }
