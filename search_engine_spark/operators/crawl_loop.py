@@ -141,9 +141,16 @@ def crawl(
         # ever-queued = rounds 0..rnd ONLY: an interrupted run may have
         # left a stale round=rnd+1 queue, and including it in `visited`
         # would anti-join away the links this re-run is about to queue.
-        visited = queued_hist[0]
-        for h in queued_hist[1 : rnd + 1]:
-            visited = visited.unionByName(h)
+        # ONE partition-pruned scan of the queued ledger — not a
+        # per-round union chain, whose plan depth grows with the round
+        # number (at round 1000 a 1000-way union is a planner problem;
+        # a `round <= rnd` filter over the partitioned dir is not).
+        visited = (
+            spark.read.schema(QUEUED_SCHEMA + ", round int")
+            .parquet(f"{out_dir}/queued")
+            .filter(F.col("round") <= rnd)
+            .select("url")
+        )
         nxt = (
             crawl_frontier(accepted.select("url", "html"), visited=visited)
             .unionByName(remainder)

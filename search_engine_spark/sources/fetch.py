@@ -98,8 +98,16 @@ def _fetch_one(url: str, transport, sleep) -> tuple:
     loops `while attempts <= MAX_ATTEMPTS`, so a stubborn 429 is
     re-requested MAX_ATTEMPTS + 1 times after the Retry-After sleep —
     mirrored here (asserted in tests/test_fetch.py).
+
+    A transport-level exception (DNS failure, connect timeout, TLS
+    error — the reference's Error::Request arm) becomes an error ROW,
+    never a task failure: one dead host among a billion urls must not
+    kill a partition.
     """
-    status, retry_after, body = transport(url)
+    try:
+        status, retry_after, body = transport(url)
+    except Exception as exc:  # noqa: BLE001 — any transport failure is data
+        return (url, None, 1, None, f"RequestError({type(exc).__name__})")
     attempts = 1
     if status == 429:
         if retry_after is None:
@@ -116,7 +124,10 @@ def _fetch_one(url: str, transport, sleep) -> tuple:
         sleep(delay)
         retries = 0
         while retries <= MAX_ATTEMPTS and status != 200:
-            status, retry_after, body = transport(url)
+            try:
+                status, retry_after, body = transport(url)
+            except Exception as exc:  # noqa: BLE001
+                return (url, status, attempts, None, f"RequestError({type(exc).__name__})")
             attempts += 1
             retries += 1
         if status != 200:

@@ -94,6 +94,26 @@ def test_fetch_stubborn_429_retry_cap_quirk(spark):
     assert (r["error"], r["attempts"], r["status"]) == ("RequestTimeout", 12, 429)
 
 
+def test_transport_exception_is_an_error_row_not_a_task_failure(spark):
+    """A dead host (DNS/connect/TLS failure → transport raises) must
+    yield a RequestError row — one bad url among a billion cannot be
+    allowed to fail its whole partition."""
+
+    class ExplodingTransport:
+        def __call__(self, url):
+            if "dead" in url:
+                raise ConnectionError("no route to host")
+            return 200, None, b"<p>ok</p>"
+
+    got = _rows(
+        _frontier(spark, ["https://dead.example/", "https://live.example/"]),
+        ExplodingTransport(),
+    )
+    assert got["https://dead.example/"]["error"] == "RequestError(ConnectionError)"
+    assert got["https://dead.example/"]["html"] is None
+    assert got["https://live.example/"]["error"] is None
+
+
 def test_fetch_retry_success_with_empty_body_is_empty_page(spark):
     """Post-retry 200 still goes through the EmptyPage check
     (crawler.rs:209-213)."""
