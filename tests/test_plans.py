@@ -182,3 +182,21 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     ]
     assert scan_part, plan[:3000]
     assert " IN " in scan_part[0] or " INSET " in scan_part[0], scan_part[0]
+
+
+def test_fetch_partitions_by_domain_for_politeness(spark):
+    """The politeness contract is structural: the fetch plan must show
+    ONE hashpartitioning exchange on the registrable-domain column
+    before the mapInPandas fetch — that partitioner is the per-domain
+    serialization lock, and it must be the fetch's only shuffle."""
+    from search_engine_spark.sources.fetch import DeterministicTransport, fetch_pages
+
+    frontier = spark.createDataFrame(
+        [(f"https://site{i}.example/p{i}",) for i in range(8)], "url string"
+    )
+    plan = _plan(fetch_pages(frontier, transport=DeterministicTransport()))
+    shuffles = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert shuffles and all("_dom" in l for l in shuffles), plan[:3000]
+    # exactly one shuffle: the domain repartition (no downstream shuffle
+    # re-scatters a domain's urls across tasks)
+    assert len(shuffles) == 1, shuffles
