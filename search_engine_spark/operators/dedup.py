@@ -178,69 +178,40 @@ def minhash_lsh_pairs(
     return verify_jaccard(cands, documents, threshold)
 
 
-def minhash_dedup(
-    documents: DataFrame,
-    num_hashes: int = N_MINHASH,
-    bands: int = 16,
-    max_iterations: int = 50,
-    family: str = "xxhash64",
-) -> DataFrame:
-    """(doc_id, keep_id): canonical representative per near-dup group.
+def _label_sum(lbl: DataFrame):
+    """Σ keep_id as decimal(38,0): ids may be xxhash64-minted (|Σ| up
+    to n·2^63 overflows a long and Spark's long sum wraps silently)."""
+    return lbl.agg(
+        F.sum(F.col("keep_id").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
 
-    The scale-correct output shape: enumerating near-dup PAIRS is
-    quadratic in cluster size (a 1k-doc template cluster alone yields
-    500k pairs — measured ~1M pairs on the sf0.1 documents table), but
-    a dedup stage only needs doc→representative. Label propagation over
-    the LSH buckets TO FIXPOINT: rep(bucket) = min label in bucket,
-    rep(doc) = min over its buckets, repeated until no label changes —
-    the exact connected components of the share-a-bucket graph (label
-    propagation halves the diameter per round, so rounds ≈ log2 of the
-    longest dup chain; a driver-side count() per round checks
-    convergence). Each round is one groupBy+join over O(n·bands) rows,
-    no pair blowup. Docs with keep_id < doc_id are near-dup drops.
+
+def _propagate_min_labels(
+    by_doc: DataFrame,
+    by_bucket: DataFrame,
+    labels: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Min-label propagation to fixpoint over a (doc_id, band, bh)
+    bucket relation: rep(bucket) = min label in bucket, label(doc) =
+    min over its buckets, repeated until no label changes — the exact
+    connected components of the share-a-bucket graph, with each doc
+    converging to the MINIMUM SEED LABEL in its component (for the
+    batch dedup seeds are the doc ids themselves; the incremental path
+    seeds corpus docs with their already-assigned representatives).
+
+    Inputs `by_doc`/`by_bucket` are the same relation pre-partitioned
+    on each hop's join key (caller persists both); `labels` is the
+    persisted seed relation (doc_id, keep_id). Returns the converged
+    labels (persisted); intermediates are unpersisted here, the inputs
+    are the caller's to release.
+
+    Convergence check: min-propagation is MONOTONE (labels only ever
+    decrease), so Σ keep_id strictly decreases until the fixpoint — an
+    exact-decimal aggregate rides the same job that materializes each
+    round's labels.
     """
     from pyspark.storagelevel import StorageLevel
-
-    # two persisted copies of the bucket relation, pre-partitioned on
-    # each iteration's join key: labels are groupBy outputs with the
-    # matching hash partitioning, so each round pays exactly two 8-byte
-    # per-row shuffles (band-rep agg, doc agg) instead of four
-    raw_buckets = minhash_buckets(documents, num_hashes, bands, family).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    by_doc = raw_buckets.repartition("doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    by_bucket = raw_buckets.repartition("band", "bh").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    by_doc.count()  # materialize both copies off ONE signature pass
-    by_bucket.count()
-    raw_buckets.unpersist()
-    # seed labels with round 1 directly (label(d) = min doc over d's
-    # buckets' minima) — computable without a prior labels relation, so
-    # the loop starts one round ahead
-    bucket_min = by_bucket.groupBy("band", "bh").agg(
-        F.min("doc_id").alias("rep")
-    )
-    labels = (
-        by_bucket.join(bucket_min, ["band", "bh"])
-        .groupBy("doc_id")
-        .agg(F.min("rep").alias("keep_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # Convergence check: min-propagation is MONOTONE (labels only ever
-    # decrease), so Σ keep_id strictly decreases until the fixpoint —
-    # an exact-decimal aggregate replaces the old join-against-previous-
-    # labels + count (one join fewer per round, and the sum rides the
-    # same job that materializes the round's labels). decimal(38,0)
-    # because ids may be xxhash64-minted (|Σ| up to n·2^63 overflows a
-    # long and Spark's long sum wraps silently).
-    def _label_sum(lbl: DataFrame):
-        return lbl.agg(
-            F.sum(F.col("keep_id").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
 
     prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
@@ -269,9 +240,187 @@ def minhash_dedup(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    return labels
+
+
+def dedup_labels_from_buckets(
+    raw_buckets: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """(doc_id, keep_id) connected-component labels from a (doc_id,
+    band, bh) bucket relation — the shared tail of minhash_dedup and
+    build_dedup_index (which materializes the buckets it already has
+    instead of recomputing signatures)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # two persisted copies of the bucket relation, pre-partitioned on
+    # each iteration's join key: labels are groupBy outputs with the
+    # matching hash partitioning, so each round pays exactly two 8-byte
+    # per-row shuffles (band-rep agg, doc agg) instead of four
+    raw_buckets = raw_buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    by_doc = raw_buckets.repartition("doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    by_bucket = raw_buckets.repartition("band", "bh").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    by_doc.count()  # materialize both copies off ONE signature pass
+    by_bucket.count()
+    raw_buckets.unpersist()
+    # seed labels with round 1 directly (label(d) = min doc over d's
+    # buckets' minima) — computable without a prior labels relation, so
+    # the loop starts one round ahead
+    bucket_min = by_bucket.groupBy("band", "bh").agg(
+        F.min("doc_id").alias("rep")
+    )
+    labels = (
+        by_bucket.join(bucket_min, ["band", "bh"])
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("keep_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = _propagate_min_labels(by_doc, by_bucket, labels, max_iterations)
     by_doc.unpersist()
     by_bucket.unpersist()
     return labels
+
+
+def minhash_dedup(
+    documents: DataFrame,
+    num_hashes: int = N_MINHASH,
+    bands: int = 16,
+    max_iterations: int = 50,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, keep_id): canonical representative per near-dup group.
+
+    The scale-correct output shape: enumerating near-dup PAIRS is
+    quadratic in cluster size (a 1k-doc template cluster alone yields
+    500k pairs — measured ~1M pairs on the sf0.1 documents table), but
+    a dedup stage only needs doc→representative. Label propagation over
+    the LSH buckets TO FIXPOINT (see _propagate_min_labels) — the exact
+    connected components of the share-a-bucket graph (rounds ≈ log2 of
+    the longest dup chain). Each round is one groupBy+join over
+    O(n·bands) rows, no pair blowup. Docs with keep_id < doc_id are
+    near-dup drops.
+    """
+    return dedup_labels_from_buckets(
+        minhash_buckets(documents, num_hashes, bands, family), max_iterations
+    )
+
+
+def build_dedup_index(
+    documents: DataFrame,
+    path: str,
+    num_hashes: int = N_MINHASH,
+    bands: int = 16,
+    family: str = "xxhash64",
+) -> None:
+    """Materialize the corpus dedup state for INCREMENTAL ingest: the
+    LSH bucket relation ({path}/buckets: doc_id, band, bh) and the
+    corpus doc→representative labels ({path}/labels: doc_id, keep_id).
+
+    A continuously-ingesting pipeline dedups each arriving batch
+    against the corpus WITHOUT recomputing corpus signatures — the
+    batch probes this table (minhash_dedup_incremental). Signatures
+    are computed exactly once here and feed BOTH outputs. On a real
+    deployment write `buckets` as an Iceberg table bucketed by
+    (band, bh) so the probe join is storage-co-located; plain parquet
+    (this sandbox) still only pays an equi-join shuffle of the 3-column
+    relation, never a signature recompute.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    buckets = minhash_buckets(documents, num_hashes, bands, family).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+    dedup_labels_from_buckets(buckets).write.mode("overwrite").parquet(
+        f"{path}/labels"
+    )
+    buckets.unpersist()
+
+
+def load_dedup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus_buckets, corpus_labels) from a build_dedup_index layout."""
+    return (
+        spark.read.parquet(f"{path}/buckets"),
+        spark.read.parquet(f"{path}/labels"),
+    )
+
+
+def minhash_dedup_incremental(
+    corpus_buckets: DataFrame,
+    corpus_labels: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = N_MINHASH,
+    bands: int = 16,
+    max_iterations: int = 50,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, keep_id) for BATCH docs only: dedup a newly-ingested
+    batch against an already-deduped corpus without touching corpus
+    signatures — the production shape for continuous ingest.
+
+    Cost is O(batch), not O(corpus): signatures/buckets are computed
+    for the batch alone; corpus bucket rows are pulled in ONLY for
+    bucket keys the batch touches (leftsemi on (band, bh)); label
+    propagation runs over that touched subgraph with corpus docs
+    seeded by their existing keep_id and batch docs by their own id.
+    A batch doc that lands in an existing cluster inherits the cluster
+    representative; batch-batch near-dup chains resolve among
+    themselves; a batch doc bridging two existing clusters takes the
+    smaller representative (the STORED corpus labels are not rewritten
+    — re-run the full minhash_dedup to re-canonicalize, same contract
+    as any incremental index compaction).
+
+    Batch docs with no tokens produce no buckets and label themselves
+    (left-join + coalesce at the end).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    cols = ["doc_id", "band", "bh"]
+    b_buckets = minhash_buckets(batch, num_hashes, bands, family).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    touched = b_buckets.select("band", "bh").distinct()
+    c_touched = corpus_buckets.join(touched, ["band", "bh"], "leftsemi")
+    sub = b_buckets.select(*cols).unionByName(c_touched.select(*cols))
+
+    by_doc = sub.repartition("doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    by_bucket = sub.repartition("band", "bh").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    by_doc.count()  # materialize both copies off one probe pass
+    by_bucket.count()
+
+    batch_ids = batch.select("doc_id").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corpus_touched_ids = by_doc.select("doc_id").distinct().join(
+        batch_ids, "doc_id", "left_anti"
+    )
+    seeds = (
+        batch_ids.withColumn("keep_id", F.col("doc_id"))
+        .unionByName(
+            corpus_labels.join(corpus_touched_ids, "doc_id").select(
+                "doc_id", "keep_id"
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = _propagate_min_labels(by_doc, by_bucket, seeds, max_iterations)
+    out = (
+        batch_ids.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("keep_id"), F.col("doc_id")).alias("keep_id"),
+        )
+    )
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for df in (labels, b_buckets, by_doc, by_bucket, batch_ids):
+        df.unpersist()
+    return out
 
 
 def verify_jaccard(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators.dedup import exact_dedup, minhash_dedup
+from search_engine_spark.operators.hashing import h64
 from search_engine_spark.operators.text_analytics import quality_stats
 
 
@@ -96,3 +97,34 @@ def clean_corpus(
     after_near.unpersist()
 
     return kept, CleaningAudit(n_input, n_lang, n_exact, n_near, n_quality)
+
+
+def sample_corpus(
+    documents: DataFrame,
+    rate: float,
+    seed: int = 42,
+    key: str = "doc_id",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic hash-split sample: keep ~rate of the rows.
+
+    df.sample() draws from a per-partition RNG, so membership changes
+    with partitioning, task retries, and cluster size — useless for a
+    train/eval split that must be reproducible across reruns of a
+    100 TB job. This is the standard hash-split instead: a row is kept
+    iff h(key ":" seed) mod 1e6 < rate·1e6, a pure function of the row,
+    so membership is stable under any repartitioning, samples at
+    different rates NEST (rate 0.1 ⊂ rate 0.2 at the same seed), and
+    disjoint splits come from disjoint rate bands or different seeds.
+    Pure Catalyst predicate — evaluated in the scan stage, no shuffle,
+    and at parquet row-group granularity nothing survives the filter
+    but the scan itself (no index can prune a hash predicate).
+
+    `family="portable"` (md5-derived, hashing.h64) makes membership
+    reproducible OUTSIDE Spark (DuckDB, Python) — the oracle gate runs
+    that; the default xxhash64 stays entirely in codegen.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    u = h64(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")), family)
+    return documents.filter(u % F.lit(1_000_000) < int(rate * 1_000_000))

@@ -338,3 +338,57 @@ def token_counts_by(documents: DataFrame, key: str) -> DataFrame:
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+def top_terms(documents: DataFrame, n: int = 100) -> DataFrame:
+    """Vocabulary head: (term, cf, df) for the n most frequent terms.
+
+    The seed list a tokenizer-vocabulary or stop-list builder starts
+    from. Collection frequency (total occurrences) and document
+    frequency per term in ONE shuffle on term — df via count(distinct
+    doc_id) rides the same hash aggregate. Deterministic total order
+    (cf DESC, term ASC) so the cut at n is reproducible; the final
+    top-n is a TakeOrdered over partial per-partition heaps, not a
+    global sort of the vocabulary.
+    """
+    return (
+        tokens_df(documents)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
+def source_mix(documents: DataFrame) -> DataFrame:
+    """Per-source mixture table: (source, n_docs, n_tokens, doc_share,
+    token_share) — the weighting table a pretraining data mixer
+    consumes to set per-source sampling rates.
+
+    One shuffle on source; the share denominators are a window over the
+    per-source aggregate, which is tiny (one row per source) by
+    construction, so the unpartitioned window never sees more rows than
+    there are sources.
+    """
+    from pyspark.sql import Window
+
+    per = documents.select(
+        "source", F.size(ws_tokens(F.col("text"))).alias("ntok")
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias(
+            "token_share"
+        ),
+    )

@@ -1,0 +1,228 @@
+"""Round-3 corpus ops: incremental dedup against a materialized index,
+deterministic hash-split sampling, vocabulary head, source mixture."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import dedup, pipelines
+from search_engine_spark.operators import text_analytics as ta
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+# ---------------------------------------------------------------------------
+
+CLUSTER_A = "the quick brown fox jumps over the lazy dog again and again " * 4
+CLUSTER_B = "pack my box with five dozen liquor jugs every single day now " * 4
+UNIQUE = [
+    "completely unrelated text about alpha beta gamma delta epsilon zeta",
+    "another standalone document mentioning rivers mountains valleys plains",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_index(spark, tmp_path_factory):
+    """Corpus = two near-dup clusters + singletons, index materialized."""
+    rows = [
+        (10, CLUSTER_A, "en", "s1"),
+        (11, CLUSTER_A + " tail one", "en", "s1"),
+        (12, CLUSTER_A + " tail two", "en", "s2"),
+        (20, CLUSTER_B, "en", "s2"),
+        (21, CLUSTER_B + " small change", "en", "s1"),
+        (30, UNIQUE[0], "en", "s1"),
+        (31, UNIQUE[1], "en", "s2"),
+    ]
+    corpus = _docs(spark, rows)
+    path = str(tmp_path_factory.mktemp("dedup_idx"))
+    dedup.build_dedup_index(corpus, path, family="portable")
+    buckets, labels = dedup.load_dedup_index(spark, path)
+    return corpus, buckets, labels
+
+
+def test_build_dedup_index_labels_match_batch_dedup(spark, corpus_index):
+    corpus, _, labels = corpus_index
+    got = {r["doc_id"]: r["keep_id"] for r in labels.collect()}
+    want = {
+        r["doc_id"]: r["keep_id"]
+        for r in dedup.minhash_dedup(corpus, family="portable").collect()
+    }
+    assert got == want
+    assert got[11] == 10 and got[12] == 10 and got[21] == 20
+    assert got[30] == 30 and got[31] == 31
+
+
+def test_incremental_batch_joins_existing_cluster(spark, corpus_index):
+    _, buckets, labels = corpus_index
+    batch = _docs(
+        spark,
+        [
+            (100, CLUSTER_A + " tail three", "en", "s3"),  # joins cluster A
+            (101, UNIQUE[0] + " slightly", "en", "s3"),  # joins doc 30
+            (102, "totally fresh content about quarks and leptons", "en", "s3"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["keep_id"]
+        for r in dedup.minhash_dedup_incremental(
+            buckets, labels, batch, family="portable"
+        ).collect()
+    }
+    assert set(out) == {100, 101, 102}  # batch rows only
+    assert out[100] == 10  # inherits the cluster representative
+    assert out[101] == 30
+    assert out[102] == 102  # novel doc labels itself
+
+
+def test_incremental_batch_batch_chain_resolves(spark, corpus_index):
+    _, buckets, labels = corpus_index
+    novel = "fresh paragraph about glaciers fjords tundra moraine ice sheets " * 4
+    batch = _docs(
+        spark,
+        [
+            (201, novel + " v1", "en", "s3"),
+            (202, novel + " v2", "en", "s3"),
+            (203, novel + " v3", "en", "s3"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["keep_id"]
+        for r in dedup.minhash_dedup_incremental(
+            buckets, labels, batch, family="portable"
+        ).collect()
+    }
+    assert out == {201: 201, 202: 201, 203: 201}
+
+
+def test_incremental_empty_text_doc_labels_itself(spark, corpus_index):
+    _, buckets, labels = corpus_index
+    batch = _docs(spark, [(300, "", "en", "s3"), (301, CLUSTER_B, "en", "s3")])
+    out = {
+        r["doc_id"]: r["keep_id"]
+        for r in dedup.minhash_dedup_incremental(
+            buckets, labels, batch, family="portable"
+        ).collect()
+    }
+    assert out[300] == 300  # no tokens → no buckets → self-labeled
+    assert out[301] == 20
+
+
+def test_incremental_matches_full_recompute_both_families(spark):
+    """On a corpus whose batch doesn't bridge two pre-existing corpus
+    clusters, incremental labels equal the full-recompute restriction —
+    for the portable AND the production xxhash64 family."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    for family in ("portable", "xxhash64"):
+        buckets = dedup.minhash_buckets(corpus, family=family)
+        labels = dedup.dedup_labels_from_buckets(buckets)
+        inc = {
+            r["doc_id"]: r["keep_id"]
+            for r in dedup.minhash_dedup_incremental(
+                buckets, labels, batch, family=family
+            ).collect()
+        }
+        full = {
+            r["doc_id"]: r["keep_id"]
+            for r in dedup.minhash_dedup(docs, family=family).collect()
+        }
+        assert inc == {d: k for d, k in full.items() if d % 5 == 0}, family
+
+
+# ---------------------------------------------------------------------------
+# sample_corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_sample_deterministic_and_nested(spark, sf_docs):
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    s1 = ids(pipelines.sample_corpus(sf_docs, 0.2))
+    s2 = ids(pipelines.sample_corpus(sf_docs, 0.2))
+    s_half = ids(pipelines.sample_corpus(sf_docs, 0.5))
+    assert s1 == s2  # pure function of the row
+    assert s1 <= s_half  # samples nest across rates at one seed
+    assert ids(pipelines.sample_corpus(sf_docs, 0.0)) == set()
+    assert len(ids(pipelines.sample_corpus(sf_docs, 1.0))) == sf_docs.count()
+    # rate is approximate but must be in the right ballpark at n=500
+    assert 0.1 <= len(s1) / sf_docs.count() <= 0.3
+
+
+def test_sample_stable_under_repartition(spark, sf_docs):
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    base = ids(pipelines.sample_corpus(sf_docs, 0.3, seed=7))
+    shuffled = ids(pipelines.sample_corpus(sf_docs.repartition(17), 0.3, seed=7))
+    assert base == shuffled
+
+
+def test_sample_seed_and_family_vary_membership(spark, sf_docs):
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    a = ids(pipelines.sample_corpus(sf_docs, 0.3, seed=1))
+    b = ids(pipelines.sample_corpus(sf_docs, 0.3, seed=2))
+    assert a != b  # different seeds → different (overlapping) splits
+    p = ids(pipelines.sample_corpus(sf_docs, 0.3, family="portable"))
+    assert 0.1 <= len(p) / sf_docs.count() <= 0.5
+    with pytest.raises(ValueError):
+        pipelines.sample_corpus(sf_docs, 1.5)
+
+
+def test_sample_portable_matches_python(spark, sf_docs):
+    """Membership is recomputable outside Spark (the oracle contract)."""
+    from search_engine_spark.operators.hashing import h64_py
+
+    got = {
+        r["doc_id"]
+        for r in pipelines.sample_corpus(
+            sf_docs, 0.25, seed=9, family="portable"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in sf_docs.select("doc_id").collect()
+        if h64_py(f"{r['doc_id']}:9") % 1_000_000 < 250_000
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# top_terms / source_mix
+# ---------------------------------------------------------------------------
+
+
+def test_top_terms_matches_counter(spark, sf_docs):
+    rows = sf_docs.select("doc_id", "text").collect()
+    cf: Counter = Counter()
+    df_: Counter = Counter()
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        cf.update(toks)
+        df_.update(set(toks))
+    want = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["term"], r["cf"], r["df"]) for r in ta.top_terms(sf_docs, 20).collect()
+    ]
+    assert [(t, c, df_[t]) for t, c in want] == got
+
+
+def test_source_mix_shares(spark, sf_docs):
+    rows = ta.source_mix(sf_docs).collect()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-6
+    assert sum(r["n_docs"] for r in rows) == sf_docs.count()
+    by_src = {r["source"]: r for r in rows}
+    one = sf_docs.filter(F.col("source") == rows[0]["source"]).count()
+    assert by_src[rows[0]["source"]]["n_docs"] == one
