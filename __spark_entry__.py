@@ -179,6 +179,24 @@ def _ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: corpus = doc_id % 5 != 0 (pre-deduped), batch
+    = the rest, labeled against the corpus bucket/label relations. The
+    gate runs the in-memory relations (value-identical to the
+    build_dedup_index parquet layout, which tests/test_corpus_ops.py
+    exercises)."""
+    from search_engine_spark.operators import dedup
+
+    docs = _documents(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    buckets = dedup.minhash_buckets(corpus, family="portable")
+    labels = dedup.dedup_labels_from_buckets(buckets)
+    return dedup.minhash_dedup_incremental(
+        buckets, labels, batch, family="portable"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.operators import dedup, similarity
     from search_engine_spark.operators import events as ev
@@ -236,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q(
             lambda s, d: dedup.minhash_dedup(_documents(s, d), family="portable")
         ),
+        "minhash_dedup_incr": q(_dedup_incremental),
         "clean_corpus": q(
             lambda s, d: pipe.clean_corpus(_documents(s, d), family="portable")[
                 0
@@ -274,6 +293,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.md5(F.lower(F.hex("frame"))).alias("fp"),
             )
         ),
+        # corpus curation ops (sampling / vocab / mixture)
+        "sample_corpus": q(
+            lambda s, d: pipe.sample_corpus(
+                _documents(s, d), 0.2, family="portable"
+            ).select("doc_id", "lang", "source", "n_chars")
+        ),
+        "top_terms": q(lambda s, d: ta.top_terms(_documents(s, d), 100)),
+        "source_mix": q(lambda s, d: ta.source_mix(_documents(s, d))),
         # text analytics extras
         "quality_stats": q(lambda s, d: ta.quality_stats(_documents(s, d))),
         "langid_score": q(lambda s, d: ta.langid_score(_documents(s, d))),
@@ -374,10 +401,10 @@ def _h64_sql(expr: str) -> str:
 _TOKS = "toks AS (SELECT DISTINCT doc_id, term FROM tokens WHERE term <> '')"
 
 
-def _minhash_ctes(num_hashes: int = 64, bands: int = 16) -> str:
-    """CTEs tokens→toks→sig→bands→cand: banded MinHash-LSH candidate
-    pairs, value-identical to dedup.minhash_buckets (same md5 base,
-    same (a·h+b) mod M31 permutations, same ','-joined band key md5)."""
+def _minhash_band_ctes(num_hashes: int = 64, bands: int = 16) -> str:
+    """CTEs tokens→toks→sig→bands: per-doc banded MinHash bucket keys,
+    value-identical to dedup.minhash_buckets (same md5 base, same
+    (a·h+b) mod M31 permutations, same ','-joined band key md5)."""
     from search_engine_spark.operators.hashing import M31, minhash_perms
 
     rows = num_hashes // bands
@@ -391,7 +418,12 @@ perm(i, a, b) AS (VALUES {perms}),
 sig AS (SELECT doc_id, i, min((a * h + b) % {M31}) AS v
         FROM base CROSS JOIN perm GROUP BY doc_id, i),
 bands AS (SELECT doc_id, CAST(i // {rows} AS INT) AS band, {bh} AS bh
-          FROM sig GROUP BY doc_id, i // {rows}),
+          FROM sig GROUP BY doc_id, i // {rows})"""
+
+
+def _minhash_ctes(num_hashes: int = 64, bands: int = 16) -> str:
+    """_minhash_band_ctes + the LSH candidate-pair CTE."""
+    return f"""{_minhash_band_ctes(num_hashes, bands)},
 cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          FROM bands l JOIN bands r
            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)"""
@@ -432,6 +464,54 @@ def _minhash_dedup_sql() -> str:
     the fixpoint dedup.minhash_dedup converges to, as a recursive CTE."""
     return f"""WITH RECURSIVE {_minhash_ctes()}, {_CC_LABELS}
 SELECT doc_id, keep_id FROM labels"""
+
+
+def _minhash_dedup_incr_sql() -> str:
+    """dedup.minhash_dedup_incremental with corpus = doc_id % 5 != 0,
+    batch = doc_id % 5 = 0 — the same split the engine entry runs.
+
+    Three stages, each the closed form of an engine fixpoint:
+    (1) corpus labels = connected components of the corpus-only bucket
+        graph (what build_dedup_index persists);
+    (2) the probed subgraph = batch buckets + corpus bucket rows whose
+        (band, bh) key the batch touches;
+    (3) batch labels = min SEED over each subgraph component, where
+        corpus docs are seeded with their stored keep_id and batch docs
+        with their own doc_id; bucketless batch docs label themselves.
+    """
+    return f"""WITH RECURSIVE {_minhash_band_ctes()},
+cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+ccand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM cb l JOIN cb r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+cedges AS (SELECT a, b FROM ccand UNION ALL SELECT b, a FROM ccand),
+cr(n, rep) AS (SELECT doc_id, doc_id FROM
+                 (SELECT DISTINCT doc_id FROM toks WHERE doc_id % 5 <> 0) t
+               UNION
+               SELECT e.b, cr.rep FROM cr JOIN cedges e ON e.a = cr.n),
+clabels AS (SELECT n AS doc_id, min(rep) AS keep_id FROM cr GROUP BY n),
+touched AS (SELECT DISTINCT band, bh FROM bb),
+sub AS (SELECT * FROM bb
+        UNION ALL
+        SELECT cb.* FROM cb JOIN touched USING (band, bh)),
+scand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM sub l JOIN sub r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+sedges AS (SELECT a, b FROM scand UNION ALL SELECT b, a FROM scand),
+seeds AS (SELECT doc_id, doc_id AS seed
+          FROM (SELECT DISTINCT doc_id FROM bb) t
+          UNION ALL
+          SELECT cl.doc_id, cl.keep_id FROM clabels cl
+          JOIN (SELECT DISTINCT doc_id FROM sub WHERE doc_id % 5 <> 0) s
+            USING (doc_id)),
+sr(n, rep) AS (SELECT doc_id, seed FROM seeds
+               UNION
+               SELECT e.b, sr.rep FROM sr JOIN sedges e ON e.a = sr.n),
+slabels AS (SELECT n AS doc_id, min(rep) AS keep_id FROM sr GROUP BY n)
+SELECT b.doc_id, coalesce(s.keep_id, b.doc_id) AS keep_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) b
+LEFT JOIN slabels s USING (doc_id)"""
 
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -998,6 +1078,25 @@ LIMIT 10""",
         # multimodal/fingerprint surface value-checkable
         "minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
+        "minhash_dedup_incr": _minhash_dedup_incr_sql(),
+        "sample_corpus": "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE " + _h64_sql("CAST(doc_id AS VARCHAR) || ':42'")
+        + " % 1000000 < 200000",
+        "top_terms": f"WITH {_TOKENS} "
+        "SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df "
+        "FROM tokens WHERE term <> '' GROUP BY term "
+        "ORDER BY cf DESC, term ASC LIMIT 100",
+        "source_mix": """
+WITH per AS (SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+             FROM documents),
+agg AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM per GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+FROM agg""",
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
         "clean_corpus": _clean_corpus_sql(),
         "block_engine_bm25": _BM25_SQL.format(
