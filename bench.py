@@ -206,6 +206,23 @@ def main() -> None:
             "minhash_lsh_pairs",
             lambda: dedup.minhash_lsh_pairs(documents, threshold=0.9).count(),
         )
+        # incremental ingest shape (round 3): materialize the corpus
+        # dedup index once, then label a 20% batch against it — the
+        # batch row costs O(batch) signatures + the touched-bucket
+        # probe, never a corpus recompute
+        corpus_docs = documents.filter(F.col("doc_id") % 5 != 0)
+        batch_docs = documents.filter(F.col("doc_id") % 5 == 0)
+        timed(
+            "dedup_index_build",
+            lambda: dedup.build_dedup_index(corpus_docs, f"{tmp}/dedup_idx"),
+        )
+        dd_buckets, dd_labels = dedup.load_dedup_index(spark, f"{tmp}/dedup_idx")
+        timed(
+            "minhash_dedup_incr",
+            lambda: dedup.minhash_dedup_incremental(
+                dd_buckets, dd_labels, batch_docs
+            ).count(),
+        )
         def _clean_corpus():
             # the audit counts inside clean_corpus already materialize
             # `kept`; unpersist AFTER so the row times the pipeline once
