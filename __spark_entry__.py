@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "top_terms": q(lambda s, d: ta.top_terms(_documents(s, d), 100)),
         "source_mix": q(lambda s, d: ta.source_mix(_documents(s, d))),
+        "unigram_logprob": q(lambda s, d: ta.unigram_logprob(_documents(s, d))),
         # text analytics extras
         "quality_stats": q(lambda s, d: ta.quality_stats(_documents(s, d))),
         "langid_score": q(lambda s, d: ta.langid_score(_documents(s, d))),
@@ -1086,6 +1087,14 @@ LIMIT 10""",
         "SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df "
         "FROM tokens WHERE term <> '' GROUP BY term "
         "ORDER BY cf DESC, term ASC LIMIT 100",
+        "unigram_logprob": f"""
+WITH {_TOKENS}, {_TF},
+lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+t AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM lm)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * log10(CAST(cf AS DOUBLE) / t.t)) / sum(tf), 6) AS avg_logp
+FROM tf JOIN lm USING (term), t
+GROUP BY doc_id""",
         "source_mix": """
 WITH per AS (SELECT source,
              len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok

@@ -394,6 +394,60 @@ BENCH/scaling_runs.jsonl.
   why doc→representative labeling (minhash_dedup) is the dedup
   headline and pair enumeration is the verification baseline.
 
+- Crawl loop (`crawl_2rounds`, round 3 late): 2 BFS rounds over the
+  deterministic synthetic web, seeds scaled with sf. At sf0.1 (4k
+  seeds) a quiet-window run measures 20.1 s wall at 371 fetches/s —
+  the wall is ~10 Spark jobs of round machinery (queue scan, fetch,
+  gates, two sinks, frontier, ledger commit), so fetches/s is the
+  comparable row; with a real network transport the 15 s timeout ×
+  politeness interval dominates instead and the domain-partitioned
+  shape is what scales it out.
+
+- Batched ANN serving (`lsh/ivf_index_topk_batch`, round 3): one Spark
+  job answers a whole query batch against the materialized index — the
+  scan reads the union of all queries' probe buckets/cells (still a
+  static partition-pruned filter), a broadcast (query_id, key) join
+  routes candidates, one window takes per-query top-k. At sf0.01/10
+  queries the per-query loop pays 7.3 s (LSH) / 2.2 s (IVF) vs 3.0 s /
+  0.9 s batched — the gap is the per-job scheduling constant, which at
+  cluster scale becomes Q sequential driver barriers the batch shape
+  removes. Both batch paths are row-for-row equal to the per-query
+  loop (pytest parity) and value-verified against generalized DuckDB
+  oracles in the driver gate (`lsh/ivf_cosine_topk_batch`).
+
+- Incremental dedup (`dedup_index_build` + `minhash_dedup_incr`,
+  round 3 late): the corpus bucket/label tables are materialized once,
+  then a 20% batch is labeled against them. At sandbox scale the
+  incremental row can read SLOWER than a full `minhash_dedup` (e.g.
+  8.3 s vs 5.8 s at sf0.01/local[8]): the batch path pays ~10 driver
+  barriers (two bucket materializations, seeded fixpoint rounds, the
+  output count) over a subgraph of a few thousand rows, so per-job
+  constants dominate. The row exists to keep those constants measured;
+  the asymptotic claim — batch signatures O(batch), corpus touched
+  only via a (band, bh) semi-join probe, no corpus signature recompute
+  — is structural (see dedup.minhash_dedup_incremental docstring) and
+  is what matters at a 10^12-doc corpus with a 10^8-doc daily batch,
+  where full recompute is 10^4× the work.
+
+## Reading BENCH_r3 vs BENCH_r2 (headline now a fixed core set)
+
+Round 3 added fourteen breadth rows to bench.py (warm serving twins,
+the portable-hash-family dedup twin, `minhash_lsh_pairs` pair
+enumeration, `clean_corpus`, the four ANN index build/probe rows, the
+two `*_probe_batch10` batched-probe rows, `crawl_2rounds` — the S1/S2
+crawl loop over the deterministic synthetic web; its wall is dominated
+by per-round job-scheduling constants at sandbox scale, so
+`extra.crawl_fetches_per_sec` is the comparable number — and the
+`dedup_index_build` + `minhash_dedup_incr` incremental-ingest pair).
+To keep the headline `value` diffable across rounds it now sums ONLY
+the original nine r1/r2 components (pages/docs index builds,
+bm25/tfidf/block search, 100-query batch, minhash_dedup, cosine_topk);
+the full-suite wall time is reported separately as
+`extra.full_suite_sec`. On the representative quiet-window run above
+the core set is ~39 s vs r2's 51.7 s — the comparable pipeline got
+faster (fused dedup fixpoint, block path), while the suite as a whole
+measures more surface.
+
 ## Reading BENCH_r2 vs BENCH_r1 (headline bench deltas, intentional)
 
 Two per-query entries changed meaning in round 2 — the totals are not

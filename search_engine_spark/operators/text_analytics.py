@@ -344,23 +344,63 @@ def top_terms(documents: DataFrame, n: int = 100) -> DataFrame:
     """Vocabulary head: (term, cf, df) for the n most frequent terms.
 
     The seed list a tokenizer-vocabulary or stop-list builder starts
-    from. Collection frequency (total occurrences) and document
-    frequency per term in ONE shuffle on term — df via count(distinct
-    doc_id) rides the same hash aggregate. Deterministic total order
-    (cf DESC, term ASC) so the cut at n is reproducible; the final
-    top-n is a TakeOrdered over partial per-partition heaps, not a
-    global sort of the vocabulary.
+    from. Two narrow-waisted shuffles: token occurrences pre-aggregate
+    to (doc_id, term, tf) with map-side combine (the same A1 relation
+    the index build uses), then roll up to cf = Σtf, df = count(*) per
+    term — deliberately NOT count(*) + count(distinct doc_id) in one
+    agg, which Catalyst plans as an Expand that duplicates every token
+    row. Deterministic total order (cf DESC, term ASC) so the cut at n
+    is reproducible; the final top-n is a TakeOrdered over partial
+    per-partition heaps, not a global sort of the vocabulary.
     """
     return (
-        tokens_df(documents)
+        term_tf(documents)
         .groupBy("term")
         .agg(
-            F.count(F.lit(1)).alias("cf"),
-            F.countDistinct("doc_id").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.count(F.lit(1)).alias("df"),
         )
         .orderBy(F.col("cf").desc(), F.col("term").asc())
         .limit(n)
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logp): mean log10 unigram probability of
+    each doc under the corpus's OWN unigram LM — the classic cheap
+    perplexity proxy for quality filtering (template/boilerplate docs
+    score high; gibberish and OCR noise score low, because their
+    tokens are corpus-rare).
+
+    Plan: the A1 (doc_id, term, tf) relation feeds both sides — corpus
+    counts roll up per term (one shuffle), then join back on term (the
+    LM side is vocab-sized; AQE broadcasts it when small, sort-merge
+    otherwise) and aggregate per doc. The corpus total T is one driver
+    scalar off the term rollup. No Python anywhere.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    tf = term_tf(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    lm = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    t_total = lm.agg(F.sum("cf").cast("long").alias("t")).first()["t"] or 0
+    logp = F.log10(F.col("cf").cast("double") / F.lit(float(t_total or 1)))
+    out = (
+        tf.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * logp) / F.sum("tf"), 6
+            ).alias("avg_logp"),
+        )
+    )
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist()
+    lm.unpersist()
+    return out
 
 
 def source_mix(documents: DataFrame) -> DataFrame:

