@@ -427,7 +427,10 @@ BENCH/scaling_runs.jsonl.
   only via a (band, bh) semi-join probe, no corpus signature recompute
   — is structural (see dedup.minhash_dedup_incremental docstring) and
   is what matters at a 10^12-doc corpus with a 10^8-doc daily batch,
-  where full recompute is 10^4× the work.
+  where full recompute is 10^4× the work. The crossover already shows
+  one sf up: at sf0.1/local[32] the same 20% batch labels in 8.2 s vs
+  12.6 s for the full-corpus fixpoint — job constants stop dominating
+  at just ~5k docs.
 
 ## Reading BENCH_r3 vs BENCH_r2 (headline now a fixed core set)
 
