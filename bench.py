@@ -263,6 +263,23 @@ def main() -> None:
             "lsh_index_probe_batch10",
             lambda: similarity.lsh_index_topk_batch(spark, lsh_idx, qvecs).collect(),
         )
+        # sorted-layout twin: t-partitioned, sig-sorted row groups —
+        # measures the build-cost/pruning-mechanism trade documented in
+        # build_lsh_index (partitioned = planning-time dir pruning,
+        # sorted = pushed-filter row-group pruning, ~30x cheaper write)
+        timed(
+            "lsh_index_build_sorted",
+            lambda: similarity.build_lsh_index(
+                embeddings, f"{tmp}/lsh_idx_sorted", layout="sorted"
+            ),
+        )
+        lsh_sorted = spark.read.parquet(f"{tmp}/lsh_idx_sorted")
+        timed(
+            "lsh_sorted_probe_batch10",
+            lambda: similarity.lsh_index_topk_batch(
+                spark, lsh_sorted, qvecs
+            ).collect(),
+        )
         timed(
             "ivf_index_build",
             lambda: similarity.build_ivf_index(embeddings, f"{tmp}/ivf_idx"),
