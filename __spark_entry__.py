@@ -255,6 +255,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: dedup.minhash_dedup(_documents(s, d), family="portable")
         ),
         "minhash_dedup_incr": q(_dedup_incremental),
+        "ngram_contamination": q(
+            lambda s, d: dedup.ngram_contamination(
+                _documents(s, d).filter(F.col("doc_id") % 20 != 0),
+                _documents(s, d).filter(F.col("doc_id") % 20 == 0),
+                n=5,
+                threshold=0.2,
+            )
+        ),
         "clean_corpus": q(
             lambda s, d: pipe.clean_corpus(_documents(s, d), family="portable")[
                 0
@@ -1080,6 +1088,24 @@ LIMIT 10""",
         "minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "minhash_dedup_incr": _minhash_dedup_incr_sql(),
+        "ngram_contamination": """
+WITH tok AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+             FROM documents),
+idx AS (SELECT doc_id, l,
+        unnest(generate_series(1, greatest(len(l) - 4, 0))) AS i FROM tok),
+sh AS (SELECT DISTINCT doc_id,
+       array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS g
+       FROM idx),
+psh AS (SELECT doc_id AS probe_id, g FROM sh WHERE doc_id % 20 = 0),
+csh AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 0),
+psz AS (SELECT probe_id, count(*) AS sz FROM psh GROUP BY probe_id),
+ov AS (SELECT p.probe_id, c.doc_id, count(*) AS n_shared
+       FROM psh p JOIN csh c USING (g) GROUP BY 1, 2)
+SELECT probe_id, doc_id, n_shared,
+       round(CAST(n_shared AS DOUBLE) / sz, 6) AS contamination
+FROM ov JOIN psz USING (probe_id)
+WHERE round(CAST(n_shared AS DOUBLE) / sz, 6) >= 0.2""",
         "sample_corpus": "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE " + _h64_sql("CAST(doc_id AS VARCHAR) || ':42'")
         + " % 1000000 < 200000",

@@ -468,6 +468,69 @@ def verify_jaccard(
     )
 
 
+def token_shingles(documents: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, g): distinct space-joined token n-grams — JVM-side
+    (filtered split + sequence + slice + concat_ws, no Python). Docs
+    shorter than n tokens produce no rows (guarded: Spark's
+    sequence(1, 0) would count DOWN, not empty)."""
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    arr = ws_tokens(F.col("text"))
+    npos = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(npos, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
+    return documents.select("doc_id", F.explode(grams).alias("g")).distinct()
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(probe_id, doc_id, n_shared, contamination): corpus docs sharing
+    ≥ threshold of a probe doc's token n-grams — the benchmark
+    DECONTAMINATION check a pretraining pipeline runs before training
+    (probes = the eval set; a hit means the training corpus contains
+    the benchmark, so the doc must be dropped or the eval discounted).
+
+    contamination = |probe ∩ doc n-grams| / |probe n-grams| — the
+    asymmetric containment score (a 100-word benchmark item quoted
+    inside a 10k-word page must still score 1.0; symmetric Jaccard
+    would dilute it to noise).
+
+    Scale shape: the probe shingle relation is benchmark-sized (tiny
+    next to the corpus), so the equi-join on the gram is the filter —
+    AQE broadcasts the probe side and the corpus shingle stream never
+    shuffles; no forced broadcast (a giant probe set degrades to a
+    shuffle join instead of OOMing the driver). n ≥ 8 keeps grams
+    specific enough that no gram is corpus-common (the skew guard:
+    8-token sequences shared by millions of docs are themselves
+    near-dup boilerplate, which dedup removes upstream).
+    """
+    csh = token_shingles(corpus, n)
+    psh = token_shingles(probes, n).select(
+        F.col("doc_id").alias("probe_id"), "g"
+    )
+    psz = psh.groupBy("probe_id").agg(F.count(F.lit(1)).alias("sz"))
+    ov = (
+        csh.join(psh, "g")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        ov.join(psz, "probe_id")
+        .select(
+            "probe_id",
+            "doc_id",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("sz"), 6).alias("contamination"),
+        )
+        .filter(F.col("contamination") >= threshold)
+    )
+
+
 def char_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh): distinct character n-grams — JVM-side (sequence +
     substring + explode), no Python."""

@@ -252,3 +252,42 @@ def test_unigram_logprob_matches_python(spark, sf_docs):
     # rare tokens score lower than common ones on the real table
     out = ta.unigram_logprob(sf_docs)
     assert out.count() == sf_docs.filter(F.length("text") > 0).count()
+
+
+# ---------------------------------------------------------------------------
+# ngram contamination
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_containment(spark):
+    bench_item = "what is the capital of france the answer is paris"
+    page = (
+        "some long web page text here " * 3
+        + bench_item
+        + " trailing content follows here now"
+    )
+    corpus = _docs(
+        spark,
+        [
+            (1, page, "en", "s1"),  # quotes the full benchmark item
+            (2, "entirely unrelated text about gardening tools", "en", "s1"),
+            (3, "what is the capital of spain the answer is madrid", "en", "s1"),
+        ],
+    )
+    probes = _docs(spark, [(100, bench_item, "en", "bench")])
+    out = {
+        (r["probe_id"], r["doc_id"]): (r["n_shared"], r["contamination"])
+        for r in dedup.ngram_contamination(corpus, probes, n=5, threshold=0.3).collect()
+    }
+    # probe has 10 tokens -> 6 5-grams, all inside doc 1 => containment 1.0
+    assert out[(100, 1)] == (6, 1.0)
+    assert (100, 2) not in out
+    # doc 3 shares no full 5-gram run ("what is the capital of" differs at 'spain')
+    assert (100, 3) not in out
+
+
+def test_token_shingles_short_docs_empty(spark):
+    docs = _docs(spark, [(1, "a b c", "en", "s"), (2, "", "en", "s")])
+    assert dedup.token_shingles(docs, n=5).count() == 0
+    got = {r["g"] for r in dedup.token_shingles(docs, n=3).collect()}
+    assert got == {"a b c"}
