@@ -199,6 +199,7 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.operators import dedup, similarity
+    from search_engine_spark.operators import curation as cur
     from search_engine_spark.operators import events as ev
     from search_engine_spark.operators import phrase as ph
     from search_engine_spark.operators import pipelines as pipe
@@ -310,6 +311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q(lambda s, d: ta.top_terms(_documents(s, d), 100)),
         "source_mix": q(lambda s, d: ta.source_mix(_documents(s, d))),
         "unigram_logprob": q(lambda s, d: ta.unigram_logprob(_documents(s, d))),
+        "repetition_stats": q(lambda s, d: cur.repetition_stats(_documents(s, d))),
+        "pii_scrub": q(lambda s, d: cur.pii_scrub(_documents(s, d))),
+        "pack_sequences": q(
+            lambda s, d: cur.pack_sequences(_documents(s, d), capacity=512)
+        ),
         # text analytics extras
         "quality_stats": q(lambda s, d: ta.quality_stats(_documents(s, d))),
         "langid_score": q(lambda s, d: ta.langid_score(_documents(s, d))),
@@ -363,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q(_lsh_topk),
         "ivf_cosine_topk_batch": q(_ivf_topk_batch),
         "lsh_cosine_topk_batch": q(_lsh_topk_batch),
+        "kmeans_clusters": q(
+            lambda s, d: similarity.kmeans_clusters(_embeddings(s, d), k=8, iters=2)
+        ),
     }
 
 
@@ -876,6 +885,114 @@ scored AS (SELECT h.doc_id, plang, round(CAST(hits AS DOUBLE) / n.n_tri, 6) AS h
 SELECT doc_id, plang AS pred_lang, hit_ratio FROM scored WHERE rn = 1"""
 
 
+_REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+grams AS (
+  SELECT doc_id, len(t) AS n_tokens, 1 AS n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, len(t), 2,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+  FROM toks
+  UNION ALL
+  SELECT doc_id, len(t), 3,
+         unnest(list_transform(range(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+  FROM toks
+),
+counts AS (SELECT doc_id, n_tokens, n, gram, count(*) AS cnt FROM grams GROUP BY ALL),
+per_n AS (SELECT doc_id, n_tokens, n, max(cnt) AS mx, count(*) AS uniq
+          FROM counts GROUP BY ALL)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(max(CASE WHEN n=1 THEN uniq END) / CAST(n_tokens AS DOUBLE), 6) AS unique_frac,
+  round(max(CASE WHEN n=1 THEN mx END) / CAST(n_tokens AS DOUBLE), 6) AS top_unigram_frac,
+  round(CASE WHEN n_tokens >= 2
+        THEN max(CASE WHEN n=2 THEN mx END) / CAST(n_tokens-1 AS DOUBLE)
+        ELSE 0.0 END, 6) AS top_bigram_frac,
+  round(CASE WHEN n_tokens >= 3
+        THEN max(CASE WHEN n=3 THEN mx END) / CAST(n_tokens-2 AS DOUBLE)
+        ELSE 0.0 END, 6) AS top_trigram_frac
+FROM per_n GROUP BY doc_id, n_tokens"""
+
+
+def _pii_scrub_sql() -> str:
+    """Same PII_RULES constants, same in-order application; DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all semantics."""
+    from search_engine_spark.operators.curation import PII_RULES
+
+    (_, p_email, r_email), (_, p_ip, r_ip), (_, p_ph, r_ph) = PII_RULES
+    return f"""
+WITH s1 AS (SELECT doc_id, text AS t0,
+            regexp_replace(text, '{p_email}', '{r_email}', 'g') AS t1
+            FROM documents),
+s2 AS (SELECT doc_id, t0, t1,
+       regexp_replace(t1, '{p_ip}', '{r_ip}', 'g') AS t2 FROM s1)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t0, '{p_email}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t1, '{p_ip}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t2, '{p_ph}')) AS BIGINT) AS n_phone,
+  regexp_replace(t2, '{p_ph}', '{r_ph}', 'g') AS clean_text
+FROM s2"""
+
+
+_PACK_SEQUENCES_SQL = """
+WITH per AS (SELECT source, doc_id,
+   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+   FROM documents),
+c AS (SELECT source, doc_id, n_tokens,
+   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     - n_tokens AS bef
+   FROM per)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(bef / 512.0) AS BIGINT) AS seq_id,
+       CAST(bef % 512 AS BIGINT) AS offset
+FROM c"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd trajectory, value-identical to
+    similarity.kmeans_clusters: hash-sampled seeds (cell = seed rank),
+    squared-L2 assignment rounded 9dp with ties to the smallest cell,
+    per-(cell, dim) f64 means rounded 6dp, empty cells coalescing to
+    the previous centroid."""
+    h = _h64_sql("'km|' || CAST(vec_id AS VARCHAR)")
+
+    def assign(cents: str, d: str, a: str) -> str:
+        return f"""
+{d} AS (SELECT x.vec_id, c.cell, round(sum((x.v - c.m)*(x.v - c.m)), 9) AS d2
+        FROM e x JOIN {cents} c ON c.i = x.i GROUP BY x.vec_id, c.cell),
+{a} AS (SELECT vec_id, cell, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2 ASC, cell ASC) AS rn
+        FROM {d}) WHERE rn = 1)"""
+
+    def update(prev: str, a: str, new: str) -> str:
+        return f"""
+{new} AS (SELECT p.cell, p.i, round(coalesce(m.mv, p.m), 6) AS m
+          FROM {prev} p LEFT JOIN (
+            SELECT a.cell, x.i, avg(x.v) AS mv
+            FROM {a} a JOIN e x ON x.vec_id = a.vec_id
+            GROUP BY a.cell, x.i) m ON m.cell = p.cell AND m.i = p.i)"""
+
+    sql = f"""
+WITH e AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+           FROM embeddings,
+                (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
+rk AS (SELECT vec_id, row_number() OVER (ORDER BY {h} ASC, vec_id ASC) - 1 AS cell
+       FROM embeddings ORDER BY {h} ASC, vec_id ASC LIMIT {k}),
+c0 AS (SELECT r.cell, x.i, round(x.v, 6) AS m FROM rk r JOIN e x ON x.vec_id = r.vec_id)"""
+    cur = "c0"
+    for it in range(iters):
+        sql += "," + assign(cur, f"d{it}", f"a{it}")
+        sql += "," + update(cur, f"a{it}", f"c{it + 1}")
+        cur = f"c{it + 1}"
+    sql += "," + assign(cur, "dF", "aF")
+    sql += "\nSELECT vec_id, cell, round(d2, 6) AS d2 FROM aF"
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": f"WITH {_TOKENS} SELECT doc_id, term, count(*) AS tf "
@@ -1145,4 +1262,8 @@ FROM agg""",
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(every_n=2),
         "rolling_fingerprints": _rolling_fingerprints_sql(),
+        "repetition_stats": _REPETITION_SQL,
+        "pii_scrub": _pii_scrub_sql(),
+        "pack_sequences": _PACK_SEQUENCES_SQL,
+        "kmeans_clusters": _kmeans_sql(k=8, iters=2),
     }

@@ -233,6 +233,24 @@ def main() -> None:
             return audit
 
         timed("clean_corpus", _clean_corpus)
+
+        # curation family (round 3 late): repetition gates + PII scrub +
+        # sequence packing over documents, Lloyd k-means over embeddings
+        from search_engine_spark.operators import curation
+
+        timed(
+            "repetition_stats",
+            lambda: curation.repetition_stats(documents).count(),
+        )
+        timed("pii_scrub", lambda: curation.pii_scrub(documents).count())
+        timed(
+            "pack_sequences",
+            lambda: curation.pack_sequences(documents, capacity=2048).count(),
+        )
+        timed(
+            "kmeans_clusters",
+            lambda: similarity.kmeans_clusters(embeddings, k=8, iters=2).count(),
+        )
         timed("cosine_topk", lambda: similarity.cosine_topk(embeddings, 0).collect())
 
         # ANN serving path (r2 judge item 3): one-time index build +

@@ -1,0 +1,178 @@
+"""Corpus-curation operators a pretraining-data pipeline runs between
+crawl and tokenizer: repetition-based quality gates, PII scrubbing, and
+sequence packing.
+
+All three are pure Catalyst column programs (no Python on any hot
+path) and each has a value-exact DuckDB oracle in `__spark_entry__`.
+
+Reference parity note: dastarruer/search-engine has no curation stage
+(its corpus is whatever the crawler fetched); these operators are part
+of the LLM-training-data surface this engine adds on top of the
+reference's query semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.text_analytics import ws_tokens
+
+__all__ = ["repetition_stats", "pii_scrub", "pack_sequences"]
+
+
+def _gram_structs(toks: Column, n: int) -> Column:
+    """array<struct<n:int, gram:string>> of the n-grams of a token
+    array, joined with single spaces; empty when the doc is shorter
+    than n tokens (guarded — Spark's `sequence(0, -1)` would count
+    DOWN, not return empty)."""
+    seq = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    gram = F.transform(
+        seq,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
+        ),
+    )
+    tagged = F.transform(
+        gram, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    )
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+    return F.when(F.size(toks) >= F.lit(n), tagged).otherwise(empty)
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per doc: (doc_id, n_tokens,
+    unique_frac, top_unigram_frac, top_bigram_frac, top_trigram_frac).
+
+    `top_k-gram_frac` is the occurrence count of the single most
+    frequent k-gram over the number of k-grams in the doc (0.0 when
+    the doc has none) — the classic "most of this page is one repeated
+    phrase" filter (Gopher rules repeat-top-2gram/3gram; C4's
+    dedup-by-repetition is the same signal at line level).
+
+    Plan shape: ONE scan builds all three gram streams as array
+    columns fused into a single explode (no self-union, so the page
+    text is read once), then three hash aggregations: (doc_id, n,
+    gram) counts, per-(doc_id, n) maxima, and the per-doc pivot (3
+    rows/doc in — trivial). All three combine map-side (partial_max /
+    partial_count before every exchange, verified in the plan); the
+    widest shuffle key (doc_id, n, gram) is near-unique so no skew.
+    At 10^12 docs this is the same narrow-waisted shape as the TF
+    relation the index build already pays for.
+    """
+    toks = ws_tokens(F.col("text"))
+    grams = documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.explode(
+            F.concat(
+                _gram_structs(toks, 1), _gram_structs(toks, 2), _gram_structs(toks, 3)
+            )
+        ).alias("g"),
+    ).select("doc_id", "n_tokens", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+
+    counts = grams.groupBy("doc_id", "n_tokens", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_n = counts.groupBy("doc_id", "n_tokens", "n").agg(
+        F.max("cnt").alias("mx"), F.count(F.lit(1)).alias("uniq")
+    )
+
+    def _pick(col: str, n: int) -> Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    denom1 = F.col("n_tokens").cast("double")
+    denom2 = (F.col("n_tokens") - F.lit(1)).cast("double")
+    denom3 = (F.col("n_tokens") - F.lit(2)).cast("double")
+    out = per_n.groupBy("doc_id", "n_tokens").agg(
+        _pick("uniq", 1).alias("u1"),
+        _pick("mx", 1).alias("m1"),
+        _pick("mx", 2).alias("m2"),
+        _pick("mx", 3).alias("m3"),
+    )
+    zero = F.lit(0.0)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("u1") / denom1, 6).alias("unique_frac"),
+        F.round(F.col("m1") / denom1, 6).alias("top_unigram_frac"),
+        F.round(
+            F.when(F.col("n_tokens") >= 2, F.col("m2") / denom2).otherwise(zero), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(F.col("n_tokens") >= 3, F.col("m3") / denom3).otherwise(zero), 6
+        ).alias("top_trigram_frac"),
+    )
+
+
+#: PII patterns, applied IN ORDER (email, then IPv4, then phone) so the
+#: phone pattern never re-matches digits the IP rule already redacted.
+#: Every pattern stays inside the Java-regex ∩ RE2 common subset so the
+#: DuckDB oracle compiles the identical automaton.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() .-]{6,}\d\b", "<PHONE>"),
+)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction: (doc_id, n_email, n_ip, n_phone, clean_text) with
+    emails, IPv4 addresses, and phone-number-shaped digit runs replaced
+    by typed placeholder tokens.
+
+    A narrow map — three regexp_replace + three regexp_extract_all
+    sized inside whole-stage codegen, zero shuffles; at 10^12 docs this
+    fuses into the scan stage. Counts are measured on the text each
+    rule actually saw (post-prior-rules), so n_phone never double-counts
+    an already-redacted IP.
+    """
+    step0 = F.col("text")
+    step1 = F.regexp_replace(step0, PII_RULES[0][1], PII_RULES[0][2])
+    step2 = F.regexp_replace(step1, PII_RULES[1][1], PII_RULES[1][2])
+    step3 = F.regexp_replace(step2, PII_RULES[2][1], PII_RULES[2][2])
+
+    def _count(c: Column, pat: str) -> Column:
+        return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+
+    return documents.select(
+        "doc_id",
+        _count(step0, PII_RULES[0][1]).alias("n_email"),
+        _count(step1, PII_RULES[1][1]).alias("n_ip"),
+        _count(step2, PII_RULES[2][1]).alias("n_phone"),
+        step3.alias("clean_text"),
+    )
+
+
+def pack_sequences(documents: DataFrame, capacity: int = 512) -> DataFrame:
+    """Training-sequence packing: concatenate documents in a
+    deterministic order and cut the stream into fixed-`capacity` token
+    windows. Returns (source, doc_id, n_tokens, seq_id, offset): the
+    doc's tokens start at `offset` inside sequence `seq_id` of its
+    source's stream (documents spanning a boundary continue into the
+    next sequence — the standard pack-then-split pretraining layout,
+    not first-fit binning, so the math is an exact prefix sum).
+
+    Packing is PER SOURCE: the running prefix sum is a window over
+    (source) ordered by doc_id, so each stratum packs independently and
+    the job parallelizes across sources/shards — a single global
+    concatenation order would serialize the window into one partition
+    at 10^12 docs. One shuffle (the window's partitioning); the token
+    count is computed in the scan stage.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ntok = F.size(ws_tokens(F.col("text"))).cast("long")
+    per = documents.select("source", "doc_id", ntok.alias("n_tokens"))
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    cap = F.lit(int(capacity))
+    return per.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(before / cap).cast("long").alias("seq_id"),
+        (before % cap).cast("long").alias("offset"),
+    )

@@ -597,3 +597,102 @@ def lsh_cosine_topk(
         .orderBy(col("cos").desc(), col("vec_id").asc())
         .limit(k)
     )
+
+
+# ---- k-means topic clustering ----------------------------------------------
+
+def kmeans_seeds(embeddings: DataFrame, k: int = 8) -> list[list[float]]:
+    """Deterministic Lloyd starting centroids: the k vectors with the
+    smallest portable hash of their id (the same seeded-sample trick as
+    ivf_seeds, salted 'km|' so the two codebooks are independent).
+    Coordinates are rounded to 6dp — every centroid the algorithm ever
+    uses lives on the same fixed-point grid, which is what makes the
+    DuckDB oracle value-exact across engines."""
+    from search_engine_spark.operators.hashing import h64
+
+    ranked = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            h64(F.concat(lit("km|"), col("vec_id").cast("string"))).alias("rk"),
+        )
+        .orderBy("rk", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [[round(float(x), 6) for x in r["embedding"]] for r in ranked]
+
+
+def kmeans_assign(
+    embeddings: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """+cell, +d2: nearest centroid by squared L2 distance (rounded 9dp;
+    ties → smallest cell id). Like ivf_assign this is pure codegen
+    column math over literal centroid vectors — a narrow map that runs
+    inside the scan stage, no shuffle, so assignment costs one pass
+    over the relation regardless of scale."""
+    entries = []
+    for cid, vec in enumerate(centroids):
+        cv = F.array(*[lit(float(x)) for x in vec])
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    col("embedding"),
+                    cv,
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+        entries.append(
+            F.struct(d2.alias("d2"), lit(cid).cast("long").alias("cell"))
+        )
+    best = F.array_min(F.array(*entries))
+    return embeddings.withColumn("cell", best["cell"]).withColumn(
+        "d2", best["d2"]
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Fixed-schedule Lloyd k-means over the embedding column:
+    (vec_id, cell, d2) after `iters` centroid updates from the
+    deterministic seeds — the topic-clustering pass a pretraining
+    pipeline uses to balance domain mixtures or route docs to
+    per-cluster dedup/quality thresholds.
+
+    Every iteration is one narrow assignment map (broadcast-literal
+    centroids, no shuffle) plus one (cell, dim) hash aggregation whose
+    output is k×d rows — driver-collected and re-literalized, exactly
+    the IVF codebook pattern, so the per-iteration shuffle payload is
+    independent of corpus size. Centroid means are computed in f64 and
+    rounded to 6dp (empty cells keep their previous centroid), keeping
+    the whole trajectory on a fixed-point grid the DuckDB oracle
+    reproduces bit-for-bit; assignments break distance ties toward the
+    smallest cell id, so the labeling is a pure function of the data.
+    """
+    cents = kmeans_seeds(embeddings, k)
+    for _ in range(iters):
+        assigned = kmeans_assign(embeddings, cents)
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        means: dict[tuple[int, int], float] = {
+            (int(r["cell"]), int(r["dim"])): float(r["m"]) for r in rows
+        }
+        cents = [
+            [
+                round(means.get((cid, d), prev[d]), 6)
+                for d in range(len(prev))
+            ]
+            for cid, prev in enumerate(cents)
+        ]
+    return kmeans_assign(embeddings, cents).select(
+        "vec_id", "cell", F.round(col("d2"), 6).alias("d2")
+    )
