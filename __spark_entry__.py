@@ -310,6 +310,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "top_terms": q(lambda s, d: ta.top_terms(_documents(s, d), 100)),
         "source_mix": q(lambda s, d: ta.source_mix(_documents(s, d))),
+        "resample_corpus": q(
+            lambda s, d: pipe.resample_corpus(
+                _documents(s, d), temperature=0.7, family="portable"
+            ).select("doc_id", "lang", "source")
+        ),
         "unigram_logprob": q(lambda s, d: ta.unigram_logprob(_documents(s, d))),
         "repetition_stats": q(lambda s, d: cur.repetition_stats(_documents(s, d))),
         "pii_scrub": q(lambda s, d: cur.pii_scrub(_documents(s, d))),
@@ -915,6 +920,26 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM per_n GROUP BY doc_id, n_tokens"""
 
 
+def _resample_corpus_sql(temperature: float = 0.7, seed: int = 43) -> str:
+    """Same τ-mixture thresholds as pipelines.resample_corpus: both
+    engines derive floor(rate·1e6) integer bands from exact source
+    counts (the max-ratio source divides itself → exactly 1.0 → band
+    1e6, no float hazard at the binding constraint)."""
+    h = _h64_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(ns) AS DOUBLE) AS nn FROM n),
+z AS (SELECT sum(pow(ns / tot.nn, {temperature})) AS z FROM n, tot),
+r AS (SELECT source, (pow(ns / tot.nn, {temperature}) / z.z) / (ns / tot.nn) AS ratio
+      FROM n, tot, z),
+m AS (SELECT max(ratio) AS mr FROM r),
+thr AS (SELECT source, CAST(floor(ratio / m.mr * 1000000) AS BIGINT) AS thr
+        FROM r, m)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE {h} % 1000000 < thr.thr"""
+
+
 def _pii_scrub_sql() -> str:
     """Same PII_RULES constants, same in-order application; DuckDB's
     regexp_replace needs the explicit 'g' flag to match Spark's
@@ -1263,6 +1288,7 @@ FROM agg""",
         "media_frames": _media_frames_sql(every_n=2),
         "rolling_fingerprints": _rolling_fingerprints_sql(),
         "repetition_stats": _REPETITION_SQL,
+        "resample_corpus": _resample_corpus_sql(temperature=0.7, seed=43),
         "pii_scrub": _pii_scrub_sql(),
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),

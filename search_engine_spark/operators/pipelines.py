@@ -128,3 +128,49 @@ def sample_corpus(
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     u = h64(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")), family)
     return documents.filter(u % F.lit(1_000_000) < int(rate * 1_000_000))
+
+
+def resample_corpus(
+    documents: DataFrame,
+    temperature: float = 0.7,
+    seed: int = 43,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-weighted mixture resampling: keep a deterministic
+    subsample whose per-source composition follows q_s ∝ p_s^τ (the
+    multilingual-pretraining rebalancing rule; τ<1 flattens the head,
+    τ=1 is a no-op, τ=0 targets uniform). Sampling is WITHOUT
+    replacement, so the target is realized by scaling every source's
+    acceptance rate by the binding constraint: the source with the
+    largest required upsampling keeps rate 1.0 (exactly — its ratio
+    divides itself, no float hazard) and everything else keeps
+    rate_s = (q_s/p_s) / max_u(q_u/p_u).
+
+    Membership uses the same hash-band rule as sample_corpus (h mod
+    1e6 < floor(rate·1e6), a pure per-row function — stable under
+    repartitioning and retries), so the selection composes with
+    hash-split train/eval sampling at a different seed. Plan: one
+    count-by-source aggregation (rows = #sources, driver-collected),
+    then a scan-stage broadcast-join + modulo filter — nothing wide
+    touches the corpus itself at 10^12 docs.
+    """
+    if temperature < 0.0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("ns")).collect()
+    total = float(sum(r["ns"] for r in counts))
+    p = {r["source"]: r["ns"] / total for r in counts}
+    q_raw = {s: ps**temperature for s, ps in p.items()}
+    z = sum(q_raw.values())
+    ratio = {s: (q_raw[s] / z) / p[s] for s in p}
+    mr = max(ratio.values())
+    thresholds = [(s, int((ratio[s] / mr) * 1_000_000)) for s in sorted(ratio)]
+    spark = documents.sparkSession
+    thr = F.broadcast(
+        spark.createDataFrame(thresholds, "source string, thr long")
+    )
+    u = h64(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")), family)
+    return (
+        documents.join(thr, "source")
+        .filter(u % F.lit(1_000_000) < F.col("thr"))
+        .drop("thr")
+    )

@@ -64,3 +64,58 @@ def test_rolling_fingerprints_shared_substring(spark):
     for r in rolling_fingerprints(docs, k=7, window=4).collect():
         again.setdefault(r["doc_id"], set()).add(r["fp"])
     assert again == by_doc
+
+
+class TestResampleCorpus:
+    @staticmethod
+    def _skewed(spark):
+        # 80 docs from the head source, 20 from the tail
+        rows = [(i, "head" if i < 80 else "tail", f"w{i}") for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_temperature_one_is_identity(self, spark):
+        from search_engine_spark.operators.pipelines import resample_corpus
+
+        docs = self._skewed(spark)
+        assert resample_corpus(docs, temperature=1.0).count() == 100
+
+    def test_low_temperature_flattens_the_head(self, spark):
+        from search_engine_spark.operators.pipelines import resample_corpus
+        import pyspark.sql.functions as F
+
+        docs = self._skewed(spark)
+        out = resample_corpus(docs, temperature=0.0)  # target uniform
+        per = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # the tail (binding constraint) keeps everything; the head is
+        # downsampled toward the 20-doc tail (hash noise allowed)
+        assert per["tail"] == 20
+        assert per.get("head", 0) < 40
+
+    def test_membership_stable_under_repartition(self, spark):
+        from search_engine_spark.operators.pipelines import resample_corpus
+
+        docs = self._skewed(spark)
+        a = {r["doc_id"] for r in resample_corpus(docs, temperature=0.5).collect()}
+        b = {r["doc_id"] for r in
+             resample_corpus(docs.repartition(7), temperature=0.5).collect()}
+        assert a == b
+
+    def test_families_are_both_deterministic(self, spark):
+        from search_engine_spark.operators.pipelines import resample_corpus
+
+        docs = self._skewed(spark)
+        for fam in ("xxhash64", "portable"):
+            a = {r["doc_id"] for r in
+                 resample_corpus(docs, temperature=0.3, family=fam).collect()}
+            b = {r["doc_id"] for r in
+                 resample_corpus(docs, temperature=0.3, family=fam).collect()}
+            assert a == b
+
+    def test_negative_temperature_rejected(self, spark):
+        from search_engine_spark.operators.pipelines import resample_corpus
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            resample_corpus(self._skewed(spark), temperature=-0.1)
