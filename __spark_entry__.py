@@ -317,6 +317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "unigram_logprob": q(lambda s, d: ta.unigram_logprob(_documents(s, d))),
         "repetition_stats": q(lambda s, d: cur.repetition_stats(_documents(s, d))),
+        "gopher_filter": q(
+            lambda s, d: cur.gopher_filter(_documents(s, d)).select(
+                "doc_id", "lang", "source"
+            )
+        ),
         "pii_scrub": q(lambda s, d: cur.pii_scrub(_documents(s, d))),
         "pack_sequences": q(
             lambda s, d: cur.pack_sequences(_documents(s, d), capacity=512)
@@ -1288,6 +1293,15 @@ FROM agg""",
         "media_frames": _media_frames_sql(every_n=2),
         "rolling_fingerprints": _rolling_fingerprints_sql(),
         "repetition_stats": _REPETITION_SQL,
+        "gopher_filter": f"""
+WITH rep AS ({_REPETITION_SQL})
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+WHERE rep.n_tokens BETWEEN 20 AND 100000
+  AND rep.unique_frac >= 0.35
+  AND rep.top_unigram_frac <= 0.12
+  AND rep.top_bigram_frac <= 0.10
+  AND rep.top_trigram_frac <= 0.10""",
         "resample_corpus": _resample_corpus_sql(temperature=0.7, seed=43),
         "pii_scrub": _pii_scrub_sql(),
         "pack_sequences": _PACK_SEQUENCES_SQL,

@@ -1,8 +1,8 @@
 """Corpus-curation operators a pretraining-data pipeline runs between
-crawl and tokenizer: repetition-based quality gates, PII scrubbing, and
-sequence packing.
+crawl and tokenizer: repetition signals and the composed Gopher-rule
+gate, PII scrubbing, and sequence packing.
 
-All three are pure Catalyst column programs (no Python on any hot
+All of them are pure Catalyst column programs (no Python on any hot
 path) and each has a value-exact DuckDB oracle in `__spark_entry__`.
 
 Reference parity note: dastarruer/search-engine has no curation stage
@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.operators.text_analytics import ws_tokens
 
-__all__ = ["repetition_stats", "pii_scrub", "pack_sequences"]
+__all__ = ["repetition_stats", "pii_scrub", "pack_sequences", "gopher_filter"]
 
 
 def _gram_structs(toks: Column, n: int) -> Column:
@@ -176,3 +176,36 @@ def pack_sequences(documents: DataFrame, capacity: int = 512) -> DataFrame:
         F.floor(before / cap).cast("long").alias("seq_id"),
         (before % cap).cast("long").alias("offset"),
     )
+
+
+def gopher_filter(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_unique_frac: float = 0.35,
+    max_top_unigram: float = 0.12,
+    max_top_bigram: float = 0.10,
+    max_top_trigram: float = 0.10,
+) -> DataFrame:
+    """The composed repetition gate: keep documents whose
+    repetition_stats signals fall inside the Gopher-rule bounds
+    (length window, minimum lexical diversity, maximum top-k-gram
+    mass). Returns the surviving document rows.
+
+    Plan: the three-shuffle repetition_stats aggregation produces one
+    row per doc; the thresholds are a Catalyst filter on that row, and
+    survivors rejoin the corpus via an equi-join on doc_id (same wide
+    shape clean_corpus already pays — no new scale hazard). Thresholds
+    are plain column predicates so per-cluster or per-source overrides
+    are a `when` away.
+    """
+    stats = repetition_stats(documents)
+    kept = stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("unique_frac") >= min_unique_frac)
+        & (F.col("top_unigram_frac") <= max_top_unigram)
+        & (F.col("top_bigram_frac") <= max_top_bigram)
+        & (F.col("top_trigram_frac") <= max_top_trigram)
+    ).select("doc_id")
+    return documents.join(kept, "doc_id", "left_semi")

@@ -134,3 +134,25 @@ class TestKmeans:
 
         d1, d2 = distortion(1), distortion(2)
         assert d2 <= d1 + 1e-6  # Lloyd monotonicity (up to 6dp rounding)
+
+
+class TestGopherFilter:
+    def test_gates_drop_the_right_docs(self, spark):
+        from search_engine_spark.operators.curation import gopher_filter
+
+        diverse = " ".join(f"w{i}" for i in range(40))
+        spammy = " ".join(["spam"] * 40)
+        short = "too short"
+        df = _docs(spark, [(1, "s", diverse), (2, "s", spammy), (3, "s", short)])
+        kept = {r["doc_id"] for r in gopher_filter(df).collect()}
+        assert kept == {1}
+
+    def test_thresholds_are_tunable(self, spark):
+        from search_engine_spark.operators.curation import gopher_filter
+
+        # 12 distinct tokens: every top-gram frac sits at/below its cap,
+        # so only the length gate decides
+        short = " ".join(f"t{i}" for i in range(12))
+        df = _docs(spark, [(1, "s", short)])
+        assert gopher_filter(df).count() == 0  # min_tokens=20 default
+        assert gopher_filter(df, min_tokens=12).count() == 1
