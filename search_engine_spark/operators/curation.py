@@ -23,21 +23,23 @@ __all__ = ["repetition_stats", "pii_scrub", "pack_sequences", "gopher_filter"]
 
 def _gram_structs(toks: Column, n: int) -> Column:
     """array<struct<n:int, gram:string>> of the n-grams of a token
-    array, joined with single spaces; empty when the doc is shorter
-    than n tokens (guarded — Spark's `sequence(0, -1)` would count
-    DOWN, not return empty)."""
-    seq = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-    gram = F.transform(
-        seq,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
-        ),
-    )
-    tagged = F.transform(
+    array, joined with single spaces. `toks` MUST be a plain column
+    attribute (projected once upstream), not an inline expression:
+    Catalyst does not common-subexpression-eliminate inside Generate,
+    so an inline tokenizer expression would be re-evaluated per lambda
+    term — measured 5× slower cold / 12× warm on this exact operator
+    at sf0.1 (19.9 s → 3.8/1.6 s). Grams come from
+    zipping shifted slices of the array (one O(n) pass), not per-index
+    element_at lookups; slice lengths clamp at 0 so short docs yield
+    empty arrays (Spark's `sequence(0, -1)` would count DOWN instead)."""
+    ln = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shifted = [F.slice(toks, F.lit(j + 1), ln) for j in range(n)]
+    gram = shifted[0]
+    for nxt in shifted[1:]:
+        gram = F.zip_with(gram, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.transform(
         gram, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
     )
-    empty = F.array().cast("array<struct<n:int,gram:string>>")
-    return F.when(F.size(toks) >= F.lit(n), tagged).otherwise(empty)
 
 
 def repetition_stats(documents: DataFrame) -> DataFrame:
@@ -60,14 +62,15 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     At 10^12 docs this is the same narrow-waisted shape as the TF
     relation the index build already pays for.
     """
-    toks = ws_tokens(F.col("text"))
-    grams = documents.select(
+    base = documents.select(
+        "doc_id", ws_tokens(F.col("text")).alias("t")
+    )
+    t = F.col("t")
+    grams = base.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(t).alias("n_tokens"),
         F.explode(
-            F.concat(
-                _gram_structs(toks, 1), _gram_structs(toks, 2), _gram_structs(toks, 3)
-            )
+            F.concat(_gram_structs(t, 1), _gram_structs(t, 2), _gram_structs(t, 3))
         ).alias("g"),
     ).select("doc_id", "n_tokens", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
 
