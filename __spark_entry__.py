@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 threshold=0.2,
             )
         ),
+        "dupspan_scrub": q(
+            lambda s, d: dedup.dupspan_scrub(_documents(s, d), k=5, min_docs=2)
+        ),
         "clean_corpus": q(
             lambda s, d: pipe.clean_corpus(_documents(s, d), family="portable")[
                 0
@@ -925,6 +928,33 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM per_n GROUP BY doc_id, n_tokens"""
 
 
+def _dupspan_scrub_sql(k: int = 5, min_docs: int = 2) -> str:
+    """Positioned-shingle twin of dedup.dupspan_scrub: same 0-based
+    positions, same distinct-doc duplicate rule, clean_text rebuilt by
+    position-ordered string_agg."""
+    return f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+sh AS (SELECT doc_id, i - 1 AS pos,
+       list_reduce(list_slice(t, i, i + {k} - 1), (a, b) -> a || ' ' || b) AS s
+       FROM toks, unnest(range(1, len(t) - {k} + 2)) r(i) WHERE len(t) >= {k}),
+dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s)
+        WHERE nd >= {min_docs}),
+cov AS (SELECT DISTINCT sh.doc_id, sh.pos + j AS p
+        FROM sh JOIN dup USING (s), unnest(range(0, {k})) rr(j)),
+tok AS (SELECT doc_id, i - 1 AS p, t[i] AS term
+        FROM toks, unnest(range(1, len(t) + 1)) r(i)),
+kept AS (SELECT tok.* FROM tok LEFT JOIN cov
+         ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         WHERE cov.doc_id IS NULL),
+agg AS (SELECT doc_id, string_agg(term, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id"""
+
+
 def _resample_corpus_sql(temperature: float = 0.7, seed: int = 43) -> str:
     """Same τ-mixture thresholds as pipelines.resample_corpus: both
     engines derive floor(rate·1e6) integer bands from exact source
@@ -1293,6 +1323,7 @@ FROM agg""",
         "media_frames": _media_frames_sql(every_n=2),
         "rolling_fingerprints": _rolling_fingerprints_sql(),
         "repetition_stats": _REPETITION_SQL,
+        "dupspan_scrub": _dupspan_scrub_sql(k=5, min_docs=2),
         "gopher_filter": f"""
 WITH rep AS ({_REPETITION_SQL})
 SELECT d.doc_id, d.lang, d.source

@@ -248,6 +248,10 @@ def main() -> None:
             lambda: curation.pack_sequences(documents, capacity=2048).count(),
         )
         timed(
+            "dupspan_scrub",
+            lambda: dedup.dupspan_scrub(documents, k=5).count(),
+        )
+        timed(
             "kmeans_clusters",
             lambda: similarity.kmeans_clusters(embeddings, k=8, iters=2).count(),
         )

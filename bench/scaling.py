@@ -434,7 +434,7 @@ BENCH/scaling_runs.jsonl.
 
 ## Reading BENCH_r3 vs BENCH_r2 (headline now a fixed core set)
 
-Round 3 added eighteen breadth rows to bench.py (warm serving twins,
+Round 3 added nineteen breadth rows to bench.py (warm serving twins,
 the portable-hash-family dedup twin, `minhash_lsh_pairs` pair
 enumeration, `clean_corpus`, the four ANN index build/probe rows, the
 two `*_probe_batch10` batched-probe rows, `crawl_2rounds` — the S1/S2
@@ -442,8 +442,8 @@ crawl loop over the deterministic synthetic web; its wall is dominated
 by per-round job-scheduling constants at sandbox scale, so
 `extra.crawl_fetches_per_sec` is the comparable number — and the
 `dedup_index_build` + `minhash_dedup_incr` incremental-ingest pair,
-and the four curation rows `repetition_stats` / `pii_scrub` /
-`pack_sequences` / `kmeans_clusters`).
+and the five curation/dedup rows `repetition_stats` / `pii_scrub` /
+`pack_sequences` / `kmeans_clusters` / `dupspan_scrub`).
 To keep the headline `value` diffable across rounds it now sums ONLY
 the original nine r1/r2 components (pages/docs index builds,
 bm25/tfidf/block search, 100-query batch, minhash_dedup, cosine_topk);

@@ -21,24 +21,31 @@ from search_engine_spark.operators.text_analytics import ws_tokens
 __all__ = ["repetition_stats", "pii_scrub", "pack_sequences", "gopher_filter"]
 
 
-def _gram_structs(toks: Column, n: int) -> Column:
-    """array<struct<n:int, gram:string>> of the n-grams of a token
-    array, joined with single spaces. `toks` MUST be a plain column
-    attribute (projected once upstream), not an inline expression:
-    Catalyst does not common-subexpression-eliminate inside Generate,
-    so an inline tokenizer expression would be re-evaluated per lambda
-    term — measured 5× slower cold / 12× warm on this exact operator
-    at sf0.1 (19.9 s → 3.8/1.6 s). Grams come from
-    zipping shifted slices of the array (one O(n) pass), not per-index
-    element_at lookups; slice lengths clamp at 0 so short docs yield
-    empty arrays (Spark's `sequence(0, -1)` would count DOWN instead)."""
+def ngram_array(toks: Column, n: int) -> Column:
+    """array<string> of the token array's n-grams, space-joined.
+    `toks` MUST be a plain column attribute (projected once upstream),
+    not an inline expression: Catalyst does not
+    common-subexpression-eliminate inside Generate, so an inline
+    tokenizer expression would be re-evaluated per lambda term —
+    measured 5× slower cold / 12× warm on repetition_stats at sf0.1
+    (19.9 s → 3.8/1.6 s). Grams come from zipping shifted slices of
+    the array (one O(n) pass), not per-index element_at lookups; slice
+    lengths clamp at 0 so short docs yield empty arrays (Spark's
+    `sequence(0, -1)` would count DOWN instead)."""
     ln = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     shifted = [F.slice(toks, F.lit(j + 1), ln) for j in range(n)]
     gram = shifted[0]
     for nxt in shifted[1:]:
         gram = F.zip_with(gram, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return gram
+
+
+def _gram_structs(toks: Column, n: int) -> Column:
+    """ngram_array tagged as array<struct<n:int, gram:string>> for the
+    fused tri-stream explode in repetition_stats."""
     return F.transform(
-        gram, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        ngram_array(toks, n),
+        lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
     )
 
 

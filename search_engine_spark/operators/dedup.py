@@ -14,6 +14,9 @@ DataFrame ops (no Python on the hot path):
   verified with true Jaccard.
 - simhash_pairs: 60-bit SimHash + banded hamming candidates verified by
   bit_count(xor) ≤ max_hamming.
+- dupspan_scrub: SPAN-level exact dedup (Lee et al. 2022) — removes
+  k-token runs that recur across documents, the boilerplate whole-doc
+  dedup cannot see.
 
 Hash family (`family=` on every MinHash/SimHash operator, see
 hashing.FAMILIES): the production default is `xxhash64` — Spark's
@@ -473,14 +476,17 @@ def token_shingles(documents: DataFrame, n: int = 8) -> DataFrame:
     (filtered split + sequence + slice + concat_ws, no Python). Docs
     shorter than n tokens produce no rows (guarded: Spark's
     sequence(1, 0) would count DOWN, not empty)."""
+    from search_engine_spark.operators.curation import ngram_array
     from search_engine_spark.operators.text_analytics import ws_tokens
 
-    arr = ws_tokens(F.col("text"))
-    npos = F.when(
-        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(npos, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
-    return documents.select("doc_id", F.explode(grams).alias("g")).distinct()
+    # tokenize into an attribute FIRST: Catalyst does not CSE inside
+    # higher-order-function lambdas, so slicing an inline ws_tokens
+    # expression re-tokenized the text per gram (measured at sf0.1:
+    # 8.5 s → 5.2 s cold / 1.5 s warm for the same 236k shingles)
+    base = documents.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    return base.select(
+        "doc_id", F.explode(ngram_array(F.col("t"), n)).alias("g")
+    ).distinct()
 
 
 def ngram_contamination(
@@ -738,4 +744,77 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dupspan_scrub(
+    documents: DataFrame, k: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Exact duplicated-span scrubbing: (doc_id, clean_text, n_removed)
+    with every token covered by a k-token shingle that occurs in >=
+    min_docs DISTINCT documents removed from every document — the
+    span-level exact dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), which kills boilerplate
+    headers/footers and quoted passages that whole-document dedup
+    (exact_dedup / minhash_dedup) cannot see.
+
+    Lee et al. build a single-node suffix array; the distributed shape
+    here is positioned shingles + one groupBy: (doc_id, pos, shingle)
+    rows aggregate to cross-doc duplicate shingles (map-side combine,
+    near-unique keys), duplicates join back to mark covered token
+    positions, and survivors re-assemble per doc via an ordered
+    collect (docs are page-sized, so the per-group list is bounded).
+    Within-doc repeats do NOT trigger removal (min_docs counts distinct
+    docs); a span's every occurrence is scrubbed, so downstream token
+    counts shift — run this BEFORE packing/mixing, which is why the
+    output carries n_removed for the drop audit.
+    """
+    from search_engine_spark.operators.curation import ngram_array
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    t = F.col("t")
+    base = documents.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    sh = base.select(
+        "doc_id", F.posexplode(ngram_array(t, k)).alias("pos", "s")
+    )
+    dup = (
+        sh.select("s", "doc_id")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("s")
+    )
+    covered = (
+        sh.join(dup, "s")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = base.select("doc_id", F.posexplode(t).alias("pos", "term"))
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x["term"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size(t).alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )

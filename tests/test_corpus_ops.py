@@ -291,3 +291,62 @@ def test_token_shingles_short_docs_empty(spark):
     assert dedup.token_shingles(docs, n=5).count() == 0
     got = {r["g"] for r in dedup.token_shingles(docs, n=3).collect()}
     assert got == {"a b c"}
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span scrubbing (Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+BOILER = "subscribe to our newsletter for daily updates"  # 7 tokens
+
+
+class TestDupspanScrub:
+    def test_cross_doc_span_removed_everywhere(self, spark):
+        rows = [
+            (1, f"alpha beta {BOILER} gamma delta", "en", "s"),
+            (2, f"{BOILER} omega psi chi phi upsilon", "en", "s"),
+            (3, "nothing shared with anyone here at all", "en", "s"),
+        ]
+        out = {r["doc_id"]: r for r in
+               dedup.dupspan_scrub(_docs(spark, rows), k=5).collect()}
+        assert out[1]["clean_text"] == "alpha beta gamma delta"
+        assert out[1]["n_removed"] == 7
+        assert out[2]["clean_text"] == "omega psi chi phi upsilon"
+        assert out[3]["n_removed"] == 0
+        assert out[3]["clean_text"] == rows[2][1]
+
+    def test_within_doc_repeat_not_removed(self, spark):
+        # the span repeats INSIDE doc 1 only — min_docs counts docs
+        rows = [(1, f"{BOILER} x y z {BOILER}", "en", "s"),
+                (2, "totally different words in this one here", "en", "s")]
+        out = {r["doc_id"]: r for r in
+               dedup.dupspan_scrub(_docs(spark, rows), k=5).collect()}
+        assert out[1]["n_removed"] == 0
+
+    def test_overlapping_spans_merge(self, spark):
+        # docs share an 8-token run; k=5 shingles overlap — covered
+        # positions must union, not double-count
+        shared = "one two three four five six seven eight"
+        rows = [(1, f"{shared} tail1 tail2", "en", "s"),
+                (2, f"head1 head2 {shared}", "en", "s")]
+        out = {r["doc_id"]: r for r in
+               dedup.dupspan_scrub(_docs(spark, rows), k=5).collect()}
+        assert out[1]["n_removed"] == 8
+        assert out[1]["clean_text"] == "tail1 tail2"
+        assert out[2]["clean_text"] == "head1 head2"
+
+    def test_fully_scrubbed_doc_yields_empty_text(self, spark):
+        rows = [(1, BOILER, "en", "s"), (2, BOILER, "en", "s")]
+        out = {r["doc_id"]: r for r in
+               dedup.dupspan_scrub(_docs(spark, rows), k=5).collect()}
+        assert out[1]["clean_text"] == ""
+        assert out[1]["n_removed"] == 7
+        assert out[2]["clean_text"] == ""
+
+    def test_short_docs_untouched(self, spark):
+        rows = [(1, "tiny doc", "en", "s"), (2, "tiny doc", "en", "s")]
+        out = {r["doc_id"]: r for r in
+               dedup.dupspan_scrub(_docs(spark, rows), k=5).collect()}
+        # shorter than k: no shingles, nothing removed (exact_dedup's job)
+        assert out[1]["n_removed"] == 0
+        assert out[1]["clean_text"] == "tiny doc"
