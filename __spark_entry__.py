@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q(
             lambda s, d: cur.pack_sequences(_documents(s, d), capacity=512)
         ),
+        "materialize_sequences": q(
+            lambda s, d: cur.materialize_sequences(_documents(s, d), capacity=512)
+        ),
         # text analytics extras
         "quality_stats": q(lambda s, d: ta.quality_stats(_documents(s, d))),
         "langid_score": q(lambda s, d: ta.langid_score(_documents(s, d))),
@@ -928,6 +931,24 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM per_n GROUP BY doc_id, n_tokens"""
 
 
+_MATERIALIZE_SEQUENCES_SQL = """
+WITH toks AS (SELECT source, doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+per AS (SELECT source, t,
+        CAST(sum(len(t)) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(t)
+             AS BIGINT) AS bef
+        FROM toks),
+tok AS (SELECT source, bef + i - 1 AS gpos, t[i] AS term
+        FROM per, unnest(range(1, len(t) + 1)) r(i)),
+s AS (SELECT source, CAST(floor(gpos / 512.0) AS BIGINT) AS seq_id,
+      CAST(gpos % 512 AS BIGINT) AS slot, term FROM tok)
+SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(term, ' ' ORDER BY slot) AS seq_text
+FROM s GROUP BY source, seq_id"""
+
+
 def _dupspan_scrub_sql(k: int = 5, min_docs: int = 2) -> str:
     """Positioned-shingle twin of dedup.dupspan_scrub: same 0-based
     positions, same distinct-doc duplicate rule, clean_text rebuilt by
@@ -1336,5 +1357,6 @@ WHERE rep.n_tokens BETWEEN 20 AND 100000
         "resample_corpus": _resample_corpus_sql(temperature=0.7, seed=43),
         "pii_scrub": _pii_scrub_sql(),
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "materialize_sequences": _MATERIALIZE_SEQUENCES_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
     }

@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.operators.text_analytics import ws_tokens
 
-__all__ = ["repetition_stats", "pii_scrub", "pack_sequences", "gopher_filter"]
+__all__ = [
+    "repetition_stats",
+    "pii_scrub",
+    "pack_sequences",
+    "materialize_sequences",
+    "gopher_filter",
+    "ngram_array",
+]
 
 
 def ngram_array(toks: Column, n: int) -> Column:
@@ -219,3 +226,56 @@ def gopher_filter(
         & (F.col("top_trigram_frac") <= max_top_trigram)
     ).select("doc_id")
     return documents.join(kept, "doc_id", "left_semi")
+
+
+def materialize_sequences(
+    documents: DataFrame, capacity: int = 512
+) -> DataFrame:
+    """The packed training artifact itself: (source, seq_id, n_tokens,
+    seq_text) where seq_text is the space-joined token stream of
+    sequence `seq_id` — documents concatenated in doc_id order per
+    source and cut every `capacity` tokens, exactly the layout
+    pack_sequences indexes (a doc straddling a boundary continues into
+    the next sequence; the final sequence of each source is the only
+    short one).
+
+    Plan: one window prefix sum per source (same single shuffle as
+    pack_sequences), then a token-level posexplode assigns each token
+    its global position → (seq_id, slot), and one hash aggregation
+    reassembles sequences with an ordered collect (bounded: at most
+    `capacity` tokens per group). Token rows are (source, term, two
+    longs) — the narrow waist is proportional to corpus token count,
+    the same volume the index build's posting explode already moves.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = documents.select(
+        "source", "doc_id", ws_tokens(F.col("text")).alias("t")
+    )
+    per = base.select(
+        "source",
+        "t",
+        (F.sum(F.size("t")).over(w) - F.size("t")).cast("long").alias("bef"),
+    )
+    cap = F.lit(int(capacity))
+    tok = per.select(
+        "source", "bef", F.posexplode("t").alias("pos", "term")
+    ).select(
+        "source",
+        "term",
+        ((F.col("bef") + F.col("pos")) / cap).cast("long").alias("seq_id"),
+        ((F.col("bef") + F.col("pos")) % cap).cast("long").alias("slot"),
+    )
+    return tok.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "term"))),
+                lambda x: x["term"],
+            ),
+        ).alias("seq_text"),
+    )

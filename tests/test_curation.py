@@ -156,3 +156,45 @@ class TestGopherFilter:
         df = _docs(spark, [(1, "s", short)])
         assert gopher_filter(df).count() == 0  # min_tokens=20 default
         assert gopher_filter(df, min_tokens=12).count() == 1
+
+
+class TestMaterializeSequences:
+    def test_stream_cut_at_capacity(self, spark):
+        from search_engine_spark.operators.curation import materialize_sequences
+
+        df = _docs(spark, [(1, "s", "a b c"), (2, "s", "d e f g")])
+        out = {(r["source"], r["seq_id"]): r for r in
+               materialize_sequences(df, capacity=4).collect()}
+        assert out[("s", 0)]["seq_text"] == "a b c d"
+        assert out[("s", 0)]["n_tokens"] == 4
+        assert out[("s", 1)]["seq_text"] == "e f g"  # final short seq
+        assert out[("s", 1)]["n_tokens"] == 3
+
+    def test_consistent_with_pack_sequences(self, spark):
+        from search_engine_spark.operators.curation import (
+            materialize_sequences,
+            pack_sequences,
+        )
+
+        rows = [(i, f"s{i % 3}", " ".join(f"w{i}_{j}" for j in range(i % 7 + 1)))
+                for i in range(30)]
+        df = _docs(spark, rows)
+        mat = materialize_sequences(df, capacity=8).collect()
+        idx = pack_sequences(df, capacity=8).collect()
+        # every doc's first token appears at its pack_sequences offset
+        seq_toks = {(r["source"], r["seq_id"]): r["seq_text"].split(" ")
+                    for r in mat}
+        for r in idx:
+            first = f"w{r['doc_id']}_0"
+            assert seq_toks[(r["source"], r["seq_id"])][r["offset"]] == first
+        # total token volume conserved
+        assert sum(r["n_tokens"] for r in mat) == sum(r["n_tokens"] for r in idx)
+
+    def test_sources_independent(self, spark):
+        from search_engine_spark.operators.curation import materialize_sequences
+
+        df = _docs(spark, [(1, "x", "a b"), (2, "y", "c d")])
+        out = {r["source"]: r for r in
+               materialize_sequences(df, capacity=4).collect()}
+        assert out["x"]["seq_text"] == "a b"
+        assert out["y"]["seq_text"] == "c d"
