@@ -197,6 +197,53 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# web link graph: the driver's documents table has no link column, so
+# the edge set is a deterministic function of doc_id (graph.EDGE_* —
+# shared verbatim with the DuckDB oracle); PageRank unrolls the same
+# fixed iteration count on both sides.
+_PR_ITERS = 10
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from search_engine_spark.operators import graph as g
+
+    docs = _documents(spark, sf_dir)
+    n = docs.count()
+    return docs, g.synthetic_links(docs, n), n
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import graph as g
+
+    docs, edges, n = _graph(spark, sf_dir)
+    pr = g.pagerank(docs, edges, n, iters=_PR_ITERS)
+    return pr.select("doc_id", F.round("pr", 9).alias("pr"))
+
+
+def _anchor_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import graph as g
+
+    docs, edges, _ = _graph(spark, sf_dir)
+    return g.anchor_postings(docs, edges)
+
+
+def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import graph as g
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs, edges, n = _graph(spark, sf_dir)
+    pr = g.pagerank(docs, edges, n, iters=_PR_ITERS)
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    top = g.fused_bm25_pagerank(index, qt, pr, n, k=10, terms=QUERY_TERMS)
+    return top.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.operators import dedup, similarity
     from search_engine_spark.operators import curation as cur
@@ -376,6 +423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q(
             lambda s, d: ev.range_join(_events(s, d), "click", "purchase", 600)
         ),
+        # web link graph (operators/graph.py)
+        "pagerank": q(_pagerank),
+        "anchor_tf": q(_anchor_tf),
+        "bm25_pagerank_topk": q(_bm25_pagerank),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
         # served through the MATERIALIZED index tables (build-once +
@@ -828,6 +879,100 @@ SELECT f.doc_id,
 FROM filled f JOIN nrm ON f.doc_id = nrm.doc_id"""
 
 
+def _pagerank_ctes(
+    iters: int = 10, damping: float = 0.85, out_degree: int = 4
+) -> tuple[str, str]:
+    """CTE chain nodes→edges→deg→r0…r{iters}, value-identical to
+    graph.synthetic_links + graph.pagerank: same edge rule constants
+    (graph.EDGE_*, single source), same dangling-mass redistribution,
+    the same fixed unrolled iteration count, and e0 (DOUBLE) literals
+    throughout so DuckDB does IEEE-double arithmetic like Spark, never
+    DECIMAL. Returns (ctes, final_rank_cte_name)."""
+    from search_engine_spark.operators.graph import (
+        DANGLING_MOD,
+        EDGE_A,
+        EDGE_B,
+        EDGE_C,
+    )
+
+    # AS MATERIALIZED everywhere a CTE is referenced more than once:
+    # DuckDB inlines CTEs by default, and each round reads the previous
+    # round twice (dangling + contributions) — inlined, the query tree
+    # doubles per round (2^iters), the exact blow-up the Spark side
+    # cuts with localCheckpoint.
+    parts = [
+        f"""nodes AS MATERIALIZED (SELECT doc_id FROM documents),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           (d.doc_id * {EDGE_A} + j.j * {EDGE_B} + {EDGE_C}) % nn.n AS dst
+    FROM nodes d CROSS JOIN nn
+    CROSS JOIN (SELECT unnest(generate_series(0, {out_degree - 1})) AS j) j
+    WHERE d.doc_id % {DANGLING_MOD} <> 0) e WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src, count(*) AS out FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT doc_id, 1.0e0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    d = damping
+    for i in range(iters):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT coalesce(sum(pr), 0e0) AS dang
+    FROM r{i} LEFT JOIN deg ON r{i}.doc_id = deg.src WHERE deg.src IS NULL),
+c{i} AS MATERIALIZED (SELECT e.dst AS doc_id, sum(r.pr / dd.out) AS contrib
+    FROM r{i} r JOIN edges e ON e.src = r.doc_id JOIN deg dd ON dd.src = e.src
+    GROUP BY e.dst),
+r{i + 1} AS MATERIALIZED (SELECT nodes.doc_id,
+    (1.0e0 - {d}e0) / nn.n
+      + {d}e0 * (coalesce(c.contrib, 0e0) + dd.dang / nn.n) AS pr
+    FROM nodes CROSS JOIN nn CROSS JOIN d{i} dd LEFT JOIN c{i} c USING (doc_id))"""
+        )
+    return ",\n".join(parts), f"r{iters}"
+
+
+def _pagerank_sql(iters: int) -> str:
+    ctes, final = _pagerank_ctes(iters)
+    return f"WITH {ctes}\nSELECT doc_id, round(pr, 9) AS pr FROM {final}"
+
+
+def _anchor_tf_sql(anchor_len: int = 3) -> str:
+    """graph.anchor_postings: target-page term counts over the source
+    page's first `anchor_len` tokens, one row per (dst, term)."""
+    ctes, _ = _pagerank_ctes(iters=0)
+    return f"""
+WITH {ctes},
+anch AS (SELECT doc_id AS src,
+         list_slice(list_filter(string_split(text, ' '), x -> x <> ''),
+                    1, {anchor_len}) AS anchor
+         FROM documents),
+exploded AS (SELECT e.dst AS doc_id, unnest(a.anchor) AS term
+             FROM edges e JOIN anch a ON a.src = e.src)
+SELECT doc_id, term, count(*) AS tf_anchor
+FROM exploded GROUP BY doc_id, term"""
+
+
+def _bm25_pagerank_sql(iters: int) -> str:
+    """graph.fused_bm25_pagerank: the _BM25_SQL per-doc aggregate scaled
+    by (1 + n·pr) before the top-k order/limit."""
+    ctes, final = _pagerank_ctes(iters)
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+tdf AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+bm AS (SELECT doc_id, sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - tdf.df + 0.5) / (tdf.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ) AS bm
+  FROM matched m JOIN tdf USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id),
+{ctes}
+SELECT 0 AS query_id, b.doc_id,
+       round(b.bm * (1.0e0 + nn.n * r.pr), 6) AS score
+FROM bm b JOIN {final} r ON r.doc_id = b.doc_id CROSS JOIN nn
+ORDER BY score DESC, b.doc_id ASC
+LIMIT 10"""
+
+
 def _media_frames_sql(every_n: int = 2) -> str:
     """Frame slicing of the fake video container (payload split into
     n_frames chunks), fingerprinted as md5 of the lowercase frame hex —
@@ -1235,6 +1380,9 @@ FROM events a JOIN events b ON a.user_id = b.user_id
 WHERE a.event_type = 'click' AND b.event_type = 'purchase'
   AND epoch_us(b.ts) >= epoch_us(a.ts)
   AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000""",
+        "pagerank": _pagerank_sql(_PR_ITERS),
+        "anchor_tf": _anchor_tf_sql(),
+        "bm25_pagerank_topk": _bm25_pagerank_sql(_PR_ITERS),
         "media_meta": "SELECT doc_id, "
         "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "
