@@ -345,6 +345,25 @@ def main() -> None:
         )
         n_fetched = fetch_log(spark, f"{tmp}/crawl").count()
 
+        # link-graph ranking (round 3): 10 power-iteration rounds over
+        # the synthetic doc_id graph — per-round cost is the (edges ⋈
+        # ranks → groupBy dst) shuffle pair, the number that scales to
+        # a real web graph; anchor_tf is the one-join anchor projection
+        from search_engine_spark.operators import graph as lg
+
+        n_docs = documents.count()
+        g_edges = lg.synthetic_links(documents, n_docs).persist()
+        g_edges.count()
+        timed(
+            "pagerank_10it",
+            lambda: lg.pagerank(documents, g_edges, n_docs, iters=10).count(),
+        )
+        timed(
+            "anchor_tf",
+            lambda: lg.anchor_postings(documents, g_edges).count(),
+        )
+        g_edges.unpersist()
+
     # the headline `value` sums the SAME nine components every round
     # (the r1/r2 set) so BENCH_rN.json diffs like-for-like; breadth rows
     # added later (warm twins, portable-family twin, pair enumeration,
