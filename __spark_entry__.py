@@ -227,6 +227,28 @@ def _anchor_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.anchor_postings(docs, edges)
 
 
+_HITS_ITERS = 5
+
+
+def _hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import graph as g
+
+    docs, edges, _ = _graph(spark, sf_dir)
+    hv = g.hits(docs, edges, iters=_HITS_ITERS)
+    return hv.select(
+        "doc_id",
+        F.round("hub", 9).alias("hub"),
+        F.round("auth", 9).alias("auth"),
+    )
+
+
+def _link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import graph as g
+
+    docs, edges, _ = _graph(spark, sf_dir)
+    return g.link_components(docs, edges)
+
+
 def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -425,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # web link graph (operators/graph.py)
         "pagerank": q(_pagerank),
+        "hits": q(_hits),
+        "link_components": q(_link_components),
         "anchor_tf": q(_anchor_tf),
         "bm25_pagerank_topk": q(_bm25_pagerank),
         # similarity search
@@ -933,6 +957,45 @@ def _pagerank_sql(iters: int) -> str:
     return f"WITH {ctes}\nSELECT doc_id, round(pr, 9) AS pr FROM {final}"
 
 
+def _hits_sql(iters: int) -> str:
+    """graph.hits: the same unrolled half-steps (auth from in-edges,
+    hub from out-edges, L2 norm per half-step, empty→norm 1)."""
+    ctes, _ = _pagerank_ctes(iters=0)
+    parts = [ctes, "h0 AS MATERIALIZED (SELECT doc_id, 1.0e0 AS v FROM nodes)"]
+    for i in range(iters):
+        for raw, nrm, out, vec, on_from, on_to in (
+            (f"ar{i}", f"an{i}", f"a{i + 1}", f"h{i}", "src", "dst"),
+            (f"hr{i}", f"hn{i}", f"h{i + 1}", f"a{i + 1}", "dst", "src"),
+        ):
+            parts.append(
+                f"""{raw} AS MATERIALIZED (SELECT e.{on_to} AS doc_id, sum(x.v) AS raw
+    FROM {vec} x JOIN edges e ON e.{on_from} = x.doc_id GROUP BY e.{on_to}),
+{nrm} AS MATERIALIZED (SELECT coalesce(sqrt(sum(raw * raw)), 1.0e0) AS nrm FROM {raw}),
+{out} AS MATERIALIZED (SELECT nodes.doc_id,
+    coalesce(r.raw, 0e0)
+      / (CASE WHEN nz.nrm = 0e0 THEN 1.0e0 ELSE nz.nrm END) AS v
+    FROM nodes CROSS JOIN {nrm} nz LEFT JOIN {raw} r USING (doc_id))"""
+            )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT h.doc_id, round(h.v, 9) AS hub, round(a.v, 9) AS auth
+FROM h{iters} h JOIN a{iters} a USING (doc_id)"""
+
+
+def _link_components_sql() -> str:
+    """graph.link_components: min-doc_id connected components of the
+    undirected edge closure, via recursive reachability."""
+    ctes, _ = _pagerank_ctes(iters=0)
+    return f"""
+WITH RECURSIVE {ctes},
+ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+     UNION SELECT dst AS a, src AS b FROM edges),
+reach AS (SELECT doc_id AS n, doc_id AS m FROM nodes
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN ue e ON e.a = r.m)
+SELECT n AS doc_id, min(m) AS comp_id FROM reach GROUP BY n"""
+
+
 def _anchor_tf_sql(anchor_len: int = 3) -> str:
     """graph.anchor_postings: target-page term counts over the source
     page's first `anchor_len` tokens, one row per (dst, term)."""
@@ -1381,6 +1444,8 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
   AND epoch_us(b.ts) >= epoch_us(a.ts)
   AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000""",
         "pagerank": _pagerank_sql(_PR_ITERS),
+        "hits": _hits_sql(_HITS_ITERS),
+        "link_components": _link_components_sql(),
         "anchor_tf": _anchor_tf_sql(),
         "bm25_pagerank_topk": _bm25_pagerank_sql(_PR_ITERS),
         "media_meta": "SELECT doc_id, "

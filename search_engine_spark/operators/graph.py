@@ -49,6 +49,8 @@ from search_engine_spark.operators.text_analytics import ws_tokens
 __all__ = [
     "synthetic_links",
     "pagerank",
+    "hits",
+    "link_components",
     "anchor_postings",
     "fused_bm25_pagerank",
 ]
@@ -156,6 +158,104 @@ def pagerank(
         ranks = new_ck
     e.unpersist()
     return ranks
+
+
+def hits(
+    nodes: DataFrame, edges: DataFrame, iters: int = 5
+) -> DataFrame:
+    """(doc_id, hub, auth) after `iters` rounds of Kleinberg's HITS:
+    auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each vector
+    L2-normalized per half-step. The topic-independent complement to
+    PageRank: hubs are link collectors (directories), authorities are
+    link targets — at web scale the pair separates navigational hubs
+    from content pages, which PageRank conflates.
+
+    Same execution shape as pagerank: per half-step one edges ⋈ vector
+    join + one groupBy sum (two shuffles), the L2 norm is a one-row
+    aggregate broadcast back (never a driver collect), and each
+    normalized vector is localCheckpoint'ed because the normalize step
+    reads its raw vector twice (sum-of-squares + divide) — untruncated,
+    the plan would double per half-step.
+    """
+    nodes = nodes.select("doc_id")
+    e = edges.persist()
+    hub = nodes.select("doc_id", F.lit(1.0).alias("v"))
+
+    def _half(vec: DataFrame, src_key: str, dst_key: str) -> DataFrame:
+        raw = (
+            e.join(vec.select(F.col("doc_id").alias(src_key), "v"), src_key)
+            .groupBy(dst_key)
+            .agg(F.sum("v").alias("raw"))
+            .select(F.col(dst_key).alias("doc_id"), "raw")
+        )
+        nrm = raw.agg(
+            F.coalesce(F.sqrt(F.sum(F.col("raw") * F.col("raw"))), F.lit(1.0)).alias(
+                "nrm"
+            )
+        )
+        out = (
+            nodes.join(raw, "doc_id", "left")
+            .crossJoin(F.broadcast(nrm))
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("raw"), F.lit(0.0))
+                    / F.when(F.col("nrm") == 0.0, F.lit(1.0)).otherwise(
+                        F.col("nrm")
+                    )
+                ).alias("v"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+    e.unpersist()
+    return (
+        hub.select("doc_id", F.col("v").alias("hub"))
+        .join(auth.select("doc_id", F.col("v").alias("auth")), "doc_id")
+    )
+
+
+def link_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(doc_id, comp_id): connected components of the UNDIRECTED link
+    graph, comp_id = minimum doc_id in the component. Isolated docs are
+    their own component.
+
+    Reuses the dedup fixpoint (dedup._propagate_min_labels — the exact
+    min-label propagation with the Σ-label convergence check) by
+    presenting each undirected edge as a two-member bucket: the
+    share-a-bucket graph of that relation IS the link graph, so the
+    scale analysis there (two 8-byte-row shuffles per round off
+    pre-partitioned relations, rounds ≈ log₂ diameter) carries over
+    verbatim.
+    """
+    from search_engine_spark.operators.dedup import _propagate_min_labels
+
+    nodes = nodes.select("doc_id")
+    # bucket id = the edge itself (src, dst are both < 2^32 at any
+    # driver sf; a real web graph would mint bh = xxhash64(src, dst))
+    eb = edges.select(
+        F.lit(0).alias("band"),
+        (F.col("src") * F.lit(4294967296) + F.col("dst")).alias("bh"),
+        F.explode(F.array("src", "dst")).alias("doc_id"),
+    )
+    by_doc = eb.repartition("doc_id").persist()
+    by_bucket = eb.repartition("band", "bh").persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("keep_id")).persist()
+    out = _propagate_min_labels(by_doc, by_bucket, labels)
+    merged = (
+        nodes.join(out.withColumnRenamed("keep_id", "comp_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp_id"), F.col("doc_id")).alias("comp_id"),
+        )
+    )
+    by_doc.unpersist()
+    by_bucket.unpersist()
+    return merged
 
 
 def anchor_postings(

@@ -67,6 +67,37 @@ def test_pagerank_rewards_indegree(spark, docs, edges):
     assert pr[top_in] > pr[low_in]
 
 
+def test_hits_unit_norm_and_indegree(spark, docs, edges):
+    import math
+
+    hv = g.hits(docs, edges, iters=3).collect()
+    assert len(hv) == docs.count()
+    assert math.isclose(sum(r["hub"] ** 2 for r in hv), 1.0, rel_tol=1e-9)
+    assert math.isclose(sum(r["auth"] ** 2 for r in hv), 1.0, rel_tol=1e-9)
+    # dangling docs (no out-edges) have zero hub score but may be authorities
+    srcs = {r["src"] for r in edges.collect()}
+    for r in hv:
+        if r["doc_id"] not in srcs:
+            assert r["hub"] == 0.0
+
+
+def test_link_components_are_consistent(spark, docs, edges):
+    comp = {
+        r["doc_id"]: r["comp_id"]
+        for r in g.link_components(docs, edges).collect()
+    }
+    assert set(comp) == set(range(docs.count()))
+    # both endpoints of every edge agree
+    for r in edges.collect():
+        assert comp[r["src"]] == comp[r["dst"]]
+    # each component's label is its minimum member
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+
+
 def test_anchor_postings_shape(docs, edges):
     ap = g.anchor_postings(docs, edges, anchor_len=3)
     rows = ap.collect()
