@@ -249,6 +249,36 @@ def _link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.link_components(docs, edges)
 
 
+# product quantization: codebooks trained once per (sf_dir) — the PQ
+# trajectory is deterministic (fixed-point grid), so caching is safe
+_PQ_BOOKS: dict[str, list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from search_engine_spark.operators import similarity
+
+    if sf_dir not in _PQ_BOOKS:
+        _PQ_BOOKS[sf_dir] = similarity.pq_train(
+            _embeddings(spark, sf_dir), m=8, ks=16, iters=2
+        )
+    return _PQ_BOOKS[sf_dir]
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import similarity
+
+    rows = similarity.pq_assign(_embeddings(spark, sf_dir), _pq_books(spark, sf_dir))
+    return rows.select("vec_id", "s", "code", F.round("d2", 6).alias("d2"))
+
+
+def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import similarity
+
+    return similarity.pq_adc_topk(
+        _embeddings(spark, sf_dir), _pq_books(spark, sf_dir), query_vec_id=0
+    )
+
+
 def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -463,6 +493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q(
             lambda s, d: similarity.kmeans_clusters(_embeddings(s, d), k=8, iters=2)
         ),
+        # product quantization (Jégou et al. 2011): per-subspace Lloyd
+        # codebooks + packed codes + asymmetric-distance top-k
+        "pq_codes": q(_pq_codes),
+        "pq_adc_topk": q(_pq_adc),
     }
 
 
@@ -1282,6 +1316,72 @@ c0 AS (SELECT r.cell, x.i, round(x.v, 6) AS m FROM rk r JOIN e x ON x.vec_id = r
     return sql
 
 
+def _pq_ctes(m: int = 8, ks: int = 16, iters: int = 2, dim: int = 64) -> tuple[str, str, str]:
+    """CTE chain replaying similarity.pq_train + pq_assign: per-subspace
+    Lloyd on the fixed-point grid (same salt, rounding, tie rules as
+    _kmeans_sql, with the subspace id joined through every step).
+    Returns (ctes, final_assign_cte, final_codebook_cte)."""
+    h = _h64_sql("'pq|' || CAST(vec_id AS VARCHAR)")
+    dsub = dim // m
+
+    def assign(cents: str, d: str, a: str) -> str:
+        return f"""
+{d} AS MATERIALIZED (SELECT x.vec_id, x.s, c.cell,
+        round(sum((x.v - c.m)*(x.v - c.m)), 9) AS d2
+        FROM e x JOIN {cents} c ON c.s = x.s AND c.j = x.j
+        GROUP BY x.vec_id, x.s, c.cell),
+{a} AS MATERIALIZED (SELECT vec_id, s, cell, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2 ASC, cell ASC) AS rn
+        FROM {d}) WHERE rn = 1)"""
+
+    def update(prev: str, a: str, new: str) -> str:
+        return f"""
+{new} AS MATERIALIZED (SELECT p.s, p.cell, p.j, round(coalesce(m.mv, p.m), 6) AS m
+          FROM {prev} p LEFT JOIN (
+            SELECT a.s, a.cell, x.j, avg(x.v) AS mv
+            FROM {a} a JOIN e x ON x.vec_id = a.vec_id AND x.s = a.s
+            GROUP BY a.s, a.cell, x.j) m
+          ON m.s = p.s AND m.cell = p.cell AND m.j = p.j)"""
+
+    sql = f"""e AS MATERIALIZED (
+  SELECT vec_id, g.i // {dsub} AS s, g.i % {dsub} AS j,
+         CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings,
+       (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
+rk AS (SELECT vec_id, row_number() OVER (ORDER BY {h} ASC, vec_id ASC) - 1 AS cell
+       FROM embeddings ORDER BY {h} ASC, vec_id ASC LIMIT {ks}),
+c0 AS MATERIALIZED (SELECT x.s, r.cell, x.j, round(x.v, 6) AS m
+      FROM rk r JOIN e x ON x.vec_id = r.vec_id)"""
+    cur = "c0"
+    for it in range(iters):
+        sql += "," + assign(cur, f"pd{it}", f"pa{it}")
+        sql += "," + update(cur, f"pa{it}", f"c{it + 1}")
+        cur = f"c{it + 1}"
+    sql += "," + assign(cur, "pdF", "paF")
+    return sql, "paF", cur
+
+
+def _pq_codes_sql() -> str:
+    ctes, final, _ = _pq_ctes()
+    return f"""WITH {ctes}
+SELECT vec_id, s, cell AS code, round(d2, 6) AS d2 FROM {final}"""
+
+
+def _pq_adc_sql(k: int = 10) -> str:
+    ctes, final, cents = _pq_ctes()
+    return f"""WITH {ctes},
+q AS (SELECT s, j, v FROM e WHERE vec_id = 0),
+lut AS (SELECT c.s, c.cell, sum((q.v - c.m)*(q.v - c.m)) AS qd2
+        FROM {cents} c JOIN q ON q.s = c.s AND q.j = c.j
+        GROUP BY c.s, c.cell),
+adc AS (SELECT a.vec_id, sum(l.qd2) AS adc
+        FROM {final} a JOIN lut l ON l.s = a.s AND l.cell = a.cell
+        WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+SELECT vec_id, round(adc, 6) AS adc FROM adc
+ORDER BY adc ASC, vec_id ASC LIMIT {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": f"WITH {_TOKENS} SELECT doc_id, term, count(*) AS tf "
@@ -1572,4 +1672,6 @@ WHERE rep.n_tokens BETWEEN 20 AND 100000
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "materialize_sequences": _MATERIALIZE_SEQUENCES_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
+        "pq_codes": _pq_codes_sql(),
+        "pq_adc_topk": _pq_adc_sql(),
     }

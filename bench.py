@@ -321,6 +321,23 @@ def main() -> None:
             lambda: similarity.ivf_index_topk_batch(spark, ivf_idx, qvecs).collect(),
         )
 
+        # product quantization: codebook training (2 Lloyd iters, all
+        # subspaces in one DataFrame program per iter) + packed-code
+        # encode, then the ADC scan — the narrow no-shuffle query shape
+        # whose cost at 10^12 rows is a scan over n·m bytes of codes
+        pq_books = timed(
+            "pq_train",
+            lambda: similarity.pq_train(embeddings, m=8, ks=16, iters=2),
+        )
+        timed(
+            "pq_encode",
+            lambda: similarity.pq_encode(embeddings, pq_books).count(),
+        )
+        timed(
+            "pq_adc_topk",
+            lambda: similarity.pq_adc_topk(embeddings, pq_books, 0).collect(),
+        )
+
         # crawl loop (S1/S2, round 3): 2 BFS rounds over the
         # deterministic synthetic web — fetch (domain-partitioned,
         # retry policy live via rate_limit class) + gates + frontier +
