@@ -197,6 +197,34 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deliberately misspelled twins of QUERY_TERMS for the did_you_mean gate
+MISSPELLED_TERMS = ["sparkk", "mergee", "batchh"]
+
+
+def _did_you_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import did_you_mean
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return did_you_mean(index, MISSPELLED_TERMS, max_dist=2)
+
+
+def _vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index, prune_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    # band [30, 0.8·N] drops both tails on the driver's synthetic
+    # vocabulary (31 terms, df 25..402 over 500 docs) so the gate
+    # verifies a non-trivial two-sided cut
+    index = prune_index(
+        build_index(docs, tokenizer=ws_tokens), min_df=30, max_df_ratio=0.8
+    )
+    return index.term_stats.select("term", F.col("df").cast("long").alias("df"))
+
+
 # web link graph: the driver's documents table has no link column, so
 # the edge set is a deterministic function of doc_id (graph.EDGE_* —
 # shared verbatim with the DuckDB oracle); PageRank unrolls the same
@@ -475,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q(
             lambda s, d: ev.range_join(_events(s, d), "click", "purchase", 600)
         ),
+        # query aids
+        "did_you_mean": q(_did_you_mean),
+        "vocab_prune": q(_vocab_prune),
         # web link graph (operators/graph.py)
         "pagerank": q(_pagerank),
         "hits": q(_hits),
@@ -1543,6 +1574,25 @@ FROM events a JOIN events b ON a.user_id = b.user_id
 WHERE a.event_type = 'click' AND b.event_type = 'purchase'
   AND epoch_us(b.ts) >= epoch_us(a.ts)
   AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000""",
+        "did_you_mean": f"""
+WITH {_TOKENS}, {_TF},
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(t) AS (VALUES {", ".join("('" + t + "')" for t in MISSPELLED_TERMS)}),
+missing AS (SELECT t FROM q WHERE t NOT IN (SELECT term FROM vocab)),
+cand AS (SELECT m.t, v.term, v.df, levenshtein(m.t, v.term) AS dist
+         FROM missing m CROSS JOIN vocab v
+         WHERE levenshtein(m.t, v.term) <= 2),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY t
+           ORDER BY dist ASC, df DESC, term ASC) AS rn FROM cand)
+SELECT t AS term, term AS suggestion, CAST(dist AS INT) AS dist,
+       CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn = 1""",
+        "vocab_prune": f"""
+WITH {_TOKENS}, {_TF},
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term, df FROM vocab, n
+WHERE df >= 30 AND df <= 0.8e0 * n.n""",
         "pagerank": _pagerank_sql(_PR_ITERS),
         "hits": _hits_sql(_HITS_ITERS),
         "link_components": _link_components_sql(),

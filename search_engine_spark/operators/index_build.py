@@ -488,3 +488,37 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         n_docs=int(meta["n_docs"]),
         avgdl=float(meta["avgdl"]),
     )
+
+
+def prune_index(
+    index: InvertedIndex,
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+) -> InvertedIndex:
+    """Vocabulary-band pruning: drop terms with df < min_df (hapax/noise
+    — typically >40 % of a web vocabulary but a negligible share of
+    postings) and df > max_df_ratio·N (corpus-specific stopwords that
+    BM25's idf already near-zeroes but whose posting lists dominate
+    index IO — at 10^12 docs the head term's list alone is terabytes).
+
+    Shape: the df band evaluates on term_stats (the SMALL relation),
+    and postings shrink via a broadcast semi-join of the surviving
+    vocabulary — the big relation is filtered in its scan stage, never
+    shuffled. doc_stats/n_docs/avgdl keep their pre-prune values: BM25
+    length normalization stays defined by the true corpus, so scores
+    of surviving terms are unchanged (asserted in tests).
+    """
+    keep = index.term_stats.filter(
+        (F.col("df") >= min_df)
+        & (F.col("df") <= F.lit(float(max_df_ratio)) * F.lit(index.n_docs))
+    )
+    pruned_postings = index.postings.join(
+        F.broadcast(keep.select("term")), "term", "left_semi"
+    )
+    return InvertedIndex(
+        postings=pruned_postings,
+        term_stats=keep,
+        doc_stats=index.doc_stats,
+        n_docs=index.n_docs,
+        avgdl=index.avgdl,
+    )

@@ -1,0 +1,70 @@
+"""Query aids: did_you_mean spelling suggestions and index vocabulary
+pruning (operators/query.py::did_you_mean, index_build.prune_index).
+Oracle value parity runs in test_entry_oracle.py; here: semantics the
+SQL comparison can't pin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import build_index, prune_index
+from search_engine_spark.operators.query import did_you_mean, score_bm25
+from search_engine_spark.operators.text_analytics import ws_tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    return build_index(docs, tokenizer=ws_tokens).cache()
+
+
+def test_did_you_mean_corrects_one_edit(spark, index):
+    vocab = [r["term"] for r in index.term_stats.select("term").collect()]
+    target = max(vocab, key=len)  # longest term: unambiguous 1-edit twin
+    typo = target[:-1] + ("x" if target[-1] != "x" else "y")
+    out = did_you_mean(index, [typo], max_dist=2).collect()
+    assert len(out) == 1
+    assert out[0]["term"] == typo
+    assert out[0]["suggestion"] == target
+    assert out[0]["dist"] == 1
+
+
+def test_did_you_mean_skips_known_and_hopeless(spark, index):
+    known = index.term_stats.first()["term"]
+    out = did_you_mean(index, [known, "qqqqqqqqqqqqq"], max_dist=2).collect()
+    # in-vocabulary terms need no suggestion; >max_dist typos get none
+    assert out == []
+
+
+def test_prune_index_preserves_scores_of_survivors(spark, index):
+    pruned = prune_index(index, min_df=1, max_df_ratio=1.0)
+    # identity band: nothing dropped, scores identical
+    assert pruned.term_stats.count() == index.term_stats.count()
+
+    n = index.n_docs
+    tight = prune_index(index, min_df=2, max_df_ratio=0.9)
+    surviving = [r["term"] for r in tight.term_stats.select("term").collect()]
+    assert 0 < len(surviving) <= index.term_stats.count()
+    qterms = surviving[:2]
+    qt = spark.createDataFrame(
+        [(0, t) for t in qterms], "query_id int, term string"
+    )
+    full = {
+        (r["doc_id"]): r["score"]
+        for r in score_bm25(index, qt, k=50, terms=qterms).collect()
+    }
+    cut = {
+        (r["doc_id"]): r["score"]
+        for r in score_bm25(tight, qt, k=50, terms=qterms).collect()
+    }
+    # surviving terms score identically: df/idf/tf_norm were computed
+    # before the prune and are untouched by it
+    assert full == cut
+
+    # the df band really is two-sided
+    dfs = [r["df"] for r in tight.term_stats.select("df").collect()]
+    assert all(2 <= d <= 0.9 * n for d in dfs)
