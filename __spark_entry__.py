@@ -211,6 +211,18 @@ def _did_you_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return did_you_mean(index, MISSPELLED_TERMS, max_dist=2)
 
 
+def _term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import text_analytics as ta
+    from search_engine_spark.operators.index_build import build_index, prune_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = prune_index(
+        build_index(docs, tokenizer=ws_tokens), min_df=30, max_df_ratio=0.8
+    )
+    return ta.term_pmi(index, min_pairs=5, k=50)
+
+
 def _vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index, prune_index
     from search_engine_spark.operators.text_analytics import ws_tokens
@@ -506,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query aids
         "did_you_mean": q(_did_you_mean),
         "vocab_prune": q(_vocab_prune),
+        "term_pmi": q(_term_pmi),
         # web link graph (operators/graph.py)
         "pagerank": q(_pagerank),
         "hits": q(_hits),
@@ -1593,6 +1606,26 @@ vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 n AS (SELECT count(*) AS n FROM documents)
 SELECT term, df FROM vocab, n
 WHERE df >= 30 AND df <= 0.8e0 * n.n""",
+        "term_pmi": f"""
+WITH {_TOKENS}, {_TF},
+n AS (SELECT count(*) AS n FROM documents),
+vocab AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term
+       HAVING count(*) >= 30 AND count(*) <= 0.8e0 * (SELECT n FROM n)),
+toks AS MATERIALIZED (SELECT DISTINCT t.doc_id, t.term FROM tf t
+       JOIN vocab v USING (term)),
+pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY a.term, b.term HAVING count(*) >= 5)
+SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln((CAST(n_ab AS DOUBLE) * n.n)
+                / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE))), 6) AS pmi
+FROM pairs
+JOIN vocab da ON da.term = term_a
+JOIN vocab db ON db.term = term_b
+CROSS JOIN n
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT 50""",
         "pagerank": _pagerank_sql(_PR_ITERS),
         "hits": _hits_sql(_HITS_ITERS),
         "link_components": _link_components_sql(),

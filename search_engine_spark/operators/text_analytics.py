@@ -432,3 +432,63 @@ def source_mix(documents: DataFrame) -> DataFrame:
             "token_share"
         ),
     )
+
+
+def term_pmi(index, min_pairs: int = 5, k: int = 50) -> DataFrame:
+    """(term_a, term_b, n_ab, pmi): the top-k term pairs by pointwise
+    mutual information ln(n·c_ab / (c_a·c_b)) over document-level
+    co-occurrence — the classic query-expansion / related-terms signal
+    (no reference analog; dastarruer/search-engine has no expansion).
+
+    Built FROM the inverted index: postings are already the distinct
+    (term, doc_id) relation and term_stats carries df, so the only new
+    work is the pair count — a self-join of postings on doc_id
+    restricted to term_a < term_b, one hash agg. That join is
+    quadratic in per-document DISTINCT VOCABULARY terms, which is why
+    the intended composition at scale is `term_pmi(prune_index(idx))`:
+    the df band caps both the hapax tail (pairs that can never reach
+    min_pairs) and the stopword head (pairs with no information), and
+    what remains is bounded by content-term density, not page length.
+    Ties break (pmi DESC, term_a ASC, term_b ASC); pmi rounds 6dp.
+
+    The df joins are broadcast-hinted because the pruned vocabulary's
+    term_stats is small (content terms, ≤~10^6 rows); feeding an
+    unpruned 10^8-term web vocabulary here would need the hint removed
+    — and would be the wrong query anyway (see the min_pairs note).
+    """
+    n = index.n_docs
+    toks = index.postings.select("term", "doc_id")
+    a = toks.select(F.col("term").alias("term_a"), "doc_id")
+    b = toks.select(F.col("term").alias("term_b"), "doc_id")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    df_a = index.term_stats.select(
+        F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    df_b = index.term_stats.select(
+        F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(df_a), "term_a")
+        .join(F.broadcast(df_b), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.lit(float(n)))
+                    / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(k)
