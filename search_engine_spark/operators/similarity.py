@@ -834,14 +834,37 @@ def pq_encode(
     """(vec_id, codes array<long>): the packed PQ code — m small ints
     per vector instead of d floats (d=64 f32 → m=8 bytes: 32×
     compression), the representation that lets a 10^12-vector corpus's
-    codes live in executor memory for ADC scans."""
-    rows = pq_assign(embeddings, codebooks)
-    return rows.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))),
-            lambda x: x["code"],
-        ).alias("codes")
-    )
+    codes live in executor memory for ADC scans.
+
+    Built as ONE narrow select (per-subspace argmin over literal
+    centroids, array-packed in place) — no explode, no shuffle: the
+    encode job is a map over the scan, so writing the codes table
+    costs a single pass over the vectors."""
+    dsub = len(codebooks[0][0])
+    packed = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(col("embedding"), s * dsub + 1, dsub)
+        entries = []
+        for cid, vec in enumerate(book):
+            cv = F.array(*[lit(float(x)) for x in vec])
+            d2 = F.round(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        cv,
+                        lambda x, c: (x.cast("double") - c)
+                        * (x.cast("double") - c),
+                    ),
+                    lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            )
+            entries.append(
+                F.struct(d2.alias("d2"), lit(cid).cast("long").alias("code"))
+            )
+        packed.append(F.array_min(F.array(*entries))["code"])
+    return embeddings.select("vec_id", F.array(*packed).alias("codes"))
 
 
 def pq_adc_topk(
@@ -849,6 +872,7 @@ def pq_adc_topk(
     codebooks: list[list[list[float]]],
     query_vec_id: int = 0,
     k: int = 10,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, adc): top-k nearest by Asymmetric Distance Computation —
     the query stays un-quantized; per subspace its squared L2 to every
@@ -863,7 +887,11 @@ def pq_adc_topk(
     dsub = len(codebooks[0][0])
     qrow = embeddings.filter(col("vec_id") == query_vec_id).first()
     q = [float(x) for x in qrow["embedding"]]
-    codes = pq_encode(embeddings, codebooks)
+    if codes is None:
+        # encode inline (itself a narrow map); a serving deployment
+        # passes the materialized codes table instead and never touches
+        # the raw vectors on the ADC path
+        codes = pq_encode(embeddings, codebooks)
     adc = None
     for s, book in enumerate(codebooks):
         qs = q[s * dsub : (s + 1) * dsub]

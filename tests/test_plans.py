@@ -212,3 +212,45 @@ def test_sample_corpus_is_scan_stage_only(spark):
         plan = _plan(sample_corpus(docs, 0.25, family=family))
         assert "Exchange" not in plan, plan[:2000]
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_and_adc_are_shuffle_free(spark):
+    """The PQ serving path's whole point: encode is a narrow
+    literal-centroid map and the ADC query is LUT lookups over the
+    packed codes + TakeOrdered — NO Exchange anywhere. A shuffle here
+    would mean the 10^12-row code scan pays a sort it doesn't need."""
+    from search_engine_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_train(emb, m=8, ks=16, iters=0)
+
+    enc_plan = _plan(pq_encode(emb, books))
+    assert "Exchange" not in enc_plan, enc_plan[:1500]
+
+    adc_plan = _plan(pq_adc_topk(emb, books, 0, k=10))
+    assert "Exchange" not in adc_plan, adc_plan[:1500]
+    assert "TakeOrderedAndProject" in adc_plan
+
+
+def test_did_you_mean_vocab_is_not_shuffled_before_distance(spark, stored_index):
+    """Suggestion candidates come from ONE pass over the stored
+    term_stats with the broadcast query terms — the vocabulary reaches
+    the distance filter straight off its parquet scan (no SortMergeJoin
+    against the big side); the only Exchange is the per-term top-1
+    window over the few surviving candidates."""
+    from search_engine_spark.operators.query import did_you_mean
+
+    _, idx = stored_index
+    plan = _plan(did_you_mean(idx, ["zzqqzz"], max_dist=2))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    # serving off the stored index: exactly one shuffle Exchange (the
+    # window) — broadcasts of the tiny query side don't count
+    import re
+
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan[:2000]
