@@ -432,6 +432,31 @@ BENCH/scaling_runs.jsonl.
   12.6 s for the full-corpus fixpoint — job constants stop dominating
   at just ~5k docs.
 
+- Link-graph ranking (round 3 late): `pagerank_10it` times ten
+  power-iteration rounds over the synthetic edge set — the per-round
+  cost is the (edges ⋈ ranks → groupBy dst) shuffle pair plus a
+  one-row dangling-mass broadcast, so wall at sandbox scale is
+  dominated by 10× per-round job constants (~0.4 s each at sf0.01);
+  the transferable number is per-round shuffle volume: two passes over
+  (long, double) rank rows regardless of page size. `anchor_tf` is the
+  one-join anchor projection. HITS and link_components share the same
+  shapes (HITS: two half-step shuffle pairs per round; components: the
+  dedup fixpoint over edge buckets) and are gate-verified rather than
+  separately benched.
+
+- Product quantization (round 3 late): `pq_train` (2 Lloyd iterations,
+  all 8 subspaces in one DataFrame program per iteration — the
+  per-iteration shuffle output is ks·d = 1024 rows independent of
+  corpus size), `pq_encode` (narrow literal-centroid map, zero
+  Exchanges, plan-asserted), and `pq_adc_topk` — the serving scan is
+  element_at(LUT, code) sums over the packed codes: no shuffle, no
+  join, no Python, so at 10^12 vectors the query cost is a scan of
+  n·m bytes of codes (32× less IO than the f32 vectors) +
+  TakeOrdered(k). Candidate recall of the ADC shortlist is measured in
+  tests (0.5 at top-50, 0.7 at top-100 on the near-random synthetic
+  vectors — PQ's worst case); the full serving shape re-ranks the
+  shortlist exactly.
+
 ## Reading BENCH_r3 vs BENCH_r2 (headline now a fixed core set)
 
 Round 3 added nineteen breadth rows to bench.py (warm serving twins,
@@ -443,7 +468,9 @@ by per-round job-scheduling constants at sandbox scale, so
 `extra.crawl_fetches_per_sec` is the comparable number — and the
 `dedup_index_build` + `minhash_dedup_incr` incremental-ingest pair,
 and the five curation/dedup rows `repetition_stats` / `pii_scrub` /
-`pack_sequences` / `kmeans_clusters` / `dupspan_scrub`).
+`pack_sequences` / `kmeans_clusters` / `dupspan_scrub`, then late in
+the round the link-graph pair `pagerank_10it` / `anchor_tf` and the
+product-quantization trio `pq_train` / `pq_encode` / `pq_adc_topk`).
 To keep the headline `value` diffable across rounds it now sums ONLY
 the original nine r1/r2 components (pages/docs index builds,
 bm25/tfidf/block search, 100-query batch, minhash_dedup, cosine_topk);
