@@ -319,6 +319,34 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_lm_dirichlet
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return score_lm_dirichlet(index, qt, mu=2000.0, k=10, terms=QUERY_TERMS)
+
+
+def _bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import graph as g
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_bm25f
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs, edges, _ = _graph(spark, sf_dir)
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    anchors = g.anchor_postings(docs, edges)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return score_bm25f(index, anchors, qt, k=10, terms=QUERY_TERMS)
+
+
 def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -525,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_components": q(_link_components),
         "anchor_tf": q(_anchor_tf),
         "bm25_pagerank_topk": q(_bm25_pagerank),
+        "lm_dirichlet_topk": q(_lm_dirichlet),
+        "bm25f_topk": q(_bm25f),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
         # served through the MATERIALIZED index tables (build-once +
@@ -1090,6 +1120,77 @@ SELECT doc_id, term, count(*) AS tf_anchor
 FROM exploded GROUP BY doc_id, term"""
 
 
+def _lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
+    """query.score_lm_dirichlet: matched-terms query-likelihood with
+    Dirichlet smoothing, |q| literal from QUERY_TERMS, e0 doubles."""
+    nq = len(QUERY_TERMS)
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT sum(dl) AS c FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+cf AS (SELECT term, sum(tf) AS cf FROM matched GROUP BY term),
+sm AS (SELECT m.doc_id,
+       sum(ln(1.0e0 + CAST(m.tf AS DOUBLE)
+              / ({mu}e0 * (CAST(cf.cf AS DOUBLE) / tot.c)))) AS s
+       FROM matched m JOIN cf USING (term), tot GROUP BY m.doc_id)
+SELECT 0 AS query_id, sm.doc_id,
+       round(sm.s + {nq} * ln({mu}e0 / (CAST(dl.dl AS DOUBLE) + {mu}e0)), 9)
+         AS score
+FROM sm JOIN dl USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _bm25f_sql(
+    k: int = 10,
+    w_anchor: float = 2.0,
+    b_body: float = 0.75,
+    b_anchor: float = 0.5,
+    k1: float = 1.2,
+    anchor_len: int = 3,
+) -> str:
+    """query.score_bm25f over body + anchor-text fields (anchors from
+    the synthetic link graph, like _anchor_tf_sql)."""
+    ctes, _ = _pagerank_ctes(iters=0)
+    one_minus_bb = 1.0 - b_body
+    one_minus_ba = 1.0 - b_anchor
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+tdf AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+{ctes},
+anch AS (SELECT doc_id AS src,
+         list_slice(list_filter(string_split(text, ' '), x -> x <> ''),
+                    1, {anchor_len}) AS anchor
+         FROM documents),
+aexp AS (SELECT e.dst AS doc_id, unnest(a.anchor) AS term
+         FROM edges e JOIN anch a ON a.src = e.src),
+atf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf
+      FROM aexp GROUP BY doc_id, term),
+alen AS MATERIALIZED (SELECT doc_id, sum(tf) AS alen FROM atf GROUP BY doc_id),
+aavg AS (SELECT avg(alen) AS aavg FROM alen),
+xb AS (SELECT m.term, m.doc_id,
+       1.0e0 * CAST(m.tf AS DOUBLE)
+         / ({one_minus_bb}e0 + {b_body}e0 * CAST(dl.dl AS DOUBLE) / stats.avgdl) AS x
+       FROM matched m JOIN dl USING (doc_id), stats),
+xa AS (SELECT a.term, a.doc_id,
+       {w_anchor}e0 * CAST(a.tf AS DOUBLE)
+         / ({one_minus_ba}e0 + {b_anchor}e0 * CAST(al.alen AS DOUBLE) / aavg.aavg) AS x
+       FROM atf a JOIN alen al USING (doc_id), aavg
+       WHERE a.term IN {_IN_TERMS}),
+xx AS (SELECT term, doc_id, sum(x) AS x
+       FROM (SELECT * FROM xb UNION ALL SELECT * FROM xa) GROUP BY term, doc_id),
+idf AS (SELECT tdf.term,
+        ln(1.0 + (CAST(stats.n AS DOUBLE) - tdf.df + 0.5) / (tdf.df + 0.5)) AS bidf
+        FROM tdf, stats)
+SELECT 0 AS query_id, doc_id,
+       round(sum(bidf * x / ({k1}e0 + x)), 6) AS score
+FROM xx JOIN idf USING (term)
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def _bm25_pagerank_sql(iters: int) -> str:
     """graph.fused_bm25_pagerank: the _BM25_SQL per-doc aggregate scaled
     by (1 + n·pr) before the top-k order/limit."""
@@ -1631,6 +1732,8 @@ LIMIT 50""",
         "link_components": _link_components_sql(),
         "anchor_tf": _anchor_tf_sql(),
         "bm25_pagerank_topk": _bm25_pagerank_sql(_PR_ITERS),
+        "lm_dirichlet_topk": _lm_dirichlet_sql(),
+        "bm25f_topk": _bm25f_sql(),
         "media_meta": "SELECT doc_id, "
         "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "

@@ -240,3 +240,166 @@ def did_you_mean(
             F.col("df").cast("long").alias("df"),
         )
     )
+
+
+def score_lm_dirichlet(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    mu: float = 2000.0,
+    k: int = 10,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
+    Lafferty 2001) — the standard LM alternative to BM25, in the
+    rank-equivalent matched-terms decomposition (the query-constant
+    Σ_t ln p(t|C) is dropped, so values can be positive):
+
+        score(q,d) = Σ_t∈q∩d ln(1 + tf_td / (μ·p(t|C)))
+                     + |q|·ln(μ / (dl_d + μ))
+
+    The candidate set is docs matching ≥1 query term (standard
+    inverted-index retrieval). The plan is the SAME
+    broadcast-join shape as score_bm25 (postings never shuffled, one
+    hash agg) plus one broadcast of per-term collection probabilities.
+    p(t|C) = cf_t / |C| (collection frequency over total tokens) is
+    computed from the isin-pruned postings scan — rows only for the
+    query terms, a scalar-sized aggregate at any corpus size. |C| and
+    dl come from doc_stats. Ties: score DESC, doc_id ASC (the Q7 rule).
+
+    Scores are ≤ 0 (log-probabilities); only rank matters. Rounded 9dp
+    for oracle comparison.
+    """
+    spark = index.postings.sparkSession
+    total_tokens = index.doc_stats.agg(F.sum("dl")).first()[0]
+    m = _matched(index, query_terms, terms)
+    cf = (
+        m.select("term", "doc_id", "tf")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .withColumn("p_c", F.col("cf").cast("double") / F.lit(float(total_tokens)))
+    )
+    nq = query_terms.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    matched_part = (
+        m.join(F.broadcast(cf.select("term", "p_c")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + F.col("tf").cast("double") / (F.lit(mu) * F.col("p_c"))
+                )
+            ).alias("s_matched")
+        )
+    )
+    scored = (
+        matched_part.join(index.doc_stats, "doc_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("s_matched")
+                + F.col("nq").cast("double")
+                * F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu))),
+                9,
+            ).alias("score"),
+        )
+    )
+    return topk(scored, k)
+
+
+def score_bm25f(
+    index: InvertedIndex,
+    anchor_tf: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    terms: list[str] | None = None,
+    w_anchor: float = 2.0,
+    b_body: float = 0.75,
+    b_anchor: float = 0.5,
+    k1: float = 1.2,
+) -> DataFrame:
+    """BM25F (Robertson, Zaragoza, Taylor 2004): per-field
+    length-normalized term frequencies combined with field weights
+    BEFORE one shared saturation —
+
+        x_td = Σ_f w_f · tf_tdf / (1 − b_f + b_f·len_df/avglen_f)
+        score = Σ_t idf_t · x_td / (k1 + x_td)
+
+    Fields here: body (the index postings) and incoming anchor text
+    (graph.anchor_postings — the linking pages' words describing the
+    target, the classic high-precision web field). idf stays the
+    body-corpus BM25 idf from term_stats.
+
+    Plan: both field relations are isin-pruned to the query terms at
+    their scans, field-normalized narrowly, unioned (2-row-source
+    union, no join of big relations), then ONE hash agg per
+    (query, doc) and the top-k window — the same single-shuffle budget
+    as plain BM25 plus the anchor scan. Rounded 6dp.
+    """
+    anchor_len = anchor_tf.groupBy("doc_id").agg(
+        F.sum("tf_anchor").alias("alen")
+    )
+    avg_alen = anchor_len.agg(F.avg("alen")).first()[0]
+    qt = F.broadcast(query_terms)
+
+    body = index.postings.select("term", "doc_id", "tf")
+    anch = anchor_tf.select("term", "doc_id", F.col("tf_anchor").alias("tf"))
+    if terms:
+        body = body.filter(F.col("term").isin(terms))
+        anch = anch.filter(F.col("term").isin(terms))
+
+    body_n = (
+        body.join(index.doc_stats, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.lit(1.0)
+                * F.col("tf").cast("double")
+                / (
+                    F.lit(1.0 - b_body)
+                    + F.lit(b_body)
+                    * F.col("dl").cast("double")
+                    / F.lit(float(index.avgdl))
+                )
+            ).alias("x"),
+        )
+    )
+    anch_n = (
+        anch.join(anchor_len, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.lit(w_anchor)
+                * F.col("tf").cast("double")
+                / (
+                    F.lit(1.0 - b_anchor)
+                    + F.lit(b_anchor)
+                    * F.col("alen").cast("double")
+                    / F.lit(float(avg_alen))
+                )
+            ).alias("x"),
+        )
+    )
+    ts_q = index.term_stats.select("term", "bm25_idf")
+    if terms:
+        ts_q = ts_q.filter(F.col("term").isin(terms))
+    scored = (
+        body_n.unionByName(anch_n)
+        .join(qt, "term")
+        .groupBy("query_id", "doc_id", "term")
+        .agg(F.sum("x").alias("x"))
+        .join(F.broadcast(ts_q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("bm25_idf") * F.col("x") / (F.lit(k1) + F.col("x"))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return topk(scored, k)

@@ -68,3 +68,44 @@ def test_prune_index_preserves_scores_of_survivors(spark, index):
     # the df band really is two-sided
     dfs = [r["df"] for r in tight.term_stats.select("df").collect()]
     assert all(2 <= d <= 0.9 * n for d in dfs)
+
+
+def test_lm_dirichlet_more_tf_scores_higher(spark):
+    from search_engine_spark.operators.query import score_lm_dirichlet
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog"), (1, "cat cat dog"), (2, "fish fish")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame([(0, "cat")], "query_id int, term string")
+    out = {r["doc_id"]: r["score"] for r in
+           score_lm_dirichlet(idx, qt, mu=10.0, k=10, terms=["cat"]).collect()}
+    # only matching docs are candidates; more occurrences at equal-ish
+    # length wins despite doc 1 being longer
+    assert set(out) == {0, 1}
+    assert out[1] > out[0]
+
+
+def test_bm25f_anchor_only_match_is_retrievable(spark):
+    from search_engine_spark.operators.query import score_bm25f
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog bird"), (1, "fish fish fish"), (2, "cat cat bird")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    # doc 1 never says "cat" but is LINKED as "cat" — anchor-only match
+    anchors = spark.createDataFrame(
+        [(1, "cat", 3), (2, "cat", 1)],
+        "doc_id long, term string, tf_anchor long",
+    )
+    qt = spark.createDataFrame([(0, "cat")], "query_id int, term string")
+    out = {r["doc_id"]: r["score"] for r in
+           score_bm25f(idx, anchors, qt, k=10, terms=["cat"]).collect()}
+    assert 1 in out                      # retrieved purely via anchors
+    assert set(out) == {0, 1, 2}
+    # heavier anchor weight lifts the anchor-only doc
+    hi = {r["doc_id"]: r["score"] for r in
+          score_bm25f(idx, anchors, qt, k=10, terms=["cat"], w_anchor=10.0).collect()}
+    assert hi[1] > out[1]
