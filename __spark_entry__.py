@@ -319,6 +319,39 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE training is deterministic, so the (merge_table, final_symbols)
+# pair is computed once per sf_dir and shared by both entries
+_BPE_MERGES = 8
+_BPE_CACHE: dict[str, tuple] = {}
+
+
+def _bpe(spark: SparkSession, sf_dir: str):
+    from search_engine_spark.operators import bpe
+
+    if sf_dir not in _BPE_CACHE:
+        _BPE_CACHE[sf_dir] = bpe.bpe_train(
+            _documents(spark, sf_dir), merges=_BPE_MERGES
+        )
+    return _BPE_CACHE[sf_dir]
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table, _ = _bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(table)],
+        "rank int, lhs string, rhs string, pair_count long",
+    )
+
+
+def _bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import bpe
+
+    _, final = _bpe(spark, sf_dir)
+    return bpe.bpe_segment(final).select(
+        "term", F.col("cnt").cast("long").alias("cnt"), "segmented"
+    )
+
+
 def _lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import score_lm_dirichlet
@@ -555,6 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pagerank_topk": q(_bm25_pagerank),
         "lm_dirichlet_topk": q(_lm_dirichlet),
         "bm25f_topk": q(_bm25f),
+        # tokenizer training (Sennrich et al. 2016 BPE over the word table)
+        "bpe_merges": q(_bpe_merges),
+        "bpe_segments": q(_bpe_segments),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
         # served through the MATERIALIZED index tables (build-once +
@@ -1118,6 +1154,60 @@ exploded AS (SELECT e.dst AS doc_id, unnest(a.anchor) AS term
              FROM edges e JOIN anch a ON a.src = e.src)
 SELECT doc_id, term, count(*) AS tf_anchor
 FROM exploded GROUP BY doc_id, term"""
+
+
+def _bpe_ctes(merges: int) -> str:
+    """CTE chain replaying operators/bpe.bpe_train: char symbols over
+    the weighted unique-word table, then `merges` unrolled rounds of
+    (lead-window pair counts → argmax → gaps-and-islands greedy
+    replacement). ch{r} CTEs are the merge table; s{merges} the final
+    segmentation. Empty rounds are no-ops on both sides."""
+    sql = f"""{_TOKENS},
+wd AS (SELECT term, count(*) AS cnt FROM tokens WHERE term <> '' GROUP BY term),
+s0 AS MATERIALIZED (SELECT term, cnt,
+      CAST(g.i AS BIGINT) AS pos, substr(term, CAST(g.i AS INT), 1) AS sym
+      FROM wd, LATERAL (SELECT unnest(generate_series(1, length(term))) AS i) g)"""
+    for r in range(merges):
+        sql += f""",
+p{r} AS MATERIALIZED (SELECT term, cnt, pos, sym,
+      lead(sym) OVER (PARTITION BY term ORDER BY pos) AS nxt FROM s{r}),
+ch{r} AS MATERIALIZED (SELECT sym AS a, nxt AS b, sum(cnt) AS c
+      FROM p{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+      ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+mt{r} AS MATERIALIZED (SELECT p.term, p.pos,
+      row_number() OVER (PARTITION BY p.term ORDER BY p.pos) AS rn
+      FROM p{r} p JOIN ch{r} ch ON p.sym = ch.a AND p.nxt = ch.b),
+mk{r} AS MATERIALIZED (SELECT term, pos FROM (
+      SELECT term, pos,
+             row_number() OVER (PARTITION BY term, pos - rn ORDER BY pos) AS k
+      FROM mt{r}) WHERE k % 2 = 1),
+s{r + 1} AS MATERIALIZED (SELECT term, cnt,
+      row_number() OVER (PARTITION BY term ORDER BY pos) AS pos,
+      CASE WHEN m_pos IS NOT NULL
+           THEN sym || (SELECT b FROM ch{r}) ELSE sym END AS sym
+      FROM (SELECT s.term, s.cnt, s.pos, s.sym, m.pos AS m_pos, pm.pos AS pm_pos
+            FROM s{r} s
+            LEFT JOIN mk{r} m ON m.term = s.term AND m.pos = s.pos
+            LEFT JOIN mk{r} pm ON pm.term = s.term AND pm.pos = s.pos - 1)
+      WHERE pm_pos IS NULL)"""
+    return sql
+
+
+def _bpe_merges_sql(merges: int) -> str:
+    ctes = _bpe_ctes(merges)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_count FROM ch{r}"
+        for r in range(merges)
+    )
+    return f"WITH {ctes}\n{union}"
+
+
+def _bpe_segments_sql(merges: int) -> str:
+    ctes = _bpe_ctes(merges)
+    return f"""WITH {ctes}
+SELECT term, CAST(cnt AS BIGINT) AS cnt,
+       string_agg(sym, ' ' ORDER BY pos) AS segmented
+FROM s{merges} GROUP BY term, cnt"""
 
 
 def _lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
@@ -1734,6 +1824,8 @@ LIMIT 50""",
         "bm25_pagerank_topk": _bm25_pagerank_sql(_PR_ITERS),
         "lm_dirichlet_topk": _lm_dirichlet_sql(),
         "bm25f_topk": _bm25f_sql(),
+        "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
+        "bpe_segments": _bpe_segments_sql(_BPE_MERGES),
         "media_meta": "SELECT doc_id, "
         "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "
