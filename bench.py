@@ -362,6 +362,21 @@ def main() -> None:
         )
         n_fetched = fetch_log(spark, f"{tmp}/crawl").count()
 
+        # ranking-function breadth: LM-Dirichlet on the same serving
+        # index, BPE merge training over the docs word table
+        timed(
+            "lm_dirichlet_search",
+            lambda: search(
+                idx, spark, SEARCH_QUERIES, k=10, scorer="lm_dirichlet"
+            ).collect(),
+        )
+        from search_engine_spark.operators import bpe
+
+        timed(
+            "bpe_train_8merges",
+            lambda: bpe.bpe_train(documents, merges=8)[0],
+        )
+
         # link-graph ranking (round 3): 10 power-iteration rounds over
         # the synthetic doc_id graph — per-round cost is the (edges ⋈
         # ranks → groupBy dst) shuffle pair, the number that scales to

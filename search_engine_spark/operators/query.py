@@ -159,6 +159,8 @@ def search(
         return score_bm25(index, qt, k, terms=terms)
     if scorer == "tfidf_compat":
         return score_tfidf_compat(index, qt, k, terms=terms)
+    if scorer == "lm_dirichlet":
+        return score_lm_dirichlet(index, qt, k=k, terms=terms)
     raise ValueError(scorer)
 
 
