@@ -368,6 +368,33 @@ def _bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FACET_COL = "source"
+_PREFIX = "s"
+
+
+def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import facet_counts
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir)
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return facet_counts(index, qt, docs, _FACET_COL, terms=QUERY_TERMS)
+
+
+def _prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import prefix_terms
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return prefix_terms(index, _PREFIX)
+
+
 def _lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import score_lm_dirichlet
@@ -607,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer training (Sennrich et al. 2016 BPE over the word table)
         "bpe_merges": q(_bpe_merges),
         "bpe_segments": q(_bpe_segments),
+        # search-frontend primitives: facets + wildcard dictionary range
+        "facet_counts": q(_facet_counts),
+        "prefix_terms": q(_prefix_terms),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
         # served through the MATERIALIZED index tables (build-once +
@@ -1842,6 +1872,16 @@ LIMIT 50""",
         "bm25f_topk": _bm25f_sql(),
         "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
         "bpe_segments": _bpe_segments_sql(_BPE_MERGES),
+        "facet_counts": f"""
+WITH {_TOKENS}, {_TF},
+hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS})
+SELECT 0 AS query_id, d.{_FACET_COL} AS facet, count(*) AS n_docs
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY d.{_FACET_COL}""",
+        "prefix_terms": f"""
+WITH {_TOKENS}, {_TF}
+SELECT term, count(*) AS df FROM tf
+WHERE term LIKE '{_PREFIX}%' GROUP BY term""",
         "media_meta": "SELECT doc_id, "
         "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "

@@ -405,3 +405,45 @@ def score_bm25f(
         )
     )
     return topk(scored, k)
+
+
+def facet_counts(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    dims: DataFrame,
+    facet: str,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(query_id, facet value, n_docs): result facets — how a query's
+    matching documents distribute over a dimension column (lang,
+    source, domain…), the counts a search frontend renders next to the
+    hit list.
+
+    Plan: the isin-pruned broadcast-join match (no postings shuffle)
+    → distinct (query, doc) → equi-join the dimension projection on
+    doc_id → one hash agg. The dims relation is projected to
+    (doc_id, facet) BEFORE the join so the shuffled payload is two
+    columns regardless of the table's width.
+    """
+    m = _matched(index, query_terms, terms)
+    hits = m.select("query_id", "doc_id").distinct()
+    dim = dims.select("doc_id", F.col(facet).alias("facet"))
+    return (
+        hits.join(dim, "doc_id")
+        .groupBy("query_id", "facet")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def prefix_terms(index: InvertedIndex, prefix: str) -> DataFrame:
+    """(term, df): the dictionary range matching a prefix — the
+    wildcard-query primitive (`spar*`). With the index laid out sorted
+    by term, `startswith` compiles to a StringStartsWith pushed filter
+    and parquet row-group stats skip everything outside the range —
+    the Spark analog of a B-tree range scan on the term dictionary
+    (plan-asserted in tests/test_plans.py).
+    """
+    return (
+        index.term_stats.filter(F.col("term").startswith(prefix))
+        .select("term", F.col("df").cast("long").alias("df"))
+    )

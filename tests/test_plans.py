@@ -254,3 +254,17 @@ def test_did_you_mean_vocab_is_not_shuffled_before_distance(spark, stored_index)
 
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 1, plan[:2000]
+
+
+def test_prefix_terms_pushes_startswith_to_scan(spark, stored_index):
+    """The wildcard primitive must be a dictionary RANGE scan: the
+    startswith predicate reaches the parquet reader as a pushed
+    StringStartsWith so row-group stats skip the rest of the sorted
+    term dictionary."""
+    from search_engine_spark.operators.query import prefix_terms
+
+    _, idx = stored_index
+    plan = _plan(prefix_terms(idx, "sp"))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "StringStartsWith" in pushed, pushed
