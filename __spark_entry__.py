@@ -372,6 +372,21 @@ _FACET_COL = "source"
 _PREFIX = "s"
 
 
+def _bm25_prox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.phrase import proximity_bm25
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return proximity_bm25(
+        index, docs, qt, ws_tokens, k=10, terms=QUERY_TERMS
+    )
+
+
 def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import facet_counts
@@ -637,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search-frontend primitives: facets + wildcard dictionary range
         "facet_counts": q(_facet_counts),
         "prefix_terms": q(_prefix_terms),
+        "bm25_prox_topk": q(_bm25_prox),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
         # served through the MATERIALIZED index tables (build-once +
@@ -1327,6 +1343,37 @@ FROM xx JOIN idf USING (term)
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def _bm25_prox_sql(k: int = 10, lam: float = 1.0) -> str:
+    """phrase.proximity_bm25: the _BM25_SQL per-doc aggregate plus the
+    λ/(1+mindist) pair boost over post-filter token positions."""
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+tdf AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+bm AS (SELECT doc_id, sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - tdf.df + 0.5) / (tdf.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ) AS bm
+  FROM matched m JOIN tdf USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id),
+s AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM s),
+posr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[CAST(i AS INT)] AS term
+         FROM idx WHERE l[CAST(i AS INT)] IN {_IN_TERMS}),
+pd AS (SELECT a.doc_id, a.term AS ta, b.term AS tb,
+       min(abs(a.pos - b.pos)) AS d
+       FROM posr a JOIN posr b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY a.doc_id, a.term, b.term),
+prox AS (SELECT doc_id, sum(1.0e0 / (1.0e0 + d)) AS prox FROM pd GROUP BY doc_id)
+SELECT 0 AS query_id, bm.doc_id,
+       round(bm.bm + {lam}e0 * coalesce(p.prox, 0e0), 6) AS score
+FROM bm LEFT JOIN prox p USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def _bm25_pagerank_sql(iters: int) -> str:
     """graph.fused_bm25_pagerank: the _BM25_SQL per-doc aggregate scaled
     by (1 + n·pr) before the top-k order/limit."""
@@ -1882,6 +1929,7 @@ GROUP BY d.{_FACET_COL}""",
 WITH {_TOKENS}, {_TF}
 SELECT term, count(*) AS df FROM tf
 WHERE term LIKE '{_PREFIX}%' GROUP BY term""",
+        "bm25_prox_topk": _bm25_prox_sql(),
         "media_meta": "SELECT doc_id, "
         "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "

@@ -100,3 +100,62 @@ def conjunctive_filter(
         else n_terms_required
     )
     return scored_with_counts.filter(F.col("n_matched") == need)
+
+
+def proximity_bm25(
+    index,
+    docs: DataFrame,
+    query_terms: DataFrame,
+    tokenizer,
+    k: int = 10,
+    terms: list[str] | None = None,
+    lam: float = 1.0,
+) -> DataFrame:
+    """BM25 + term-proximity boost (Rasolofo & Savoy 2003 family):
+
+        score(q,d) = BM25(q,d) + λ·Σ_{a<b ∈ q} 1/(1 + mindist_d(a,b))
+
+    where mindist is the smallest absolute token-position gap between
+    any occurrence of the two query terms in d. Documents where the
+    pair never co-occurs contribute nothing — adjacent query terms
+    ("new york") outrank scattered ones at equal BM25.
+
+    Plan: the positional rows are isin-pruned to the query terms at the
+    scan (a few rows per matching doc), the pair-distance self-join is
+    on doc_id over that TINY relation, and the boost left-joins the
+    standard broadcast-join BM25 aggregate before the top-k window —
+    the postings relation itself is never shuffled or re-scanned.
+    """
+    from search_engine_spark.operators.query import _matched, topk
+
+    posr = docs.select(
+        "doc_id", F.posexplode(tokenizer(F.col("text"))).alias("pos", "term")
+    )
+    if terms:
+        posr = posr.filter(F.col("term").isin(terms))
+    a = posr.select("doc_id", F.col("term").alias("ta"), F.col("pos").alias("pa"))
+    b = posr.select("doc_id", F.col("term").alias("tb"), F.col("pos").alias("pb"))
+    prox = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("doc_id", "ta", "tb")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).alias("d"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.lit(1.0) / (F.lit(1.0) + F.col("d"))).alias("prox"))
+    )
+    m = _matched(index, query_terms, terms)
+    scored = (
+        m.groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("bm25_idf") * F.col("tf_norm")).alias("bm"))
+        .join(prox, "doc_id", "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("bm")
+                + F.lit(lam) * F.coalesce(F.col("prox"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    return topk(scored, k)

@@ -82,3 +82,29 @@ def test_and_mode_engine(spark, docs):
     # query 1 (red AND fish): docs 1,2,3,4,5 all have both
     assert {d for q, d in and_hits if q == 1} == {1, 2, 3, 4, 5}
     assert and_hits <= or_hits
+
+
+def test_proximity_boost_prefers_adjacent_terms(spark):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.phrase import proximity_bm25
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    # identical tf/dl for both docs → identical BM25; only proximity
+    # separates them ("new york" adjacent vs separated by "pad")
+    docs = spark.createDataFrame(
+        [(0, "new york pad pad x"), (1, "new pad york pad x")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, "new"), (0, "york")], "query_id int, term string"
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in proximity_bm25(
+            idx, docs, qt, ws_tokens, k=10, terms=["new", "york"]
+        ).collect()
+    }
+    assert out[0] > out[1]
+    # boost magnitude: d=1 adds 1/2, d=2 adds 1/3 at lam=1
+    assert abs((out[0] - out[1]) - (1 / 2 - 1 / 3)) < 1e-6
