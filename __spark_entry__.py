@@ -410,6 +410,29 @@ def _prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_terms(index, _PREFIX)
 
 
+def _block_bm25_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + n·PageRank through the static-prior block index (f64
+    blocks so the result is value-identical to the additive row-path
+    fusion the SQL oracle computes)."""
+    from search_engine_spark.operators.blocks import block_search, build_block_index
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs, _, n = _graph(spark, sf_dir)
+    pr = _pagerank_ranks(spark, sf_dir)
+    prior = pr.select(
+        "doc_id", (F.lit(float(n)) * F.col("pr")).alias("prior")
+    )
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    blocks = build_block_index(
+        index, num_buckets=8, score_dtype="float64", prior=prior
+    )
+    top = block_search(blocks, spark, [" ".join(QUERY_TERMS)], k=10)
+    return top.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 def _lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import score_lm_dirichlet
@@ -653,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q(_facet_counts),
         "prefix_terms": q(_prefix_terms),
         "bm25_prox_topk": q(_bm25_prox),
+        "block_bm25_prior": q(_block_bm25_prior),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
         # served through the MATERIALIZED index tables (build-once +
@@ -1930,6 +1954,12 @@ WITH {_TOKENS}, {_TF}
 SELECT term, count(*) AS df FROM tf
 WHERE term LIKE '{_PREFIX}%' GROUP BY term""",
         "bm25_prox_topk": _bm25_prox_sql(),
+        # the additive fusion BM25 + n·pr — same CTE parts as
+        # bm25_pagerank_topk's multiplicative variant
+        "block_bm25_prior": _bm25_pagerank_sql(_PR_ITERS).replace(
+            "round(b.bm * (1.0e0 + nn.n * r.pr), 6)",
+            "round(b.bm + nn.n * r.pr, 6)",
+        ),
         "media_meta": "SELECT doc_id, "
         "CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "

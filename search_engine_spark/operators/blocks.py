@@ -54,7 +54,7 @@ from search_engine_spark.operators.index_build import InvertedIndex
 BLOCKS_SCHEMA = (
     "bucket int, term string, block_id int, n int, min_doc long, "
     "max_doc long, max_score double, doc_bytes binary, tf_bytes binary, "
-    "score_bytes binary, score_width int"
+    "score_bytes binary, score_width int, pr_bytes binary"
 )
 
 
@@ -64,6 +64,7 @@ def build_block_index(
     block_size: int = BLOCK_SIZE,
     term_groups: int = 16,
     score_dtype: str = "float32",
+    prior: DataFrame | None = None,
 ) -> DataFrame:
     """postings (+bm25_idf) → doc-bucketed compressed blocks.
 
@@ -76,6 +77,14 @@ def build_block_index(
     executor memory bounded by |postings|/(buckets·term_groups) — both
     knobs scale out for a 10^12-doc corpus. Per-term work happens in a
     vectorized pandas groupby inside the group.
+
+    `prior` (doc_id, prior double) bakes a query-independent static
+    score — PageRank, quality, freshness — into the layout: each
+    block stores its docs' prior values (f64, aligned with the doc-id
+    order), and block_search's upper bounds and exact scores add
+    prior_weight·prior_d, so the TA pruning stays EXACT for the fused
+    ranking score = BM25 + w·prior (property-tested equal to the row
+    path). Docs absent from `prior` get 0.
     """
     spark = index.postings.sparkSession
     nb = num_buckets or spark.sparkContext.defaultParallelism * 2
@@ -98,6 +107,11 @@ def build_block_index(
         .withColumn("tg", F.pmod(F.xxhash64("term"), F.lit(term_groups)).cast("int"))
         .select("bucket", "tg", "term", "doc_id", "tf", "score")
     )
+    has_prior = prior is not None
+    if has_prior:
+        scored = scored.join(
+            prior.select("doc_id", F.col("prior").cast("double")), "doc_id", "left"
+        ).withColumn("prior", F.coalesce(F.col("prior"), F.lit(0.0)))
 
     def make_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
@@ -106,6 +120,7 @@ def build_block_index(
             docs = g["doc_id"].to_numpy(np.int64)
             tfs = g["tf"].to_numpy(np.int64)
             scores = g["score"].to_numpy(np_dtype)
+            priors = g["prior"].to_numpy(np.float64) if has_prior else None
             for bid, s in enumerate(range(0, len(docs), block_size)):
                 d, t, sc = (
                     docs[s : s + block_size],
@@ -113,11 +128,14 @@ def build_block_index(
                     scores[s : s + block_size],
                 )
                 doc_bytes, tf_bytes = encode_block(d, t)
+                pr_bytes = (
+                    priors[s : s + block_size].tobytes() if has_prior else None
+                )
                 out.append(
                     (
                         bucket, term, bid, len(d), int(d[0]), int(d[-1]),
                         float(sc.max()), doc_bytes, tf_bytes, sc.tobytes(),
-                        width,
+                        width, pr_bytes,
                     )
                 )
         return pd.DataFrame(
@@ -125,7 +143,7 @@ def build_block_index(
             columns=[
                 "bucket", "term", "block_id", "n", "min_doc", "max_doc",
                 "max_score", "doc_bytes", "tf_bytes", "score_bytes",
-                "score_width",
+                "score_width", "pr_bytes",
             ],
         )
 
@@ -161,9 +179,19 @@ def _decode_docs_bytes(b: bytes) -> np.ndarray:
 
 
 def _bucket_topk(
-    pdf: pd.DataFrame, query_terms: dict[int, list[str]], k: int, prune: bool
+    pdf: pd.DataFrame,
+    query_terms: dict[int, list[str]],
+    k: int,
+    prune: bool,
+    prior_weight: float = 1.0,
 ) -> pd.DataFrame:
-    """Exact local top-k for every query over one bucket's blocks."""
+    """Exact local top-k for every query over one bucket's blocks.
+
+    If the blocks carry pr_bytes (static prior, see build_block_index),
+    every doc's upper bound AND exact score include
+    prior_weight·prior_d — the bound stays exact because the prior is
+    decoded alongside the doc ids in phase 1 (an np.frombuffer, no
+    varbyte work), so pruning never sees an underestimate."""
     out_q, out_d, out_s = [], [], []
     by_term: dict[str, list] = {}
     for row in pdf.itertuples(index=False):
@@ -194,6 +222,10 @@ def _bucket_topk(
             ).astype(np.float64)
         return s
 
+    def priors_of(r):
+        b = getattr(r, "pr_bytes", None)
+        return None if b is None else np.frombuffer(bytes(b), dtype=np.float64)
+
     for qid, terms in query_terms.items():
         rows = [r for t in terms for r in by_term.get(t, [])]
         if not rows:
@@ -208,9 +240,26 @@ def _bucket_topk(
         ub = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(ub, inv, ubs)
 
+        # static prior: every block repeats its docs' prior values, so a
+        # plain scatter-assign (not add) yields one prior per unique doc
+        pri = None
+        pr_arrays = [priors_of(r) for r in rows]
+        if any(p is not None for p in pr_arrays):
+            pri = np.zeros(len(uniq), dtype=np.float64)
+            pri[inv] = np.concatenate(
+                [
+                    p if p is not None else np.zeros(len(d), dtype=np.float64)
+                    for p, d in zip(pr_arrays, doc_arrays)
+                ]
+            )
+            ub += prior_weight * pri
+
         def exact_scores(doc_sel: np.ndarray) -> np.ndarray:
             """complete scores for the selected doc ids (sorted array)."""
-            total = np.zeros(len(doc_sel), dtype=np.float64)
+            if pri is not None:
+                total = prior_weight * pri[np.searchsorted(uniq, doc_sel)]
+            else:
+                total = np.zeros(len(doc_sel), dtype=np.float64)
             for r, darr in zip(rows, doc_arrays):
                 # find which selected docs are in this block
                 pos = np.searchsorted(darr, doc_sel)
@@ -266,6 +315,7 @@ def block_search(
     queries: dict[int, str] | list[str],
     k: int = 10,
     prune: bool = True,
+    prior_weight: float = 1.0,
 ) -> DataFrame:
     """Exact BM25 top-k from the block index.
 
@@ -288,7 +338,7 @@ def block_search(
     cand = blocks.filter(F.col("term").isin(all_terms))
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_topk(pdf, qterms, k, prune)
+        return _bucket_topk(pdf, qterms, k, prune, prior_weight)
 
     local = cand.groupBy("bucket").applyInPandas(
         per_bucket, "query_id int, doc_id long, score double"

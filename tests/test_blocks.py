@@ -97,3 +97,57 @@ def test_block_search_dedups_duplicate_query_terms(spark, built):
     assert [(r["doc_id"], r["score"]) for r in doubled] == [
         (r["doc_id"], r["score"]) for r in single
     ]
+
+
+def test_prior_blocks_equal_row_path_fused(spark):
+    """Static-prior block search must equal the row-path additive fusion
+    BM25 + w·prior exactly — including under TA pruning (the bound adds
+    the exact prior, so pruning can never flip the fused order)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.blocks import block_search, build_block_index
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import _matched, topk
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index = build_index(docs, tokenizer=ws_tokens)
+    prior = docs.select(
+        "doc_id", ((F.col("doc_id") % 7).cast("double") / 7.0).alias("prior")
+    )
+    blocks = build_block_index(
+        index, num_buckets=4, score_dtype="float64", prior=prior
+    ).persist()
+
+    terms = ["spark", "merge", "batch"]
+    qt = spark.createDataFrame(
+        [(0, t) for t in terms], "query_id int, term string"
+    )
+    w = 0.5
+    m = _matched(index, qt, terms)
+    row_scored = (
+        m.groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("bm25_idf") * F.col("tf_norm")).alias("bm"))
+        .join(prior, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("bm") + F.lit(w) * F.col("prior")).alias("score"),
+        )
+    )
+    expect = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in topk(row_scored, 10).collect()
+    ]
+    for prune in (False, True):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in block_search(
+                blocks, spark, [" ".join(terms)], k=10, prune=prune,
+                prior_weight=w,
+            ).collect()
+        ]
+        assert got == expect, (prune, got[:3], expect[:3])
+    blocks.unpersist()
