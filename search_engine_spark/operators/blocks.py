@@ -240,18 +240,21 @@ def _bucket_topk(
         ub = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(ub, inv, ubs)
 
-        # static prior: every block repeats its docs' prior values, so a
-        # plain scatter-assign (not add) yields one prior per unique doc
+        # static prior: every prior-carrying block repeats its docs'
+        # prior values, so a scatter-assign (not add) yields one prior
+        # per unique doc. Scatter ONLY from blocks that carry pr_bytes —
+        # in a mixed relation (e.g. prior-less segments appended to a
+        # prior index) a zero-filled stand-in could otherwise overwrite
+        # a doc's real prior depending on block order.
         pri = None
         pr_arrays = [priors_of(r) for r in rows]
         if any(p is not None for p in pr_arrays):
             pri = np.zeros(len(uniq), dtype=np.float64)
-            pri[inv] = np.concatenate(
-                [
-                    p if p is not None else np.zeros(len(d), dtype=np.float64)
-                    for p, d in zip(pr_arrays, doc_arrays)
-                ]
-            )
+            offset = 0
+            for p, d in zip(pr_arrays, doc_arrays):
+                if p is not None:
+                    pri[inv[offset : offset + len(d)]] = p
+                offset += len(d)
             ub += prior_weight * pri
 
         def exact_scores(doc_sel: np.ndarray) -> np.ndarray:

@@ -108,7 +108,10 @@ def pagerank(
     the per-round persist materialization.
     """
     nodes = nodes.select("doc_id")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    # deg is persisted in its own right: the per-round dangling-mass
+    # anti-join reads it directly, and without the persist every round
+    # would re-aggregate the raw edge relation
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out")).persist()
     # edges+deg resolved once, pre-partitioned by src for the per-round join
     e = (
         edges.join(deg, "src")
@@ -157,6 +160,7 @@ def pagerank(
         new_ck = new.localCheckpoint(eager=True)
         ranks = new_ck
     e.unpersist()
+    deg.unpersist()
     return ranks
 
 
@@ -178,7 +182,9 @@ def hits(
     the plan would double per half-step.
     """
     nodes = nodes.select("doc_id")
-    e = edges.persist()
+    # persist a DERIVED relation, never the caller's DataFrame: calling
+    # unpersist on `edges` itself would evict a cache the caller owns
+    e = edges.select("src", "dst").persist()
     hub = nodes.select("doc_id", F.lit(1.0).alias("v"))
 
     def _half(vec: DataFrame, src_key: str, dst_key: str) -> DataFrame:
@@ -307,12 +313,19 @@ def fused_bm25_pagerank(
     scored = m.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("bm25_idf") * F.col("tf_norm")).alias("bm")
     )
-    fused = scored.join(ranks, "doc_id").select(
+    # LEFT join: a matched doc missing from the ranks relation (pruned
+    # rank table, partial link graph) scores at bare BM25 (pr→0) — the
+    # "never zeroes a match" contract
+    fused = scored.join(ranks, "doc_id", "left").select(
         "query_id",
         "doc_id",
-        (F.col("bm") * (F.lit(1.0) + F.lit(float(n)) * F.col("pr"))).alias(
-            "score"
-        ),
+        (
+            F.col("bm")
+            * (
+                F.lit(1.0)
+                + F.lit(float(n)) * F.coalesce(F.col("pr"), F.lit(0.0))
+            )
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

@@ -133,21 +133,30 @@ def proximity_bm25(
     )
     if terms:
         posr = posr.filter(F.col("term").isin(terms))
-    a = posr.select("doc_id", F.col("term").alias("ta"), F.col("pos").alias("pa"))
-    b = posr.select("doc_id", F.col("term").alias("tb"), F.col("pos").alias("pb"))
+    # attach query_id BEFORE pairing: the boost is over pairs a<b of the
+    # SAME query's terms — an unkeyed pair join would leak one query's
+    # adjacency into another's score in a batch (and with terms=None
+    # would pair every term in the document)
+    posr = posr.join(F.broadcast(query_terms), "term")
+    a = posr.select(
+        "query_id", "doc_id", F.col("term").alias("ta"), F.col("pos").alias("pa")
+    )
+    b = posr.select(
+        "query_id", "doc_id", F.col("term").alias("tb"), F.col("pos").alias("pb")
+    )
     prox = (
-        a.join(b, "doc_id")
+        a.join(b, ["query_id", "doc_id"])
         .filter(F.col("ta") < F.col("tb"))
-        .groupBy("doc_id", "ta", "tb")
+        .groupBy("query_id", "doc_id", "ta", "tb")
         .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).alias("d"))
-        .groupBy("doc_id")
+        .groupBy("query_id", "doc_id")
         .agg(F.sum(F.lit(1.0) / (F.lit(1.0) + F.col("d"))).alias("prox"))
     )
     m = _matched(index, query_terms, terms)
     scored = (
         m.groupBy("query_id", "doc_id")
         .agg(F.sum(F.col("bm25_idf") * F.col("tf_norm")).alias("bm"))
-        .join(prox, "doc_id", "left")
+        .join(prox, ["query_id", "doc_id"], "left")
         .select(
             "query_id",
             "doc_id",

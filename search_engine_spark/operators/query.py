@@ -274,8 +274,18 @@ def score_lm_dirichlet(
     spark = index.postings.sparkSession
     total_tokens = index.doc_stats.agg(F.sum("dl")).first()[0]
     m = _matched(index, query_terms, terms)
+    # p(t|C) is a CORPUS constant — compute it from the (isin-pruned)
+    # postings themselves, NOT from m: _matched has one row per
+    # (query, posting), so a term shared by multiple batch queries
+    # would double its collection frequency there
+    cf_src = index.postings
+    if terms:
+        cf_src = cf_src.filter(F.col("term").isin(terms))
+    cf_src = cf_src.join(
+        F.broadcast(query_terms.select("term").distinct()), "term", "left_semi"
+    )
     cf = (
-        m.select("term", "doc_id", "tf")
+        cf_src.select("term", "tf")
         .groupBy("term")
         .agg(F.sum("tf").alias("cf"))
         .withColumn("p_c", F.col("cf").cast("double") / F.lit(float(total_tokens)))
@@ -343,6 +353,10 @@ def score_bm25f(
         F.sum("tf_anchor").alias("alen")
     )
     avg_alen = anchor_len.agg(F.avg("alen")).first()[0]
+    if avg_alen is None:
+        # no anchors at all (edge-less graph): the anchor branch yields
+        # zero rows anyway — any non-zero divisor keeps the plan valid
+        avg_alen = 1.0
     qt = F.broadcast(query_terms)
 
     body = index.postings.select("term", "doc_id", "tf")

@@ -784,6 +784,35 @@ def pq_train(
     return books
 
 
+def _pq_best(s: int, book: list[list[float]]):
+    """struct(d2, code) of subspace s's nearest codebook entry — the ONE
+    place the PQ distance/rounding/tie rule lives (squared L2 rounded to
+    the 9dp grid, ties → smallest code); pq_assign and pq_encode both
+    build from it so codes can never diverge from the trained
+    trajectory."""
+    dsub = len(book[0])
+    sub = F.slice(col("embedding"), s * dsub + 1, dsub)
+    entries = []
+    for cid, vec in enumerate(book):
+        cv = F.array(*[lit(float(x)) for x in vec])
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    cv,
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+        entries.append(
+            F.struct(d2.alias("d2"), lit(cid).cast("long").alias("code"))
+        )
+    return F.array_min(F.array(*entries))
+
+
 def pq_assign(
     embeddings: DataFrame, codebooks: list[list[list[float]]]
 ) -> DataFrame:
@@ -792,30 +821,9 @@ def pq_assign(
     this is pure codegen column math over literal centroids — a narrow
     map inside the scan stage, m·ks d2 expressions per row, no shuffle.
     """
-    dsub = len(codebooks[0][0])
     subs = []
     for s, book in enumerate(codebooks):
-        sub = F.slice(col("embedding"), s * dsub + 1, dsub)
-        entries = []
-        for cid, vec in enumerate(book):
-            cv = F.array(*[lit(float(x)) for x in vec])
-            d2 = F.round(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        cv,
-                        lambda x, c: (x.cast("double") - c)
-                        * (x.cast("double") - c),
-                    ),
-                    lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                9,
-            )
-            entries.append(
-                F.struct(d2.alias("d2"), lit(cid).cast("long").alias("code"))
-            )
-        best = F.array_min(F.array(*entries))
+        best = _pq_best(s, book)
         subs.append(
             F.struct(
                 lit(s).cast("long").alias("s"),
@@ -840,30 +848,9 @@ def pq_encode(
     centroids, array-packed in place) — no explode, no shuffle: the
     encode job is a map over the scan, so writing the codes table
     costs a single pass over the vectors."""
-    dsub = len(codebooks[0][0])
-    packed = []
-    for s, book in enumerate(codebooks):
-        sub = F.slice(col("embedding"), s * dsub + 1, dsub)
-        entries = []
-        for cid, vec in enumerate(book):
-            cv = F.array(*[lit(float(x)) for x in vec])
-            d2 = F.round(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        cv,
-                        lambda x, c: (x.cast("double") - c)
-                        * (x.cast("double") - c),
-                    ),
-                    lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                9,
-            )
-            entries.append(
-                F.struct(d2.alias("d2"), lit(cid).cast("long").alias("code"))
-            )
-        packed.append(F.array_min(F.array(*entries))["code"])
+    packed = [
+        _pq_best(s, book)["code"] for s, book in enumerate(codebooks)
+    ]
     return embeddings.select("vec_id", F.array(*packed).alias("codes"))
 
 
@@ -873,6 +860,7 @@ def pq_adc_topk(
     query_vec_id: int = 0,
     k: int = 10,
     codes: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """(vec_id, adc): top-k nearest by Asymmetric Distance Computation —
     the query stays un-quantized; per subspace its squared L2 to every
@@ -885,8 +873,10 @@ def pq_adc_topk(
     set) without changing this scan shape.
     """
     dsub = len(codebooks[0][0])
-    qrow = embeddings.filter(col("vec_id") == query_vec_id).first()
-    q = [float(x) for x in qrow["embedding"]]
+    if query_vec is None:
+        qrow = embeddings.filter(col("vec_id") == query_vec_id).first()
+        query_vec = [float(x) for x in qrow["embedding"]]
+    q = query_vec
     if codes is None:
         # encode inline (itself a narrow map); a serving deployment
         # passes the materialized codes table instead and never touches
@@ -925,10 +915,12 @@ def pq_topk_rerank(
     in tests), and the returned order/distances are exact for whatever
     the shortlist contains.
     """
-    dsub = len(codebooks[0][0])
     qrow = embeddings.filter(col("vec_id") == query_vec_id).first()
     q = [float(x) for x in qrow["embedding"]]
-    short = pq_adc_topk(embeddings, codebooks, query_vec_id, k=candidates)
+    # the query row is fetched ONCE and threaded through to the ADC scan
+    short = pq_adc_topk(
+        embeddings, codebooks, query_vec_id, k=candidates, query_vec=q
+    )
     qcol = F.array(*[lit(v) for v in q])
     d2 = F.aggregate(
         F.zip_with(

@@ -108,3 +108,40 @@ def test_proximity_boost_prefers_adjacent_terms(spark):
     assert out[0] > out[1]
     # boost magnitude: d=1 adds 1/2, d=2 adds 1/3 at lam=1
     assert abs((out[0] - out[1]) - (1 / 2 - 1 / 3)) < 1e-6
+
+
+def test_proximity_boost_does_not_leak_across_queries(spark):
+    """A pair of query 1's terms must not boost query 0's score for the
+    same document (r3 review finding)."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.phrase import proximity_bm25
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    # doc 0: 'machine learning' adjacent + a stray 'new'
+    docs = spark.createDataFrame(
+        [(0, "machine learning new x y"), (1, "new q q q york")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    all_terms = ["new", "york", "machine", "learning"]
+    qt = spark.createDataFrame(
+        [(0, "new"), (0, "york"), (1, "machine"), (1, "learning")],
+        "query_id int, term string",
+    )
+    fused = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in proximity_bm25(
+            idx, docs, qt, ws_tokens, k=10, terms=all_terms
+        ).collect()
+    }
+    q0 = spark.createDataFrame(
+        [(0, "new"), (0, "york")], "query_id int, term string"
+    )
+    solo = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in proximity_bm25(
+            idx, docs, q0, ws_tokens, k=10, terms=["new", "york"]
+        ).collect()
+    }
+    # query 0's scores are identical whether or not query 1 shares the batch
+    assert {k: v for k, v in fused.items() if k[0] == 0} == solo

@@ -109,3 +109,33 @@ def test_bm25f_anchor_only_match_is_retrievable(spark):
     hi = {r["doc_id"]: r["score"] for r in
           score_bm25f(idx, anchors, qt, k=10, terms=["cat"], w_anchor=10.0).collect()}
     assert hi[1] > out[1]
+
+
+def test_lm_dirichlet_batch_equals_single_query(spark):
+    """p(t|C) is a corpus constant: a term shared by two batch queries
+    must not double its collection frequency (r3 review finding)."""
+    from search_engine_spark.operators.query import score_lm_dirichlet
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog"), (1, "cat cat dog"), (2, "dog fish")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    single = spark.createDataFrame([(0, "cat")], "query_id int, term string")
+    batch = spark.createDataFrame(
+        [(0, "cat"), (1, "cat"), (1, "fish")], "query_id int, term string"
+    )
+    alone = {
+        r["doc_id"]: r["score"]
+        for r in score_lm_dirichlet(
+            idx, single, mu=10.0, k=10, terms=["cat"]
+        ).collect()
+    }
+    in_batch = {
+        r["doc_id"]: r["score"]
+        for r in score_lm_dirichlet(
+            idx, batch, mu=10.0, k=10, terms=["cat", "fish"]
+        ).collect()
+        if r["query_id"] == 0
+    }
+    assert alone == in_batch
