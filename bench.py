@@ -386,15 +386,45 @@ def main() -> None:
         n_docs = documents.count()
         g_edges = lg.synthetic_links(documents, n_docs).persist()
         g_edges.count()
-        timed(
+        # pagerank materializes internally (per-round localCheckpoint),
+        # so the returned ranks are reusable by the prior-block row below
+        pr_ranks = timed(
             "pagerank_10it",
-            lambda: lg.pagerank(documents, g_edges, n_docs, iters=10).count(),
+            lambda: lg.pagerank(documents, g_edges, n_docs, iters=10),
         )
         timed(
             "anchor_tf",
             lambda: lg.anchor_postings(documents, g_edges).count(),
         )
         g_edges.unpersist()
+
+        # static-prior block serving: build once with the PageRank prior
+        # baked in, then the fused BM25 + n·pr search through the exact
+        # TA-pruned path
+        from search_engine_spark.operators.blocks import (
+            block_search as bsearch,
+            build_block_index as bbuild,
+        )
+
+        prior = pr_ranks.select(
+            "doc_id", (F.lit(float(n_docs)) * F.col("pr")).alias("prior")
+        )
+        doc_index = build_index(
+            documents.select("doc_id", "text"), tokenizer=ta.ws_tokens
+        )
+        def _prior_build():
+            b = bbuild(doc_index, num_buckets=CPUS, prior=prior).persist()
+            b.count()  # materialize INSIDE the timed window
+            return b
+
+        pblocks = timed("block_prior_build", _prior_build)
+        timed(
+            "block_prior_search",
+            lambda: bsearch(
+                pblocks, spark, ["spark merge batch"], k=10
+            ).collect(),
+        )
+        pblocks.unpersist()
 
     # the headline `value` sums the SAME nine components every round
     # (the r1/r2 set) so BENCH_rN.json diffs like-for-like; breadth rows
