@@ -368,6 +368,13 @@ def _bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import bpe
+
+    _, final = _bpe(spark, sf_dir)
+    return bpe.bpe_token_counts(_documents(spark, sf_dir), final)
+
+
 _FACET_COL = "source"
 _PREFIX = "s"
 
@@ -672,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer training (Sennrich et al. 2016 BPE over the word table)
         "bpe_merges": q(_bpe_merges),
         "bpe_segments": q(_bpe_segments),
+        "bpe_token_counts": q(_bpe_token_counts),
         # search-frontend primitives: facets + wildcard dictionary range
         "facet_counts": q(_facet_counts),
         "prefix_terms": q(_prefix_terms),
@@ -1294,6 +1302,16 @@ def _bpe_segments_sql(merges: int) -> str:
 SELECT term, CAST(cnt AS BIGINT) AS cnt,
        string_agg(sym, ' ' ORDER BY pos) AS segmented
 FROM s{merges} GROUP BY term, cnt"""
+
+
+def _bpe_token_counts_sql(merges: int) -> str:
+    ctes = _bpe_ctes(merges)
+    return f"""WITH {ctes},
+pieces AS (SELECT term, count(*) AS n_pieces FROM s{merges} GROUP BY term)
+SELECT t.doc_id, CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe_tokens
+FROM tokens t JOIN pieces p USING (term)
+WHERE t.term <> ''
+GROUP BY t.doc_id"""
 
 
 def _lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
@@ -1943,6 +1961,7 @@ LIMIT 50""",
         "bm25f_topk": _bm25f_sql(),
         "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
         "bpe_segments": _bpe_segments_sql(_BPE_MERGES),
+        "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),
         "facet_counts": f"""
 WITH {_TOKENS}, {_TF},
 hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS})

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.operators.text_analytics import ws_tokens
 
-__all__ = ["word_symbols", "bpe_train", "bpe_segment"]
+__all__ = ["word_symbols", "bpe_train", "bpe_segment", "bpe_token_counts"]
 
 
 def word_symbols(documents: DataFrame, tokenizer=ws_tokens) -> DataFrame:
@@ -129,4 +129,30 @@ def bpe_segment(final_symbols: DataFrame) -> DataFrame:
                 lambda x: x["sym"],
             ),
         ).alias("segmented")
+    )
+
+
+def bpe_token_counts(
+    documents: DataFrame, final_symbols: DataFrame, tokenizer=ws_tokens
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens): corpus token counts under the LEARNED
+    subword vocabulary — the number that actually prices a training run
+    (tokens-per-doc in model units, not whitespace words).
+
+    Applying BPE to a corpus is a JOIN, not a re-segmentation: merges
+    were learned over the unique-word table, so each word's piece count
+    is already decided there; the corpus pass is tokens ⋈ (word →
+    n_pieces) + one sum — the same decoupling that made training
+    corpus-size-independent makes application one broadcast-sized
+    lookup per word occurrence."""
+    pieces = final_symbols.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_pieces")
+    )
+    toks = documents.select(
+        "doc_id", F.explode(tokenizer(F.col("text"))).alias("term")
+    )
+    return (
+        toks.join(F.broadcast(pieces), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
     )

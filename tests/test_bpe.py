@@ -52,3 +52,22 @@ def test_merges_compose_into_subwords(spark):
     # every word reassembles exactly from its pieces
     for term, s in seg.items():
         assert s.replace(" ", "") == term
+
+
+def test_bpe_token_counts_shrink_with_merges(spark):
+    """Each merge can only reduce a word's piece count, so learned-BPE
+    token counts are <= character counts and decrease (weakly) with
+    more merges; zero merges means one piece per character."""
+    docs = spark.createDataFrame(
+        [(0, "hugging hugging bug"), (1, "bug bug")],
+        "doc_id long, text string",
+    )
+    _, s0 = bpe.bpe_train(docs, merges=0)
+    _, s6 = bpe.bpe_train(docs, merges=6)
+    c0 = {r["doc_id"]: r["n_bpe_tokens"]
+          for r in bpe.bpe_token_counts(docs, s0).collect()}
+    c6 = {r["doc_id"]: r["n_bpe_tokens"]
+          for r in bpe.bpe_token_counts(docs, s6).collect()}
+    assert c0 == {0: len("hugging") * 2 + len("bug"), 1: len("bug") * 2}
+    assert all(c6[d] <= c0[d] for d in c0)
+    assert c6[1] < c0[1]  # 'bug' really compressed
