@@ -375,6 +375,32 @@ def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_token_counts(_documents(spark, sf_dir), final)
 
 
+_DISTILL_ITERS = 10
+_DISTILL_CACHE: dict[str, tuple] = {}
+
+
+def _distill(spark: SparkSession, sf_dir: str):
+    from search_engine_spark.operators import curation as cur
+
+    if sf_dir not in _DISTILL_CACHE:
+        _DISTILL_CACHE[sf_dir] = cur.distill_gate(
+            _documents(spark, sf_dir), iters=_DISTILL_ITERS
+        )
+    return _DISTILL_CACHE[sf_dir]
+
+
+def _distill_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, _ = _distill(spark, sf_dir)
+    return spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(w)], "j int, w double"
+    )
+
+
+def _distill_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, scores = _distill(spark, sf_dir)
+    return scores
+
+
 _FACET_COL = "source"
 _PREFIX = "s"
 
@@ -680,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q(_bpe_merges),
         "bpe_segments": q(_bpe_segments),
         "bpe_token_counts": q(_bpe_token_counts),
+        # rule-gate distillation: full-batch GD logistic regression
+        "distill_gate_weights": q(_distill_weights),
+        "distill_gate_scores": q(_distill_scores),
         # search-frontend primitives: facets + wildcard dictionary range
         "facet_counts": q(_facet_counts),
         "prefix_terms": q(_prefix_terms),
@@ -1312,6 +1341,67 @@ SELECT t.doc_id, CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe_tokens
 FROM tokens t JOIN pieces p USING (term)
 WHERE t.term <> ''
 GROUP BY t.doc_id"""
+
+
+def _distill_ctes(iters: int, lr: float = 1.0) -> tuple[str, str]:
+    """CTE chain replaying curation.distill_gate: gate labels + rounded
+    repetition features → standardized base → unrolled full-batch GD
+    rounds with the weight vector rounded to the 9dp grid per step
+    (absorbs libm exp/avg ulp differences between engines). Returns
+    (ctes, final_weights_cte)."""
+    parts = [
+        f"""rep AS ({_REPETITION_SQL}),
+lbl AS (SELECT doc_id, CAST(n_tokens AS DOUBLE) AS r1,
+        unique_frac AS r2, top_unigram_frac AS r3,
+        CASE WHEN n_tokens BETWEEN 20 AND 100000
+             AND unique_frac >= 0.35 AND top_unigram_frac <= 0.12
+             AND top_bigram_frac <= 0.10 AND top_trigram_frac <= 0.10
+             THEN 1e0 ELSE 0e0 END AS y
+        FROM rep),
+mom AS (SELECT avg(r1) AS m1, avg(r1*r1) AS q1,
+               avg(r2) AS m2, avg(r2*r2) AS q2,
+               avg(r3) AS m3, avg(r3*r3) AS q3 FROM lbl),
+sd AS (SELECT m1, m2, m3,
+       CASE WHEN sqrt(q1 - m1*m1) = 0e0 THEN 1e0 ELSE sqrt(q1 - m1*m1) END AS s1,
+       CASE WHEN sqrt(q2 - m2*m2) = 0e0 THEN 1e0 ELSE sqrt(q2 - m2*m2) END AS s2,
+       CASE WHEN sqrt(q3 - m3*m3) = 0e0 THEN 1e0 ELSE sqrt(q3 - m3*m3) END AS s3
+       FROM mom),
+base AS MATERIALIZED (SELECT doc_id, y,
+      (r1 - m1) / s1 AS x1, (r2 - m2) / s2 AS x2, (r3 - m3) / s3 AS x3
+      FROM lbl, sd),
+w0 AS (SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""e{i} AS MATERIALIZED (SELECT x1, x2, x3,
+    1e0 / (1e0 + exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y AS e
+    FROM base, w{i} w),
+w{i + 1} AS MATERIALIZED (SELECT
+    round(w.b  - {lr}e0 * avg(e),      9) AS b,
+    round(w.w1 - {lr}e0 * avg(e * x1), 9) AS w1,
+    round(w.w2 - {lr}e0 * avg(e * x2), 9) AS w2,
+    round(w.w3 - {lr}e0 * avg(e * x3), 9) AS w3
+    FROM e{i}, w{i} w GROUP BY w.b, w.w1, w.w2, w.w3)"""
+        )
+    return ",\n".join(parts), f"w{iters}"
+
+
+def _distill_weights_sql(iters: int) -> str:
+    ctes, wf = _distill_ctes(iters)
+    return f"""WITH {ctes}
+SELECT 0 AS j, b AS w FROM {wf}
+UNION ALL SELECT 1, w1 FROM {wf}
+UNION ALL SELECT 2, w2 FROM {wf}
+UNION ALL SELECT 3, w3 FROM {wf}"""
+
+
+def _distill_scores_sql(iters: int) -> str:
+    ctes, wf = _distill_ctes(iters)
+    return f"""WITH {ctes}
+SELECT base.doc_id,
+       round(1e0 / (1e0 + exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) AS p,
+       CAST(y AS INT) AS y
+FROM base, {wf} w"""
 
 
 def _lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
@@ -1962,6 +2052,8 @@ LIMIT 50""",
         "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
         "bpe_segments": _bpe_segments_sql(_BPE_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),
+        "distill_gate_weights": _distill_weights_sql(_DISTILL_ITERS),
+        "distill_gate_scores": _distill_scores_sql(_DISTILL_ITERS),
         "facet_counts": f"""
 WITH {_TOKENS}, {_TF},
 hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS})

@@ -279,3 +279,105 @@ def materialize_sequences(
             ),
         ).alias("seq_text"),
     )
+
+
+def distill_gate(
+    documents: DataFrame,
+    iters: int = 10,
+    lr: float = 1.0,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_unique_frac: float = 0.35,
+    max_top_unigram: float = 0.12,
+    max_top_bigram: float = 0.10,
+    max_top_trigram: float = 0.10,
+) -> tuple[list[float], DataFrame]:
+    """Distill the hard Gopher rule gate into a logistic-regression
+    quality SCORER: train w on (repetition signals → gate pass/fail) by
+    full-batch gradient descent, returning ([b, w1, w2, w3], scores df
+    (doc_id, p, y)). A soft p∈(0,1) is what a curation pipeline
+    thresholds per-domain, mixes into sampling weights, or ships where
+    the 3-shuffle repetition aggregation is too expensive and the
+    features come from a cheaper proxy.
+
+    Execution shape: the feature base (one row per doc: standardized
+    n_tokens / unique_frac / top_unigram_frac + the gate label) is
+    computed once and persisted; each GD step is ONE driver job — a
+    4-value gradient aggregate over the base (map-side combined), the
+    same k-scalar-barriers pattern as the Lloyd/BPE loops. Weights are
+    rounded to a 9dp grid per step, which keeps the whole trajectory
+    replayable by the DuckDB oracle (the `distill_gate_weights` /
+    `distill_gate_scores` entries) despite exp() being evaluated by two
+    different libms.
+    """
+    from search_engine_spark.operators.curation import repetition_stats
+
+    stats = repetition_stats(documents)
+    labeled = stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("r1"),
+        F.col("unique_frac").alias("r2"),
+        F.col("top_unigram_frac").alias("r3"),
+        F.when(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("unique_frac") >= min_unique_frac)
+            & (F.col("top_unigram_frac") <= max_top_unigram)
+            & (F.col("top_bigram_frac") <= max_top_bigram)
+            & (F.col("top_trigram_frac") <= max_top_trigram),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    mom = labeled.agg(
+        *[
+            f(F.col(c)).alias(f"{n}{c}")
+            for c in ("r1", "r2", "r3")
+            for n, f in (("m", F.avg), ("q", lambda x: F.avg(x * x)))
+        ]
+    ).first()
+    base_cols = ["doc_id", "y"]
+    feats = []
+    for i, c in enumerate(("r1", "r2", "r3"), start=1):
+        m, qv = float(mom[f"m{c}"]), float(mom[f"q{c}"])
+        s = (qv - m * m) ** 0.5
+        if s == 0.0:
+            s = 1.0
+        feats.append(((F.col(c) - F.lit(m)) / F.lit(s)).alias(f"x{i}"))
+    base = labeled.select(*base_cols, *feats).persist()
+    base.count()
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        ed = base.select(
+            "x1", "x2", "x3", (p - F.col("y")).alias("e")
+        )
+        g = ed.agg(
+            F.avg("e").alias("g0"),
+            F.avg(F.col("e") * F.col("x1")).alias("g1"),
+            F.avg(F.col("e") * F.col("x2")).alias("g2"),
+            F.avg(F.col("e") * F.col("x3")).alias("g3"),
+        ).first()
+        w = [
+            round(w[j] - lr * float(g[f"g{j}"]), 9) for j in range(4)
+        ]
+    zf = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    scores = base.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 6).alias("p"),
+        F.col("y").cast("int").alias("y"),
+    )
+    return w, scores

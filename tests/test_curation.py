@@ -198,3 +198,26 @@ class TestMaterializeSequences:
                materialize_sequences(df, capacity=4).collect()}
         assert out["x"]["seq_text"] == "a b"
         assert out["y"]["seq_text"] == "c d"
+
+
+def test_distill_gate_learns_to_separate(spark):
+    """The distilled logistic scorer must order gate-passing docs above
+    failing ones on average, and more GD steps must not hurt the
+    separation (full-batch GD on a separable-ish rule)."""
+    from search_engine_spark.operators.curation import distill_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w2, s2 = distill_gate(docs, iters=2)
+    w10, s10 = distill_gate(docs, iters=10)
+    assert len(w10) == 4 and any(abs(x) > 0 for x in w10)
+
+    def sep(scores):
+        rows = scores.collect()
+        pos = [r["p"] for r in rows if r["y"] == 1]
+        neg = [r["p"] for r in rows if r["y"] == 0]
+        assert pos and neg
+        return sum(pos) / len(pos) - sum(neg) / len(neg)
+
+    g2, g10 = sep(s2), sep(s10)
+    assert g10 > 0  # positives score higher
+    assert g10 >= g2 - 1e-9  # training longer doesn't lose separation
