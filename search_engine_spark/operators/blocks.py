@@ -319,6 +319,7 @@ def block_search(
     k: int = 10,
     prune: bool = True,
     prior_weight: float = 1.0,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k from the block index.
 
@@ -349,4 +350,8 @@ def block_search(
     # same Q7-tie-break window-limit merge as the row-postings path
     from search_engine_spark.operators.query import topk
 
+    # round BEFORE the final window when comparing against a rounded
+    # oracle, so sub-grain score differences tie and break on doc_id
+    if round_dp is not None:
+        local = local.withColumn("score", F.round(F.col("score"), round_dp))
     return topk(local, k)

@@ -143,8 +143,12 @@ def bpe_token_counts(
     were learned over the unique-word table, so each word's piece count
     is already decided there; the corpus pass is tokens ⋈ (word →
     n_pieces) + one sum — the same decoupling that made training
-    corpus-size-independent makes application one broadcast-sized
-    lookup per word occurrence."""
+    corpus-size-independent makes application an equi-join on the word
+    table. No forced broadcast hint: the pieces side is the corpus
+    VOCABULARY (~10^8 rows / multi-GB at web scale), so the join is
+    left to AQE, which broadcasts it only when its measured size is
+    actually under the threshold and falls back to a shuffled hash
+    join otherwise."""
     pieces = final_symbols.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_pieces")
     )
@@ -152,7 +156,7 @@ def bpe_token_counts(
         "doc_id", F.explode(tokenizer(F.col("text"))).alias("term")
     )
     return (
-        toks.join(F.broadcast(pieces), "term")
+        toks.join(pieces, "term")
         .groupBy("doc_id")
         .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
     )

@@ -24,6 +24,7 @@ __all__ = [
     "pack_sequences",
     "materialize_sequences",
     "gopher_filter",
+    "distill_gate",
     "ngram_array",
 ]
 
@@ -341,7 +342,8 @@ def distill_gate(
     feats = []
     for i, c in enumerate(("r1", "r2", "r3"), start=1):
         m, qv = float(mom[f"m{c}"]), float(mom[f"q{c}"])
-        s = (qv - m * m) ** 0.5
+        # clamp: FP noise on a constant feature can make qv - m*m < 0
+        s = max(qv - m * m, 0.0) ** 0.5
         if s == 0.0:
             s = 1.0
         feats.append(((F.col(c) - F.lit(m)) / F.lit(s)).alias(f"x{i}"))

@@ -181,6 +181,8 @@ def hits(
     reads its raw vector twice (sum-of-squares + divide) — untruncated,
     the plan would double per half-step.
     """
+    if iters < 1:
+        raise ValueError(f"hits() requires iters >= 1, got {iters}")
     nodes = nodes.select("doc_id")
     # persist a DERIVED relation, never the caller's DataFrame: calling
     # unpersist on `edges` itself would evict a cache the caller owns
@@ -296,6 +298,7 @@ def fused_bm25_pagerank(
     n: int,
     k: int = 10,
     terms: list[str] | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Per-query top-k by BM25 · (1 + n·pr): textual relevance scaled
     by normalized authority (n·pr averages 1, so an average-authority
@@ -316,16 +319,16 @@ def fused_bm25_pagerank(
     # LEFT join: a matched doc missing from the ranks relation (pruned
     # rank table, partial link graph) scores at bare BM25 (pr→0) — the
     # "never zeroes a match" contract
+    score = F.col("bm") * (
+        F.lit(1.0) + F.lit(float(n)) * F.coalesce(F.col("pr"), F.lit(0.0))
+    )
+    # round BEFORE the top-k window when a caller compares against a
+    # rounded oracle: two docs whose scores differ only beyond the
+    # rounding grain must tie and fall back to the doc_id tie-break
+    if round_dp is not None:
+        score = F.round(score, round_dp)
     fused = scored.join(ranks, "doc_id", "left").select(
-        "query_id",
-        "doc_id",
-        (
-            F.col("bm")
-            * (
-                F.lit(1.0)
-                + F.lit(float(n)) * F.coalesce(F.col("pr"), F.lit(0.0))
-            )
-        ).alias("score"),
+        "query_id", "doc_id", score.alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

@@ -132,3 +132,10 @@ def test_fused_ranker_blends_both_signals(spark, docs, edges):
     assert set(f) == set(b)  # fusion never drops or invents a match
     for d in f:
         assert f[d] == pytest.approx(b[d] * (1.0 + n * prm[d]), rel=1e-9)
+
+
+def test_hits_rejects_zero_iters(spark, docs, edges):
+    # iters=0 would leave auth undefined — must fail loudly, not crash
+    # deep inside the final join
+    with pytest.raises(ValueError, match="iters"):
+        g.hits(docs, edges, iters=0)
