@@ -405,6 +405,39 @@ _FACET_COL = "source"
 _PREFIX = "s"
 
 
+# Positional-index serving cache: built once per sf_dir into /tmp (same
+# build/probe split and mtime-stamped invalidation as _ann_index), then
+# every phrase/proximity query is an isin-pruned parquet probe — the
+# corpus is never re-tokenized at query time.
+_POS_CACHE: dict[str, DataFrame] = {}
+
+
+def _pos_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from search_engine_spark.operators import phrase as ph
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    if sf_dir not in _POS_CACHE:
+        try:
+            st = os.stat(f"{sf_dir}/documents.parquet")
+            stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+        except OSError:
+            stamp = sf_dir
+        tag = hashlib.md5(stamp.encode()).hexdigest()[:10]
+        path = f"/tmp/se_spark_pos/{tag}"
+        done = f"{path}/_BUILT"
+        if not os.path.exists(done):
+            docs = _documents(spark, sf_dir).select("doc_id", "text")
+            ph.write_positional_index(
+                ph.positional_postings(docs, ws_tokens), path
+            )
+            open(done, "w").close()
+        _POS_CACHE[sf_dir] = ph.read_positional_index(spark, path)
+    return _POS_CACHE[sf_dir]
+
+
 def _bm25_prox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.phrase import proximity_bm25
@@ -416,7 +449,12 @@ def _bm25_prox(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, t) for t in QUERY_TERMS], "query_id int, term string"
     )
     return proximity_bm25(
-        index, docs, qt, ws_tokens, k=10, terms=QUERY_TERMS
+        index,
+        None,
+        qt,
+        k=10,
+        terms=QUERY_TERMS,
+        pos_index=_pos_index(spark, sf_dir),
     )
 
 
@@ -561,7 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "phrase_topk": q(
             lambda s, d: ph.phrase_search(
-                _documents(s, d), ["table", "hash"], ta.ws_tokens, k=10
+                None, ["table", "hash"], k=10, pos_index=_pos_index(s, d)
             )
         ),
         "engine_bm25_search": _engine_bm25,

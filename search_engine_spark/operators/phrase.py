@@ -42,6 +42,34 @@ def positional_postings(docs: DataFrame, tokenizer) -> DataFrame:
     )
 
 
+def write_positional_index(pos_index: DataFrame, path: str) -> None:
+    """Materialize the positional index term-partitioned and sorted —
+    the same serving layout as index_build.write_index
+    (index_build.py:386-424): repartition by term so one term's rows
+    share files, sortWithinPartitions(term, doc_id) so parquet min/max
+    row-group statistics prune term point-lookups at planning time. At
+    cluster scale this becomes Iceberg PARTITIONED BY (bucket(N, term))
+    exactly like the TF index (SURVEY §4.2.3).
+
+    This closes the last serve-by-recompute gap: phrase/proximity
+    queries probe this relation with an isin-pruned parquet scan
+    instead of re-running posexplode(tokenizer(text)) over the whole
+    corpus per query batch."""
+    from search_engine_spark.catalog import write_table
+
+    laid_out = pos_index.repartition(F.col("term")).sortWithinPartitions(
+        "term", "doc_id"
+    )
+    write_table(laid_out, path)
+
+
+def read_positional_index(spark, path: str) -> DataFrame:
+    """Load a materialized positional index for probing. Hold the
+    returned handle across queries — re-reading per query would re-list
+    the directory."""
+    return spark.read.parquet(path)
+
+
 def phrase_match(
     pos_index: DataFrame, phrase_terms: list[str]
 ) -> DataFrame:
@@ -79,12 +107,25 @@ def phrase_match(
 
 
 def phrase_search(
-    docs: DataFrame, phrase_terms: list[str], tokenizer, k: int = 10
+    docs: DataFrame | None,
+    phrase_terms: list[str],
+    tokenizer=None,
+    k: int = 10,
+    pos_index: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k docs by phrase occurrence count (ties: doc_id asc)."""
-    idx = positional_postings(docs, tokenizer)
+    """Top-k docs by phrase occurrence count (ties: doc_id asc).
+
+    Pass `pos_index` (a read_positional_index handle) to serve from the
+    materialized index — phrase_match's per-term equality filters reach
+    the parquet scan as PushedFilters, so only the phrase's own postings
+    are read (plan-asserted in tests/test_plans.py). Without it, the
+    index is built inline from docs+tokenizer (ad-hoc/one-shot path)."""
+    if pos_index is None:
+        if docs is None or tokenizer is None:
+            raise ValueError("need docs+tokenizer or a pos_index")
+        pos_index = positional_postings(docs, tokenizer)
     return (
-        phrase_match(idx, phrase_terms)
+        phrase_match(pos_index, phrase_terms)
         .orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
         .limit(k)
     )
@@ -104,12 +145,13 @@ def conjunctive_filter(
 
 def proximity_bm25(
     index,
-    docs: DataFrame,
+    docs: DataFrame | None,
     query_terms: DataFrame,
-    tokenizer,
+    tokenizer=None,
     k: int = 10,
     terms: list[str] | None = None,
     lam: float = 1.0,
+    pos_index: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 + term-proximity boost (Rasolofo & Savoy 2003 family):
 
@@ -128,11 +170,26 @@ def proximity_bm25(
     """
     from search_engine_spark.operators.query import _matched, topk
 
-    posr = docs.select(
-        "doc_id", F.posexplode(tokenizer(F.col("text"))).alias("pos", "term")
-    )
-    if terms:
-        posr = posr.filter(F.col("term").isin(terms))
+    if pos_index is not None:
+        # serving path: isin-pruned scan of the materialized positional
+        # index (PushedFilters at the parquet reader — no tokenizer UDF
+        # anywhere in the plan), then explode the few surviving
+        # position arrays back to rows
+        posr = pos_index
+        if terms:
+            posr = posr.filter(F.col("term").isin(terms))
+        posr = posr.select(
+            "doc_id", "term", F.explode("positions").alias("pos")
+        )
+    else:
+        if docs is None or tokenizer is None:
+            raise ValueError("need docs+tokenizer or a pos_index")
+        posr = docs.select(
+            "doc_id",
+            F.posexplode(tokenizer(F.col("text"))).alias("pos", "term"),
+        )
+        if terms:
+            posr = posr.filter(F.col("term").isin(terms))
     # attach query_id BEFORE pairing: the boost is over pairs a<b of the
     # SAME query's terms — an unkeyed pair join would leak one query's
     # adjacency into another's score in a batch (and with terms=None

@@ -145,3 +145,40 @@ def test_proximity_boost_does_not_leak_across_queries(spark):
     }
     # query 0's scores are identical whether or not query 1 shares the batch
     assert {k: v for k, v in fused.items() if k[0] == 0} == solo
+
+
+def test_materialized_index_serves_phrase_and_proximity(spark, docs, tmp_path):
+    """Build/probe split parity: the materialized positional index must
+    return byte-identical results to the inline (re-tokenize) path for
+    both phrase_search and proximity_bm25."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.phrase import (
+        proximity_bm25,
+        read_positional_index,
+        write_positional_index,
+    )
+
+    path = str(tmp_path / "posidx")
+    write_positional_index(positional_postings(docs, ws_tokens), path)
+    pidx = read_positional_index(spark, path)
+
+    inline = phrase_search(docs, ["red", "fish"], ws_tokens, k=5).collect()
+    served = phrase_search(None, ["red", "fish"], k=5, pos_index=pidx).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inline]
+
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, "red"), (0, "blue")], "query_id int, term string"
+    )
+    pin = proximity_bm25(
+        index, docs, qt, ws_tokens, k=10, terms=["red", "blue"]
+    ).collect()
+    pse = proximity_bm25(
+        index, None, qt, k=10, terms=["red", "blue"], pos_index=pidx
+    ).collect()
+    assert sorted(map(tuple, pse)) == sorted(map(tuple, pin))
+
+
+def test_phrase_search_requires_an_index_source(docs):
+    with pytest.raises(ValueError, match="pos_index"):
+        phrase_search(None, ["red"], k=5)

@@ -268,3 +268,45 @@ def test_prefix_terms_pushes_startswith_to_scan(spark, stored_index):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters", 1)[1][:300]
     assert "StringStartsWith" in pushed, pushed
+
+
+def test_positional_probe_is_pruned_scan_no_tokenizer(spark, tmp_path):
+    """The serving path for phrase/proximity probes the MATERIALIZED
+    positional index: term predicates reach the parquet scan as
+    PushedFilters and no Python UDF (tokenizer) appears anywhere in the
+    plan — the corpus is never re-tokenized at query time."""
+    from search_engine_spark.operators.phrase import (
+        phrase_search,
+        positional_postings,
+        proximity_bm25,
+        read_positional_index,
+        write_positional_index,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    pages = synth_pages(spark, 80, seed=13)
+    docs = prepare_docs(pages, id_method="hash").select("doc_id", "text")
+    path = str(tmp_path / "posidx")
+    write_positional_index(positional_postings(docs, ws_tokens), path)
+    pidx = read_positional_index(spark, path)
+
+    plan = _plan(phrase_search(None, ["the", "and"], k=10, pos_index=pidx))
+    assert "PushedFilters" in plan
+    assert "EqualTo(term" in plan or "In(term" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, "the"), (0, "and")], "query_id int, term string"
+    )
+    plan2 = _plan(
+        proximity_bm25(
+            index, None, qt, k=10, terms=["the", "and"], pos_index=pidx
+        )
+    )
+    # the probe side scans the stored index with the isin pushed down;
+    # the BM25 side still tokenizes (its index is in-memory here), so
+    # only assert the PROBE has no tokenizer by checking the pushed
+    # filter reaches a parquet scan of the positional relation
+    assert "In(term" in plan2, plan2[:3000]
