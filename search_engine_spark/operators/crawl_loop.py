@@ -29,9 +29,12 @@ Execution shape (designed for N executors, not a driver loop):
   fetch failures are not retried in later rounds, exactly like the
   reference's warn-and-continue (crawler.rs:55-62).
 - The per-round fetch cap (`batch_size`, reference S3 LIMIT 10000,
-  services/crawler/src/db.rs:124-153) takes the first `batch_size`
-  urls in lexical order; the remainder carries over to the next
-  round's queue, preserving work-queue no-loss semantics.
+  services/crawler/src/db.rs:124-153) takes a DETERMINISTIC batch of
+  exactly `batch_size` urls (hash-banded, see _capped_frontier); the
+  remainder carries over to the next round's queue, preserving
+  work-queue no-loss semantics. The reference's LIMIT with no ORDER BY
+  pins no order either — only the cap and the no-loss carryover are
+  contract.
 """
 
 from __future__ import annotations
@@ -83,6 +86,54 @@ def gate_pages(fetched: DataFrame) -> DataFrame:
     )
 
 
+
+def _capped_frontier(
+    queued: DataFrame, batch_size: int, num_bands: int = 4096
+) -> DataFrame:
+    """Deterministic ≤batch_size cut of the queue WITHOUT a global
+    TakeOrdered.
+
+    `orderBy(url).limit(n)` compiles to TakeOrderedAndProject: every
+    partition keeps an n-row heap and the driver merges partitions·n
+    candidates — fine at n=10k, a driver chokepoint at a billion-URL
+    queue. Instead, the sample_corpus mechanism (pipelines.py): band
+    each url by a pure 60-bit hash, count the bands (ONE tiny
+    aggregate, ≤num_bands rows to the driver), take every band below a
+    threshold wholesale as a scan-stage filter (no sort anywhere), and
+    TakeOrdered only WITHIN the single boundary band (~|queue|/num_bands
+    rows) to fill the batch exactly. Membership is a pure function of
+    the url set — stable under repartitioning, task retries, and
+    cluster size, so resume replays bit-identically.
+    """
+    from search_engine_spark.operators.hashing import h64
+
+    banded = queued.select(
+        "url", (h64(F.col("url"), "xxhash64") % num_bands).alias("band")
+    )
+    hist = {
+        r["band"]: r["n"]
+        for r in banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cum, boundary = 0, None
+    for b in sorted(hist):
+        if cum + hist[b] > batch_size:
+            boundary = b
+            break
+        cum += hist[b]
+    if boundary is None:
+        return queued.select("url")  # the whole queue fits in one batch
+    full = banded.filter(F.col("band") < boundary).select("url")
+    edge = (
+        banded.filter(F.col("band") == boundary)
+        .orderBy("url")
+        .limit(batch_size - cum)
+        .select("url")
+    )
+    return full.unionByName(edge)
+
+
 def crawl(
     spark: SparkSession,
     seeds: DataFrame,
@@ -120,7 +171,7 @@ def crawl(
         if _try_read(spark, f"{out_dir}/fetchlog/round={rnd}", FETCHLOG_SCHEMA) is not None:
             continue  # round committed by a previous run — resume past it
 
-        frontier = queued.orderBy("url").limit(batch_size)
+        frontier = _capped_frontier(queued, batch_size)
         remainder = queued.join(frontier, "url", "left_anti")
         gated = gate_pages(
             fetch_pages(
