@@ -532,6 +532,29 @@ def _bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_bm25f(index, anchors, qt, k=10, terms=QUERY_TERMS)
 
 
+def _block_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F through the block-max pruned serving path (f64 blocks +
+    round-before-topk so the result is value-identical to the row-path
+    score_bm25f the SQL oracle mirrors)."""
+    from search_engine_spark.operators import graph as g
+    from search_engine_spark.operators.blocks import (
+        block_search,
+        build_block_index_bm25f,
+    )
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs, edges, _ = _graph(spark, sf_dir)
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    anchors = g.anchor_postings(docs, edges)
+    blocks = build_block_index_bm25f(
+        index, anchors, num_buckets=8, score_dtype="float64"
+    )
+    return block_search(
+        blocks, spark, [" ".join(QUERY_TERMS)], k=10, round_dp=6
+    )
+
+
 def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -554,7 +577,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -754,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pagerank_topk": q(_bm25_pagerank),
         "lm_dirichlet_topk": q(_lm_dirichlet),
         "bm25f_topk": q(_bm25f),
+        "block_bm25f_topk": q(_block_bm25f),
         # tokenizer training (Sennrich et al. 2016 BPE over the word table)
         "bpe_merges": q(_bpe_merges),
         "bpe_segments": q(_bpe_segments),
@@ -2102,6 +2126,9 @@ LIMIT 50""",
         "bm25_pagerank_topk": _bm25_pagerank_sql(_PR_ITERS),
         "lm_dirichlet_topk": _lm_dirichlet_sql(),
         "bm25f_topk": _bm25f_sql(),
+        # same math through the block serving path; block_search returns
+        # no query_id->query text mapping differences — identical oracle
+        "block_bm25f_topk": _bm25f_sql(),
         "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
         "bpe_segments": _bpe_segments_sql(_BPE_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),

@@ -94,8 +94,6 @@ def build_block_index(
     # oracle — the block_engine_bm25 driver entry verifies this config
     # against the shared BM25 SQL).
     f64 = score_dtype == "float64"
-    np_dtype = np.float64 if f64 else np.float32
-    width = 8 if f64 else 4
 
     scored = (
         index.postings.join(index.term_stats.select("term", "bm25_idf"), "term")
@@ -107,6 +105,25 @@ def build_block_index(
         .withColumn("tg", F.pmod(F.xxhash64("term"), F.lit(term_groups)).cast("int"))
         .select("bucket", "tg", "term", "doc_id", "tf", "score")
     )
+    return _layout_blocks(scored, nb, term_groups, block_size, f64, prior)
+
+
+def _layout_blocks(
+    scored: DataFrame,
+    nb: int,
+    term_groups: int,
+    block_size: int,
+    f64: bool,
+    prior: DataFrame | None,
+) -> DataFrame:
+    """Shared layout tail: (bucket, tg, term, doc_id, tf, score) rows →
+    compressed block rows. Scorer-agnostic — any ranking whose total is
+    a SUM of non-negative per-(term, doc) contributions (BM25, BM25F,
+    BM25+static-prior) can feed it and block_search's TA pruning stays
+    exact, because per-block max_score is then a valid per-term upper
+    bound."""
+    np_dtype = np.float64 if f64 else np.float32
+    width = 8 if f64 else 4
     has_prior = prior is not None
     if has_prior:
         scored = scored.join(
@@ -355,3 +372,117 @@ def block_search(
     if round_dp is not None:
         local = local.withColumn("score", F.round(F.col("score"), round_dp))
     return topk(local, k)
+
+
+def bm25f_contributions(
+    index: InvertedIndex,
+    anchor_tf: DataFrame,
+    w_anchor: float = 2.0,
+    b_body: float = 0.75,
+    b_anchor: float = 0.5,
+    k1: float = 1.2,
+) -> DataFrame:
+    """(term, doc_id, tf, score): the QUERY-INDEPENDENT per-posting
+    BM25F contribution c_td = idf_t · x_td / (k1 + x_td), with
+    x_td = Σ_f w_f·tf_tdf/(1 − b_f + b_f·len_df/avglen_f) over body +
+    anchor fields — identical math to query.score_bm25f:423-? but with
+    no query restriction, because a serving index must cover every
+    term. BM25F's total is Σ_t c_td: additive over terms with
+    c_td ≥ 0, so the block TA pruning (per-block max c as the upper
+    bound) remains EXACT for it.
+
+    One groupBy(term, doc_id) shuffle merges the two field relations;
+    `tf` stored in the blocks is the combined raw field tf (diagnostic
+    only — the serving path never reads tf_bytes).
+    """
+    anchor_len = anchor_tf.groupBy("doc_id").agg(
+        F.sum("tf_anchor").alias("alen")
+    )
+    avg_alen = anchor_len.agg(F.avg("alen")).first()[0]
+    if avg_alen is None:
+        avg_alen = 1.0
+
+    body_n = index.postings.join(index.doc_stats, "doc_id").select(
+        "term",
+        "doc_id",
+        F.col("tf").cast("long").alias("ftf"),
+        (
+            F.col("tf").cast("double")
+            / (
+                F.lit(1.0 - b_body)
+                + F.lit(b_body)
+                * F.col("dl").cast("double")
+                / F.lit(float(index.avgdl))
+            )
+        ).alias("x"),
+    )
+    anch_n = anchor_tf.join(anchor_len, "doc_id").select(
+        "term",
+        "doc_id",
+        F.col("tf_anchor").cast("long").alias("ftf"),
+        (
+            F.lit(w_anchor)
+            * F.col("tf_anchor").cast("double")
+            / (
+                F.lit(1.0 - b_anchor)
+                + F.lit(b_anchor)
+                * F.col("alen").cast("double")
+                / F.lit(float(avg_alen))
+            )
+        ).alias("x"),
+    )
+    return (
+        body_n.unionByName(anch_n)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("ftf").alias("tf"), F.sum("x").alias("x"))
+        .join(index.term_stats.select("term", "bm25_idf"), "term")
+        .select(
+            "term",
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            (
+                F.col("bm25_idf")
+                * F.col("x")
+                / (F.lit(k1) + F.col("x"))
+            ).alias("score"),
+        )
+    )
+
+
+def build_block_index_bm25f(
+    index: InvertedIndex,
+    anchor_tf: DataFrame,
+    num_buckets: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    term_groups: int = 16,
+    score_dtype: str = "float32",
+    prior: DataFrame | None = None,
+    w_anchor: float = 2.0,
+    b_body: float = 0.75,
+    b_anchor: float = 0.5,
+    k1: float = 1.2,
+) -> DataFrame:
+    """Block index whose stored per-posting scores are BM25F
+    contributions (body + anchor fields) instead of plain BM25 —
+    block_search over it returns exact BM25F top-k with the same
+    block-max pruning (property-tested equal to query.score_bm25f).
+    Same one-shuffle layout and knobs as build_block_index."""
+    spark = index.postings.sparkSession
+    nb = num_buckets or spark.sparkContext.defaultParallelism * 2
+    f64 = score_dtype == "float64"
+    contrib = bm25f_contributions(
+        index, anchor_tf, w_anchor, b_body, b_anchor, k1
+    )
+    scored = (
+        contrib.withColumn(
+            "score", F.col("score").cast("double" if f64 else "float")
+        )
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int")
+        )
+        .withColumn(
+            "tg", F.pmod(F.xxhash64("term"), F.lit(term_groups)).cast("int")
+        )
+        .select("bucket", "tg", "term", "doc_id", "tf", "score")
+    )
+    return _layout_blocks(scored, nb, term_groups, block_size, f64, prior)

@@ -151,3 +151,54 @@ def test_prior_blocks_equal_row_path_fused(spark):
         ]
         assert got == expect, (prune, got[:3], expect[:3])
     blocks.unpersist()
+
+
+def test_bm25f_blocks_equal_row_path(spark):
+    """Block-max pruned BM25F must equal query.score_bm25f's row path
+    for every query — the stored per-posting contribution idf·x/(k1+x)
+    is additive and non-negative, so per-block maxima are valid upper
+    bounds and the TA pruning stays exact."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import graph as g
+    from search_engine_spark.operators.blocks import build_block_index_bm25f
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_bm25f
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    n = docs.count()
+    # deterministic synthetic link graph (same trick as entry _graph)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    index = build_index(docs, tokenizer=ws_tokens)
+    anchors = g.anchor_postings(docs, edges)
+    blocks = build_block_index_bm25f(
+        index, anchors, num_buckets=4, score_dtype="float64"
+    ).persist()
+
+    from search_engine_spark.functions.textproc import tokenize_query
+
+    for query in ["spark merge batch", "the data", "nosuchterm"]:
+        # same query-side tokenization block_search applies (stop words
+        # dropped), so both paths score the same term set
+        terms = list(dict.fromkeys(tokenize_query(query))) or ["nosuchterm"]
+        qt = spark.createDataFrame(
+            [(0, t) for t in terms], "query_id int, term string"
+        )
+        expect = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in score_bm25f(index, anchors, qt, k=10, terms=terms).collect()
+        ]
+        for prune in (False, True):
+            got = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in block_search(
+                    blocks, spark, [query], k=10, prune=prune, round_dp=6
+                ).collect()
+            ]
+            assert got == expect, (query, prune, got, expect)
