@@ -555,6 +555,31 @@ def _block_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _block_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-Dirichlet through the block-max path: matched contributions
+    as block scores, the per-doc length penalty in the prior lane
+    weighted by nq ('nq' sentinel) — value-identical to the row path
+    the SQL oracle mirrors (f64 blocks, 9dp round-before-topk)."""
+    from search_engine_spark.operators.blocks import (
+        block_search,
+        build_block_index_lm,
+    )
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    blocks = build_block_index_lm(index, mu=2000.0, num_buckets=8)
+    return block_search(
+        blocks,
+        spark,
+        [" ".join(QUERY_TERMS)],
+        k=10,
+        prior_weight="nq",
+        round_dp=9,
+    )
+
+
 def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -577,7 +602,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -778,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": q(_lm_dirichlet),
         "bm25f_topk": q(_bm25f),
         "block_bm25f_topk": q(_block_bm25f),
+        "block_lm_topk": q(_block_lm),
         # tokenizer training (Sennrich et al. 2016 BPE over the word table)
         "bpe_merges": q(_bpe_merges),
         "bpe_segments": q(_bpe_segments),
@@ -2129,6 +2155,7 @@ LIMIT 50""",
         # same math through the block serving path; block_search returns
         # no query_id->query text mapping differences — identical oracle
         "block_bm25f_topk": _bm25f_sql(),
+        "block_lm_topk": _lm_dirichlet_sql(),
         "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
         "bpe_segments": _bpe_segments_sql(_BPE_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),

@@ -385,16 +385,23 @@ def main() -> None:
                 .select("doc_id", "url", "text")
                 .persist()
             )
-            labels = dedup.minhash_dedup(docs.select("doc_id", "text"))
-            kept = docs.join(
-                labels.filter(F.col("doc_id") == F.col("keep_id")).select(
-                    "doc_id"
-                ),
-                "doc_id",
+            # exact dedup here (the standard post-crawl stage; bodies
+            # from the deterministic web are near-identical by design,
+            # so MinHash would collapse the whole crawl to ~1 rep and
+            # the timed index build would be vacuous — near-dup dedup
+            # is benched at corpus scale in minhash_dedup above)
+            reps = dedup.exact_dedup(docs.select("doc_id", "text")).select(
+                F.col("keep_id").alias("doc_id")
             )
+            kept = docs.join(reps, "doc_id")
             eidx = build_index(kept.select("doc_id", "text"))
             hits = search(
-                eidx, spark, ["hippopotamus ladder"], k=10, scorer="bm25"
+                eidx,
+                spark,
+                ["hippopotamus ladder pipe seagull elephant castle "
+                 "meadow lantern orchard harbor"],
+                k=10,
+                scorer="bm25",
             ).collect()
             n = docs.count()
             docs.unpersist()

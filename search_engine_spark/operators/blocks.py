@@ -200,7 +200,7 @@ def _bucket_topk(
     query_terms: dict[int, list[str]],
     k: int,
     prune: bool,
-    prior_weight: float = 1.0,
+    prior_weight: float | dict[int, float] = 1.0,
 ) -> pd.DataFrame:
     """Exact local top-k for every query over one bucket's blocks.
 
@@ -244,6 +244,11 @@ def _bucket_topk(
         return None if b is None else np.frombuffer(bytes(b), dtype=np.float64)
 
     for qid, terms in query_terms.items():
+        pw = (
+            prior_weight.get(qid, 0.0)
+            if isinstance(prior_weight, dict)
+            else prior_weight
+        )
         rows = [r for t in terms for r in by_term.get(t, [])]
         if not rows:
             continue
@@ -272,12 +277,12 @@ def _bucket_topk(
                 if p is not None:
                     pri[inv[offset : offset + len(d)]] = p
                 offset += len(d)
-            ub += prior_weight * pri
+            ub += pw * pri
 
         def exact_scores(doc_sel: np.ndarray) -> np.ndarray:
             """complete scores for the selected doc ids (sorted array)."""
             if pri is not None:
-                total = prior_weight * pri[np.searchsorted(uniq, doc_sel)]
+                total = pw * pri[np.searchsorted(uniq, doc_sel)]
             else:
                 total = np.zeros(len(doc_sel), dtype=np.float64)
             for r, darr in zip(rows, doc_arrays):
@@ -335,10 +340,16 @@ def block_search(
     queries: dict[int, str] | list[str],
     k: int = 10,
     prune: bool = True,
-    prior_weight: float = 1.0,
+    prior_weight: float | str = 1.0,
     round_dp: int | None = None,
 ) -> DataFrame:
-    """Exact BM25 top-k from the block index.
+    """Exact top-k from a block index (BM25, BM25F, LM-Dirichlet, or
+    prior-fused — whichever contribution family the blocks store).
+
+    prior_weight='nq' weights each doc's stored per-doc value by the
+    QUERY's term count — the LM-Dirichlet shape, where the blocks store
+    c_td = ln(1 + tf/(μ·p_c)) and the "prior" is g_d = ln(μ/(dl+μ)),
+    so score = Σ c_td + nq·g_d (see build_block_index_lm).
 
     Plan: term-isin-pruned scan of blocks → applyInPandas per bucket
     (local exact top-k via TA pruning) → global WindowGroupLimit merge
@@ -357,9 +368,14 @@ def block_search(
         return spark.createDataFrame([], "query_id int, doc_id long, score double")
 
     cand = blocks.filter(F.col("term").isin(all_terms))
+    pw = (
+        {qid: float(len(ts)) for qid, ts in qterms.items()}
+        if prior_weight == "nq"
+        else prior_weight
+    )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_topk(pdf, qterms, k, prune, prior_weight)
+        return _bucket_topk(pdf, qterms, k, prune, pw)
 
     local = cand.groupBy("bucket").applyInPandas(
         per_bucket, "query_id int, doc_id long, score double"
@@ -486,3 +502,66 @@ def build_block_index_bm25f(
         .select("bucket", "tg", "term", "doc_id", "tf", "score")
     )
     return _layout_blocks(scored, nb, term_groups, block_size, f64, prior)
+
+
+def build_block_index_lm(
+    index: InvertedIndex,
+    mu: float = 2000.0,
+    num_buckets: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    term_groups: int = 16,
+) -> DataFrame:
+    """Block index for LM-Dirichlet query likelihood (Zhai & Lafferty
+    2001, the matched-terms decomposition query.score_lm_dirichlet
+    serves row-wise):
+
+        score(q,d) = Σ_{t∈q∩d} ln(1 + tf_td/(μ·p(t|C))) + |q|·ln(μ/(dl_d+μ))
+
+    Both pieces are query-independent at a fixed μ: the matched-term
+    contribution is stored as the block score (non-negative, additive —
+    the TA-pruning form), and the per-doc length penalty g_d =
+    ln(μ/(dl_d+μ)) rides the static-prior byte lane, weighted at query
+    time by prior_weight='nq' (the query's term count). The per-doc
+    piece is EXACT in phase 1, so the pruning bound never underestimates
+    even though g_d < 0.
+
+    p(t|C) = cf_t/|C| costs one groupBy(term) over postings at build
+    time (the same shuffle budget as the BM25 build's term_stats join);
+    f64 scores always — LM contributions are small logs and the row
+    path the oracle mirrors is f64.
+    """
+    spark = index.postings.sparkSession
+    nb = num_buckets or spark.sparkContext.defaultParallelism * 2
+    total_tokens = index.doc_stats.agg(F.sum("dl")).first()[0]
+    cf = index.postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+    scored = (
+        index.postings.join(cf, "term")
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.log(
+                F.lit(1.0)
+                + F.col("tf").cast("double")
+                / (
+                    F.lit(mu)
+                    * F.col("cf").cast("double")
+                    / F.lit(float(total_tokens))
+                )
+            ).alias("score"),
+        )
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int")
+        )
+        .withColumn(
+            "tg", F.pmod(F.xxhash64("term"), F.lit(term_groups)).cast("int")
+        )
+        .select("bucket", "tg", "term", "doc_id", "tf", "score")
+    )
+    penalty = index.doc_stats.select(
+        "doc_id",
+        F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu))).alias(
+            "prior"
+        ),
+    )
+    return _layout_blocks(scored, nb, term_groups, block_size, True, penalty)

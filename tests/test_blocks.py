@@ -202,3 +202,42 @@ def test_bm25f_blocks_equal_row_path(spark):
                 ).collect()
             ]
             assert got == expect, (query, prune, got, expect)
+
+
+def test_lm_blocks_equal_row_path(spark):
+    """Block-max pruned LM-Dirichlet must equal score_lm_dirichlet's
+    row path: matched contributions in the block scores, the negative
+    per-doc length penalty in the prior lane weighted by nq at query
+    time — the penalty is exact in phase 1, so pruning stays exact."""
+    from search_engine_spark.functions.textproc import tokenize_query
+    from search_engine_spark.operators.blocks import build_block_index_lm
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_lm_dirichlet
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    blocks = build_block_index_lm(index, mu=2000.0, num_buckets=4).persist()
+
+    for query in ["spark merge batch", "data pipeline", "nosuchterm"]:
+        terms = list(dict.fromkeys(tokenize_query(query))) or ["nosuchterm"]
+        qt = spark.createDataFrame(
+            [(0, t) for t in terms], "query_id int, term string"
+        )
+        expect = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in score_lm_dirichlet(
+                index, qt, mu=2000.0, k=10, terms=terms
+            ).collect()
+        ]
+        for prune in (False, True):
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in block_search(
+                    blocks, spark, [query], k=10, prune=prune,
+                    prior_weight="nq", round_dp=9,
+                ).collect()
+            ]
+            assert got == expect, (query, prune, got[:3], expect[:3])
