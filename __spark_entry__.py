@@ -405,6 +405,62 @@ _FACET_COL = "source"
 _PREFIX = "s"
 
 
+_DSIR_TARGETS = ["src0", "src1", "src2", "src3"]
+_DSIR_BUCKETS = 512
+
+
+def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.lm import doc_bigram_logprob
+
+    return doc_bigram_logprob(_documents(spark, sf_dir), k_smooth=0.5)
+
+
+def _perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.lm import perplexity_gate
+
+    return perplexity_gate(_documents(spark, sf_dir), k_smooth=0.5)
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.pipelines import dsir_weights
+
+    return dsir_weights(
+        _documents(spark, sf_dir),
+        _DSIR_TARGETS,
+        n_buckets=_DSIR_BUCKETS,
+        family="portable",
+    )
+
+
+def _dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.pipelines import dsir_topk
+
+    return dsir_topk(
+        _documents(spark, sf_dir),
+        _DSIR_TARGETS,
+        k=100,
+        n_buckets=_DSIR_BUCKETS,
+        family="portable",
+    )
+
+
+def _index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion with stats recompute: build over the full corpus, erase
+    every doc_id % 10 == 0, emit the recomputed term dimension — the
+    oracle derives the same stats from the never-deleted subset, so a
+    merely-filtered (uncorrected df/N) index hash-mismatches."""
+    from search_engine_spark.operators.index_build import build_index, delete_docs
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    gone = docs.select("doc_id").filter(F.col("doc_id") % 10 == 0)
+    pruned = delete_docs(index, gone)
+    return pruned.term_stats.select(
+        "term", "df", F.round(F.col("idf"), 6).alias("idf")
+    )
+
+
 # Positional-index serving cache: built once per sf_dir into /tmp (same
 # build/probe split and mtime-stamped invalidation as _ann_index), then
 # every phrase/proximity query is an isin-pruned parquet probe — the
@@ -602,7 +658,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'index_delete_docs', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -810,6 +866,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q(_bpe_token_counts),
         # rule-gate distillation: full-batch GD logistic regression
         "distill_gate_weights": q(_distill_weights),
+        # corpus-LM quality gate (CCNet shape) + DSIR selection (r4)
+        "bigram_logprob": q(_bigram_logprob),
+        "perplexity_gate": q(_perplexity_gate),
+        "dsir_weights": q(_dsir_weights),
+        "dsir_selected": q(_dsir_selected),
+        "index_delete_docs": q(_index_delete_docs),
         "distill_gate_scores": q(_distill_scores),
         # search-frontend primitives: facets + wildcard dictionary range
         "facet_counts": q(_facet_counts),
@@ -1945,6 +2007,97 @@ SELECT vec_id, round(adc, 6) AS adc FROM adc
 ORDER BY adc ASC, vec_id ASC LIMIT {k}"""
 
 
+def _bigram_base_sql() -> str:
+    """Shared CTEs: positioned tokens + consecutive bigrams + add-k
+    bigram model counts (lm.bigram_counts / _doc_bigrams)."""
+    return """
+s AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+ix AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM s),
+toks AS (SELECT doc_id, CAST(i AS INT) AS i, l[CAST(i AS INT)] AS term FROM ix),
+bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+pc AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+cc AS (SELECT w1, sum(n) AS n1 FROM pc GROUP BY w1),
+v AS (SELECT count(DISTINCT term) AS v FROM toks)"""
+
+
+def _bigram_logprob_sql(k_smooth: float = 0.5) -> str:
+    """lm.doc_bigram_logprob: mean ln p(w2|w1) under the corpus add-k
+    bigram model."""
+    return f"""
+WITH {_bigram_base_sql()}
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(ln((pc.n + {k_smooth}) / (cc.n1 + {k_smooth} * v.v))), 6)
+           AS avg_logprob
+FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1), v
+GROUP BY bg.doc_id"""
+
+
+def _perplexity_gate_sql(k_smooth: float = 0.5) -> str:
+    """lm.perplexity_gate: keep docs at/above the median mean
+    log-probability (the low-perplexity CCNet head)."""
+    return f"""
+WITH {_bigram_base_sql()},
+sc AS (SELECT bg.doc_id, round(avg(ln((pc.n + {k_smooth}) / (cc.n1 + {k_smooth} * v.v))), 6)
+           AS avg_logprob
+       FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1), v
+       GROUP BY bg.doc_id),
+med AS (SELECT quantile_cont(avg_logprob, 0.5) AS med FROM sc)
+SELECT d.doc_id, d.lang, d.source, sc.avg_logprob
+FROM documents d JOIN sc USING (doc_id), med
+WHERE sc.avg_logprob >= med.med"""
+
+
+def _dsir_base_sql(targets: list[str], n_buckets: int, alpha: float) -> str:
+    tset = "('" + "','".join(targets) + "')"
+    return f"""
+toks AS (SELECT doc_id, source,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         FROM documents),
+tb AS (SELECT doc_id, source, {_h64_sql('term')} % {n_buckets} AS b FROM toks),
+hist AS (SELECT b,
+                sum(CASE WHEN source IN {tset} THEN 1 ELSE 0 END) AS nt,
+                sum(CASE WHEN source IN {tset} THEN 0 ELSE 1 END) AS nr
+         FROM tb GROUP BY b),
+tot AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM hist),
+ratio AS (SELECT b,
+                 ln((nt + {alpha}) / (tt + {alpha} * {n_buckets}))
+               - ln((nr + {alpha}) / (tr + {alpha} * {n_buckets})) AS lr
+          FROM hist, tot),
+w AS (SELECT doc_id, count(*) AS n_tokens, round(avg(lr), 6) AS dsir_weight
+      FROM tb JOIN ratio USING (b) GROUP BY doc_id)"""
+
+
+def _dsir_weights_sql(
+    targets: list[str], n_buckets: int, alpha: float = 0.5
+) -> str:
+    """pipelines.dsir_weights (portable hash family)."""
+    return f"WITH {_dsir_base_sql(targets, n_buckets, alpha)} SELECT * FROM w"
+
+
+def _dsir_selected_sql(
+    targets: list[str], n_buckets: int, k: int, alpha: float = 0.5
+) -> str:
+    """pipelines.dsir_topk: deterministic top-k by importance weight."""
+    return f"""
+WITH {_dsir_base_sql(targets, n_buckets, alpha)}
+SELECT w.doc_id, d.source, w.dsir_weight
+FROM w JOIN documents d USING (doc_id)
+ORDER BY w.dsir_weight DESC, w.doc_id ASC LIMIT {k}"""
+
+
+_INDEX_DELETE_SQL = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens
+       WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM docs)
+SELECT term, df, round(log10(CAST(n.n AS DOUBLE) / df), 6) AS idf
+FROM df, n"""
+
+
 def oracle_sql() -> dict[str, str]:
     all_o = {
         "tokenize_tf": f"WITH {_TOKENS} SELECT doc_id, term, count(*) AS tf "
@@ -2160,6 +2313,11 @@ LIMIT 50""",
         "bpe_segments": _bpe_segments_sql(_BPE_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),
         "distill_gate_weights": _distill_weights_sql(_DISTILL_ITERS),
+        "bigram_logprob": _bigram_logprob_sql(0.5),
+        "perplexity_gate": _perplexity_gate_sql(0.5),
+        "dsir_weights": _dsir_weights_sql(_DSIR_TARGETS, _DSIR_BUCKETS),
+        "dsir_selected": _dsir_selected_sql(_DSIR_TARGETS, _DSIR_BUCKETS, 100),
+        "index_delete_docs": _INDEX_DELETE_SQL,
         "distill_gate_scores": _distill_scores_sql(_DISTILL_ITERS),
         "facet_counts": f"""
 WITH {_TOKENS}, {_TF},

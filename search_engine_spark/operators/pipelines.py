@@ -174,3 +174,101 @@ def resample_corpus(
         .filter(u % F.lit(1_000_000) < F.col("thr"))
         .drop("thr")
     )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_sources: list[str],
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    per-doc importance of matching a TARGET distribution, with hashed
+    unigram features —
+
+        w(d) = (1/|d|) · Σ_{t∈d} ln( p_target(b(t)) / p_raw(b(t)) )
+
+    where b(t) = h(t) mod n_buckets and each p is an add-α-smoothed
+    bucket frequency. Target = docs whose `source` is in
+    target_sources (the trusted slice — DSIR's "formal text"), raw =
+    everything else. Positive w = looks like the target.
+
+    Plan shape at 100 TB: the two bucket histograms are ONE aggregate
+    each over the token stream (n_buckets rows out — broadcastable by
+    construction no matter the corpus size), the per-doc score is a
+    broadcast join of the 2·n_buckets-row log-ratio table onto the
+    token stream + one groupBy(doc_id) mean. Nothing wide ever carries
+    more than (doc_id, bucket). Length-normalized so selection does not
+    degenerate to short docs.
+
+    `family="portable"` makes bucket membership replayable outside
+    Spark (the oracle gate); default xxhash64 stays in codegen.
+    """
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    if not target_sources:
+        raise ValueError("target_sources must be non-empty")
+    toks = documents.select(
+        "doc_id",
+        "source",
+        F.explode(ws_tokens(F.col("text"))).alias("term"),
+    ).withColumn("b", h64(F.col("term"), family) % F.lit(n_buckets))
+    is_tgt = F.col("source").isin(target_sources)
+    hist = toks.groupBy("b").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).alias("nr"),
+    )
+    tot = hist.agg(
+        F.sum("nt").alias("tt"), F.sum("nr").alias("tr")
+    )
+    # log-ratio table: n_buckets rows joined to the 1-row totals —
+    # tiny by construction, broadcast back onto the token stream
+    ratio = (
+        hist.join(tot)
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("nt").cast("double") + F.lit(alpha))
+                    / (F.col("tt").cast("double") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("nr").cast("double") + F.lit(alpha))
+                    / (F.col("tr").cast("double") + F.lit(alpha * n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.select("doc_id", "b")
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_topk(
+    documents: DataFrame,
+    target_sources: list[str],
+    k: int = 100,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """The deterministic selection step: top-k docs by DSIR importance
+    weight (ties: doc_id asc). The paper samples ∝ exp(w/τ) with Gumbel
+    noise; at pipeline scale the noiseless top-k is the reproducible
+    variant (and Gumbel sampling is one extra hash-derived column away
+    for callers who want it). TakeOrdered of k rows — not a global
+    sort."""
+    w = dsir_weights(documents, target_sources, n_buckets, alpha, family)
+    return (
+        w.join(documents.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "dsir_weight")
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
