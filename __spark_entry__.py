@@ -444,6 +444,19 @@ def _dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.pipelines import dsir_sample
+
+    return dsir_sample(
+        _documents(spark, sf_dir),
+        _DSIR_TARGETS,
+        k=100,
+        tau=1.0,
+        n_buckets=_DSIR_BUCKETS,
+        family="portable",
+    )
+
+
 def _index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion with stats recompute: build over the full corpus, erase
     every doc_id % 10 == 0, emit the recomputed term dimension — the
@@ -658,7 +671,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'index_delete_docs', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -871,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_gate": q(_perplexity_gate),
         "dsir_weights": q(_dsir_weights),
         "dsir_selected": q(_dsir_selected),
+        "dsir_sampled": q(_dsir_sampled),
         "index_delete_docs": q(_index_delete_docs),
         "distill_gate_scores": q(_distill_scores),
         # search-frontend primitives: facets + wildcard dictionary range
@@ -2076,6 +2090,25 @@ def _dsir_weights_sql(
     return f"WITH {_dsir_base_sql(targets, n_buckets, alpha)} SELECT * FROM w"
 
 
+def _dsir_sampled_sql(
+    targets: list[str],
+    n_buckets: int,
+    k: int,
+    tau: float = 1.0,
+    seed: int = 47,
+    alpha: float = 0.5,
+) -> str:
+    """pipelines.dsir_sample: Gumbel-top-k with hash-derived noise."""
+    uh = _h64_sql(f"(CAST(w.doc_id AS VARCHAR) || ':{seed}')")
+    return f"""
+WITH {_dsir_base_sql(targets, n_buckets, alpha)}
+SELECT w.doc_id, d.source, w.dsir_weight,
+       round(w.dsir_weight / {tau}
+             - ln(-ln((({uh} % 1000000) + 0.5) / 1000000.0)), 6) AS sample_key
+FROM w JOIN documents d USING (doc_id)
+ORDER BY sample_key DESC, w.doc_id ASC LIMIT {k}"""
+
+
 def _dsir_selected_sql(
     targets: list[str], n_buckets: int, k: int, alpha: float = 0.5
 ) -> str:
@@ -2317,6 +2350,7 @@ LIMIT 50""",
         "perplexity_gate": _perplexity_gate_sql(0.5),
         "dsir_weights": _dsir_weights_sql(_DSIR_TARGETS, _DSIR_BUCKETS),
         "dsir_selected": _dsir_selected_sql(_DSIR_TARGETS, _DSIR_BUCKETS, 100),
+        "dsir_sampled": _dsir_sampled_sql(_DSIR_TARGETS, _DSIR_BUCKETS, 100),
         "index_delete_docs": _INDEX_DELETE_SQL,
         "distill_gate_scores": _distill_scores_sql(_DISTILL_ITERS),
         "facet_counts": f"""

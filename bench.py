@@ -410,6 +410,100 @@ def main() -> None:
 
         n_e2e_docs = timed("pipeline_e2e", _pipeline_e2e)
 
+        # round-4 operator rows (not in the headline core): LM quality
+        # gate, DSIR selection, positional-index serving, block-path
+        # BM25F/LM, index deletion
+        from search_engine_spark.operators import lm as lmod
+        from search_engine_spark.operators import phrase as ph
+        from search_engine_spark.operators.blocks import (
+            block_search as bsearch,
+            build_block_index_bm25f,
+            build_block_index_lm,
+        )
+        from search_engine_spark.operators import graph as g4
+        from search_engine_spark.operators.index_build import delete_docs
+
+        timed(
+            "bigram_gate",
+            lambda: lmod.perplexity_gate(documents).count(),
+        )
+        timed(
+            "dsir_weights",
+            lambda: pipelines.dsir_weights(
+                documents, ["src0", "src1", "src2", "src3"]
+            ).count(),
+        )
+        timed(
+            "positional_index_build",
+            lambda: ph.write_positional_index(
+                ph.positional_postings(
+                    documents.select("doc_id", "text"), ta.ws_tokens
+                ),
+                f"{tmp}/pos_idx",
+            ),
+        )
+        pos_idx = ph.read_positional_index(spark, f"{tmp}/pos_idx")
+        timed(
+            "phrase_probe",
+            lambda: ph.phrase_search(
+                None, ["data", "pipeline"], k=10, pos_index=pos_idx
+            ).collect(),
+        )
+        doc_idx4 = build_index(
+            documents.select("doc_id", "text"), tokenizer=ta.ws_tokens
+        )
+        qt4 = spark.createDataFrame(
+            [(0, "data"), (0, "pipeline")], "query_id int, term string"
+        )
+        timed(
+            "prox_probe",
+            lambda: ph.proximity_bm25(
+                doc_idx4, None, qt4, k=10, terms=["data", "pipeline"],
+                pos_index=pos_idx,
+            ).collect(),
+        )
+        n_docs4 = documents.count()
+        edges4 = g4.synthetic_links(documents, n_docs4)
+        anchors4 = g4.anchor_postings(documents, edges4)
+
+        def _bm25f_build():
+            b = build_block_index_bm25f(
+                doc_idx4, anchors4, num_buckets=CPUS
+            ).persist()
+            b.count()
+            return b
+
+        f_blocks = timed("block_bm25f_build", _bm25f_build)
+        timed(
+            "block_bm25f_search",
+            lambda: bsearch(
+                f_blocks, spark, ["spark merge batch"], k=10
+            ).collect(),
+        )
+        f_blocks.unpersist()
+
+        def _lm_build():
+            b = build_block_index_lm(doc_idx4, num_buckets=CPUS).persist()
+            b.count()
+            return b
+
+        l_blocks = timed("block_lm_build", _lm_build)
+        timed(
+            "block_lm_search",
+            lambda: bsearch(
+                l_blocks, spark, ["spark merge batch"], k=10,
+                prior_weight="nq",
+            ).collect(),
+        )
+        l_blocks.unpersist()
+        timed(
+            "index_delete_10pct",
+            lambda: delete_docs(
+                doc_idx4,
+                documents.select("doc_id").filter(F.col("doc_id") % 10 == 0),
+            ).term_stats.count(),
+        )
+
         # ranking-function breadth: LM-Dirichlet on the same serving
         # index, BPE merge training over the docs word table
         timed(
@@ -450,7 +544,6 @@ def main() -> None:
         # baked in, then the fused BM25 + n·pr search through the exact
         # TA-pruned path
         from search_engine_spark.operators.blocks import (
-            block_search as bsearch,
             build_block_index as bbuild,
         )
 

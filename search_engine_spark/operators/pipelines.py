@@ -272,3 +272,48 @@ def dsir_topk(
         .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def dsir_sample(
+    documents: DataFrame,
+    target_sources: list[str],
+    k: int = 100,
+    tau: float = 1.0,
+    seed: int = 47,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """The paper's actual selection rule: sample k docs WITHOUT
+    replacement with probability ∝ exp(w_d/τ), via the Gumbel-top-k
+    trick — key_d = w_d/τ + G_d, keep the k largest keys, where
+    G_d = −ln(−ln U_d) is Gumbel noise. U_d is hash-derived
+    ((h(doc_id:seed) mod 1e6 + 0.5)/1e6), so the "randomness" is a pure
+    per-row function: the same sample on every rerun, task retry, and
+    cluster size — the only kind of randomness a 100 TB reproducible
+    pipeline can afford. τ→0 degenerates to the noiseless top-k
+    (dsir_topk); larger τ trades selection sharpness for diversity.
+
+    Keys are 6dp-rounded BEFORE the top-k cut (doc_id tie-break) so the
+    selection replays bit-identically outside Spark."""
+    if tau <= 0.0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    w = dsir_weights(documents, target_sources, n_buckets, alpha, family)
+    u = (
+        h64(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")), family)
+        % F.lit(1_000_000)
+    ).cast("double")
+    gumbel = -F.log(-F.log((u + F.lit(0.5)) / F.lit(1_000_000.0)))
+    return (
+        w.join(documents.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "dsir_weight",
+            F.round(
+                F.col("dsir_weight") / F.lit(tau) + gumbel, 6
+            ).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

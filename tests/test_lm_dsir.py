@@ -121,3 +121,33 @@ def test_delete_docs_equals_rebuild(spark):
         ra = sorted(map(tuple, a.collect()))
         rb = sorted(map(tuple, b.collect()))
         assert ra == rb, keys
+
+
+def test_dsir_sample_is_deterministic_and_tau_sensitive(spark):
+    from search_engine_spark.operators.pipelines import dsir_sample, dsir_topk
+
+    # distinct mixes of target/raw vocab -> distinct weights, so the
+    # tau->0 comparison is not decided by tie-breaks
+    rows = (
+        [(i, "alpha beta " * (i + 1) + "x y " * (20 - i), "en", "tgt")
+         for i in range(20)]
+        + [(100 + i, "x y " * (i + 1) + "alpha " * (i % 3), "en", "raw")
+           for i in range(20)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    a = [tuple(r) for r in dsir_sample(docs, ["tgt"], k=10, n_buckets=64).collect()]
+    b = [tuple(r) for r in dsir_sample(docs, ["tgt"], k=10, n_buckets=64).collect()]
+    assert a == b  # pure function of the data
+    # tau -> 0 approaches the noiseless top-k selection
+    sharp = {
+        r["doc_id"]
+        for r in dsir_sample(docs, ["tgt"], k=10, tau=1e-9, n_buckets=64).collect()
+    }
+    noiseless = {
+        r["doc_id"] for r in dsir_topk(docs, ["tgt"], k=10, n_buckets=64).collect()
+    }
+    assert sharp == noiseless
+    with pytest.raises(ValueError, match="tau"):
+        dsir_sample(docs, ["tgt"], tau=0.0)
