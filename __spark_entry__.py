@@ -457,6 +457,12 @@ def _dsir_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.similarity import semdedup
+
+    return semdedup(_embeddings(spark, sf_dir), k=8, iters=2, threshold=0.4)
+
+
 def _index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion with stats recompute: build over the full corpus, erase
     every doc_id % 10 == 0, emit the recomputed term dimension — the
@@ -671,7 +677,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'semdedup', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -901,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q(_lsh_topk),
         "ivf_cosine_topk_batch": q(_ivf_topk_batch),
         "lsh_cosine_topk_batch": q(_lsh_topk_batch),
+        "semdedup": q(_semdedup),
         "kmeans_clusters": q(
             lambda s, d: similarity.kmeans_clusters(_embeddings(s, d), k=8, iters=2)
         ),
@@ -1955,6 +1962,38 @@ c0 AS (SELECT r.cell, x.i, round(x.v, 6) AS m FROM rk r JOIN e x ON x.vec_id = r
     return sql
 
 
+def _semdedup_sql(
+    k: int = 8, iters: int = 2, threshold: float = 0.4, dim: int = 64
+) -> str:
+    """similarity.semdedup: the _kmeans_sql trajectory nested as a CTE,
+    within-cell 6dp cosine pairs, then the recursive-CTE connected
+    components (min vec_id per component; singletons keep themselves)."""
+    return f"""
+WITH RECURSIVE
+km AS MATERIALIZED ({_kmeans_sql(k, iters, dim)}),
+pos AS (SELECT pos FROM generate_series(1, {dim}) t(pos)),
+ev AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS v
+       FROM embeddings, pos),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
+cand AS (SELECT ka.vec_id AS src, kb.vec_id AS dst
+         FROM km ka JOIN km kb
+           ON ka.cell = kb.cell AND ka.vec_id < kb.vec_id
+         JOIN (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+               FROM ev a JOIN ev b ON a.pos = b.pos AND a.vec_id < b.vec_id
+               GROUP BY 1, 2) d
+           ON d.va = ka.vec_id AND d.vb = kb.vec_id
+         JOIN norms x ON x.vec_id = ka.vec_id
+         JOIN norms y ON y.vec_id = kb.vec_id
+         WHERE round(d.dot / (x.nrm * y.nrm), 6) >= {threshold}),
+edges AS (SELECT src AS a, dst AS b FROM cand
+          UNION ALL SELECT dst, src FROM cand),
+r(n, rep) AS (SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.b, r.rep FROM r JOIN edges e ON e.a = r.n),
+labels AS (SELECT n AS vec_id, min(rep) AS keep_id FROM r GROUP BY n)
+SELECT vec_id, keep_id FROM labels"""
+
+
 def _pq_ctes(m: int = 8, ks: int = 16, iters: int = 2, dim: int = 64) -> tuple[str, str, str]:
     """CTE chain replaying similarity.pq_train + pq_assign: per-subspace
     Lloyd on the fixed-point grid (same salt, rounding, tie rules as
@@ -2494,6 +2533,7 @@ WHERE rep.n_tokens BETWEEN 20 AND 100000
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "materialize_sequences": _MATERIALIZE_SEQUENCES_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
+        "semdedup": _semdedup_sql(k=8, iters=2, threshold=0.4),
         "pq_codes": _pq_codes_sql(),
         "pq_adc_topk": _pq_adc_sql(),
     }

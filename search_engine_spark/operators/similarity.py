@@ -937,3 +937,73 @@ def pq_topk_rerank(
         .orderBy(col("d2").asc(), col("vec_id").asc())
         .limit(k)
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(vec_id, keep_id): SemDeDup (Abbas et al. 2023) — semantic
+    near-duplicate groups via embedding clustering, keep_id = the
+    minimum vec_id of each group; singletons keep themselves.
+
+    The method's point is the COST SHAPE: exact pairwise cosine is
+    O(n²) over the corpus, but clustering first (the deterministic
+    fixed-point Lloyd pass, kmeans_clusters) bounds the quadratic to
+    within-cluster pairs — O(Σ_c |c|²), tunable by k. At 10^9 docs and
+    k sized so clusters are ~10^5, that is 10^5× less pair work than
+    the naive join, and each cluster's pair block is an independent
+    task. Pairs at cosine ≥ threshold then collapse to groups by the
+    shared min-label component fixpoint (graph.link_components — the
+    same machinery as MinHash dedup), so transitive near-dup chains
+    dedup to one representative, not pairwise-greedily.
+
+    Caveat (inherent to SemDeDup, not this implementation): near-dups
+    that k-means splits across cluster boundaries are missed; the
+    paper accepts this, and raising k trades recall for pair cost.
+    Cosines are 6dp-rounded before thresholding so the grouping
+    replays exactly outside Spark.
+    """
+    cells = kmeans_clusters(embeddings, k=k, iters=iters).select(
+        "vec_id", "cell"
+    )
+    emb = embeddings.join(cells, "vec_id")
+    a = emb.select(
+        "cell", col("vec_id").alias("src"), col("embedding").alias("ea")
+    )
+    b = emb.select(
+        "cell", col("vec_id").alias("dst"), col("embedding").alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(col("src") < col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(dot / (norm(col("ea")) * norm(col("eb"))), 6).alias("cos"),
+        )
+        .filter(col("cos") >= threshold)
+        .select("src", "dst")
+    )
+    from search_engine_spark.operators.graph import link_components
+
+    comp = link_components(
+        embeddings.select(col("vec_id").alias("doc_id")), pairs
+    )
+    return comp.select(
+        col("doc_id").alias("vec_id"), col("comp_id").alias("keep_id")
+    )

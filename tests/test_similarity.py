@@ -349,3 +349,38 @@ def test_pq_adc_ranks_like_exact_l2(spark):
     packed = pq_encode(emb, books)
     row = packed.filter(F.col("vec_id") == 3).first()
     assert len(row["codes"]) == 8
+
+
+def test_semdedup_merges_transitive_chain(spark):
+    """SemDeDup groups must be TRANSITIVE closures of the cos≥t pair
+    relation within a cluster, not greedy pairwise picks: a chain
+    A≈B≈C where cos(A,C) < t must still collapse to one keep_id."""
+    import math
+
+    from search_engine_spark.operators.similarity import semdedup
+
+    def vec(seed: int) -> list[float]:
+        return [math.sin(0.7 * seed + 1.3 * i) for i in range(64)]
+
+    # chain: v0, v0+0.35*v1, v0+0.8*v1 — adjacent cosines 0.985/0.991,
+    # ends 0.954: at threshold 0.98 only adjacency links exist
+    base, drift = vec(1), vec(9)
+    chain = [
+        [b + a * d for b, d in zip(base, drift)] for a in (0.0, 0.35, 0.8)
+    ]
+    rows = [(i, chain[i]) for i in range(3)]
+    # disjoint one-hot singletons: pairwise cosine 0, far from the chain
+    rows += [
+        (10 + i, [1.0 if j == 10 + i else 0.0 for j in range(64)])
+        for i in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k=1 ⇒ one cell, so the test isolates the grouping semantics from
+    # k-means boundary effects (covered by the oracle-gated k=8 entry)
+    labels = {
+        r["vec_id"]: r["keep_id"]
+        for r in semdedup(emb, k=1, iters=1, threshold=0.98).collect()
+    }
+    assert {labels[i] for i in range(3)} == {0}, f"chain split: {labels}"
+    for i in range(4):
+        assert labels[10 + i] == 10 + i, f"singleton {10+i} merged"
