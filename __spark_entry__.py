@@ -533,6 +533,44 @@ def _bm25_prox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rm3_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import rm3_expand
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return rm3_expand(
+        index, docs, QUERY_TERMS, tokenizer=ws_tokens, fb_docs=10, fb_terms=10
+    )
+
+
+def _rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import rm3_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return rm3_search(
+        index, docs, QUERY_TERMS, tokenizer=ws_tokens, k=10,
+        fb_docs=10, fb_terms=10,
+    )
+
+
+def _mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.rerank import mmr_rerank
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return mmr_rerank(
+        index, docs, QUERY_TERMS, tokenizer=ws_tokens,
+        n_candidates=20, k=10, lam=0.7,
+    )
+
+
 def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import facet_counts
@@ -677,7 +715,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'semdedup', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'semdedup', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -894,6 +932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_delete_docs": q(_index_delete_docs),
         "distill_gate_scores": q(_distill_scores),
         # search-frontend primitives: facets + wildcard dictionary range
+        # RM3 pseudo-relevance feedback: expanded model + weighted-BM25 pass 2
+        "rm3_terms": q(_rm3_terms),
+        "rm3_topk": q(_rm3_topk),
+        # MMR diversified re-ranking (Carbonell & Goldstein 1998)
+        "mmr_topk": q(_mmr_topk),
         "facet_counts": q(_facet_counts),
         "prefix_terms": q(_prefix_terms),
         "bm25_prox_topk": q(_bm25_prox),
@@ -948,6 +991,119 @@ JOIN df USING (term) JOIN dl USING (doc_id), stats
 GROUP BY doc_id{{qid_group}}
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
+"""
+
+
+def _rm3_ctes(fb_docs: int = 10, fb_terms: int = 10, alpha: float = 0.5) -> str:
+    """CTE chain replaying query.rm3_expand: BM25 pass 1 with the
+    6dp-rounded cut, 9dp-normalized doc weights, relevance model over
+    the feedback docs' term distributions, interpolation with the
+    uniform query prior, and the 6dp-rounded top-`fb_terms` cut."""
+    nq = len(QUERY_TERMS)
+    pq_vals = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    return f"""{_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+m0 AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df0 AS (SELECT term, count(*) AS df FROM m0 GROUP BY term),
+p1 AS (SELECT doc_id, round(sum(
+        ln(1.0 + (CAST(stats.n AS DOUBLE) - df0.df + 0.5) / (df0.df + 0.5))
+        * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+       ), 6) AS s
+       FROM m0 m JOIN df0 USING (term) JOIN dl USING (doc_id), stats
+       GROUP BY doc_id),
+fb AS (SELECT doc_id, s FROM p1 ORDER BY s DESC, doc_id ASC LIMIT {fb_docs}),
+tot AS (SELECT sum(s) AS t FROM fb),
+wd AS (SELECT doc_id, round(s / t, 9) AS w FROM fb, tot),
+prm AS (SELECT tf.term, sum(wd.w * CAST(tf.tf AS DOUBLE) / dl.dl) AS prm
+        FROM tf JOIN wd USING (doc_id) JOIN dl USING (doc_id)
+        GROUP BY tf.term),
+pq(term) AS (VALUES {pq_vals}),
+model AS (SELECT coalesce(prm.term, pq.term) AS term,
+                 round({alpha} * coalesce(prm.prm, 0)
+                       + CASE WHEN pq.term IS NOT NULL
+                              THEN (1.0 - {alpha}) / {nq} ELSE 0 END,
+                       6) AS weight
+          FROM prm FULL JOIN pq ON prm.term = pq.term),
+expq AS (SELECT term, weight FROM model
+         ORDER BY weight DESC, term ASC LIMIT {fb_terms})"""
+
+
+_RM3_TERMS_SQL = f"""
+WITH {_rm3_ctes()}
+SELECT term, weight FROM expq
+"""
+
+_RM3_TOPK_SQL = f"""
+WITH {_rm3_ctes()},
+df1 AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM expq) GROUP BY term)
+SELECT 0 AS query_id, doc_id, round(sum(
+    e.weight
+    * ln(1.0 + (CAST(stats.n AS DOUBLE) - df1.df + 0.5) / (df1.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+), 6) AS score
+FROM tf m
+JOIN expq e USING (term) JOIN df1 USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def _mmr_sql(n_candidates: int = 20, k: int = 10, lam: float = 0.7) -> str:
+    """CTE chain replaying rerank.mmr_rerank: BM25 candidates (6dp
+    rounded cut), candidate-only distinct-token Jaccard pairs, then the
+    greedy MMR trajectory UNROLLED k steps (argmax of the 6dp-rounded
+    objective, doc_id ASC tie-break) — same mechanism as the unrolled
+    Lloyd/GD oracles. Float literals are emitted at full repr precision
+    so λ and 1-λ are bit-identical to the engine's f64 values."""
+    one_m_lam = 1.0 - lam
+    steps = []
+    final = [f"SELECT 1 AS rank, doc_id, m AS score FROM sel1"]
+    for i in range(2, k + 1):
+        steps.append(f"""
+mx{i} AS MATERIALIZED (SELECT CASE WHEN s.doc_a = p.doc_id THEN s.doc_b ELSE s.doc_a END AS d,
+                 max(s.jac) AS ms
+          FROM sims s JOIN c{i-1} p ON p.doc_id = s.doc_a OR p.doc_id = s.doc_b
+          GROUP BY 1),
+sel{i} AS MATERIALIZED (SELECT c.doc_id,
+                  round({lam!r} * c.rel - {one_m_lam!r} * coalesce(mx.ms, 0), 6) AS m
+           FROM cand c LEFT JOIN mx{i} mx ON mx.d = c.doc_id
+           WHERE c.doc_id NOT IN (SELECT doc_id FROM c{i-1})
+           ORDER BY m DESC, c.doc_id ASC LIMIT 1),
+c{i} AS MATERIALIZED (SELECT doc_id FROM c{i-1} UNION ALL SELECT doc_id FROM sel{i})""")
+        final.append(f"SELECT {i}, doc_id, m FROM sel{i}")
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+m0 AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df0 AS (SELECT term, count(*) AS df FROM m0 GROUP BY term),
+p1 AS MATERIALIZED (SELECT doc_id, round(sum(
+        ln(1.0 + (CAST(stats.n AS DOUBLE) - df0.df + 0.5) / (df0.df + 0.5))
+        * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+       ), 6) AS rel
+       FROM m0 m JOIN df0 USING (term) JOIN dl USING (doc_id), stats
+       GROUP BY doc_id),
+cand AS MATERIALIZED (SELECT doc_id, rel FROM p1
+         ORDER BY rel DESC, doc_id ASC LIMIT {n_candidates}),
+toksC AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM tf
+          WHERE doc_id IN (SELECT doc_id FROM cand)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toksC GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           FROM toksC a JOIN toksC b
+             ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+sims AS MATERIALIZED (SELECT doc_a, doc_b,
+                round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jac
+         FROM common
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id),
+sel1 AS MATERIALIZED (SELECT doc_id, round({lam!r} * rel, 6) AS m FROM cand
+         ORDER BY m DESC, doc_id ASC LIMIT 1),
+c1 AS MATERIALIZED (SELECT doc_id FROM sel1),{",".join(steps)}
+SELECT * FROM ({" UNION ALL ".join(final)}) ORDER BY rank
 """
 
 
@@ -2392,6 +2548,9 @@ LIMIT 50""",
         "dsir_sampled": _dsir_sampled_sql(_DSIR_TARGETS, _DSIR_BUCKETS, 100),
         "index_delete_docs": _INDEX_DELETE_SQL,
         "distill_gate_scores": _distill_scores_sql(_DISTILL_ITERS),
+        "rm3_terms": _RM3_TERMS_SQL,
+        "rm3_topk": _RM3_TOPK_SQL,
+        "mmr_topk": _mmr_sql(n_candidates=20, k=10, lam=0.7),
         "facet_counts": f"""
 WITH {_TOKENS}, {_TF},
 hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS})

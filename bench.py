@@ -64,6 +64,8 @@ def main() -> None:
     )
     from search_engine_spark.operators import dedup, pipelines, similarity
     from search_engine_spark.operators import text_analytics as ta
+    from search_engine_spark.operators import query as query_ops
+    from search_engine_spark.operators import rerank
     from search_engine_spark.operators.query import search
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources import synth_pages
@@ -188,6 +190,32 @@ def main() -> None:
                 documents.select("doc_id", "text"), tokenizer=ta.ws_tokens
             ).postings.count(),
         )
+        # RM3 pseudo-relevance feedback: two retrieval passes + the
+        # tiny feedback barrier (fb_docs ids collected, 10 docs
+        # re-tokenized from a pruned scan) — the whole-query-expansion
+        # serving cost a frontend would pay per query
+        docs_idx = build_index(
+            documents.select("doc_id", "text"), tokenizer=ta.ws_tokens
+        ).cache()
+        docs_idx.postings.count()
+        timed(
+            "rm3_search",
+            lambda: query_ops.rm3_search(
+                docs_idx, documents.select("doc_id", "text"),
+                ["spark", "merge", "batch"], tokenizer=ta.ws_tokens,
+            ).collect(),
+        )
+        # MMR diversified re-rank: candidates + pairwise Jaccard are the
+        # distributed part; the greedy loop is n_candidates scalars
+        timed(
+            "mmr_rerank",
+            lambda: rerank.mmr_rerank(
+                docs_idx, documents.select("doc_id", "text"),
+                ["spark", "merge", "batch"], tokenizer=ta.ws_tokens,
+                n_candidates=20,
+            ).collect(),
+        )
+        docs_idx.unpersist()
         timed(
             "minhash_dedup",
             lambda: dedup.minhash_dedup(documents)  # xxhash64 production family
@@ -256,6 +284,14 @@ def main() -> None:
             lambda: similarity.kmeans_clusters(embeddings, k=8, iters=2).count(),
         )
         timed("cosine_topk", lambda: similarity.cosine_topk(embeddings, 0).collect())
+        # SemDeDup: cluster-bounded pair work + components fixpoint —
+        # the embedding-space analog of minhash_dedup's labeling row
+        timed(
+            "semdedup",
+            lambda: similarity.semdedup(
+                embeddings, k=8, iters=2, threshold=0.4
+            ).count(),
+        )
 
         # ANN serving path (r2 judge item 3): one-time index build +
         # 10 partition-pruned probes — probe cost amortizes the build,

@@ -461,3 +461,140 @@ def prefix_terms(index: InvertedIndex, prefix: str) -> DataFrame:
         index.term_stats.filter(F.col("term").startswith(prefix))
         .select("term", F.col("df").cast("long").alias("df"))
     )
+
+
+def rm3_expand(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    tokenizer=None,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(term, weight): RM3 pseudo-relevance-feedback query model
+    (Lavrenko & Croft 2001 relevance model, interpolated à la RM3).
+
+    Pass 1 retrieves the BM25 top-`fb_docs`; each feedback doc d gets
+    weight w_d = score_d / Σscores; the relevance model is
+    P_rm(t) = Σ_d w_d · tf(t,d)/dl(d); the final model interpolates
+    with the uniform original-query model, weight(t) =
+    α·P_rm(t) + (1-α)·1/|q|·[t ∈ q], cut to the top `fb_terms` by
+    (weight DESC, term ASC) after `round_dp` rounding so the cut —
+    like every comparison here — replays exactly outside Spark.
+
+    Scale shape: PRF is inherently a two-pass barrier, but everything
+    that crosses it is tiny — the pass-1 collect is `fb_docs` (id,
+    score) scalars (the same k-scalar driver-barrier class as the
+    Lloyd/BPE/GD loops), and the feedback docs' term distributions
+    come from a doc_id-isin-PRUNED scan of the docs relation (the
+    predicate reaches the parquet scan; 10 docs re-tokenized, not the
+    corpus — the postings relation is term-partitioned, so probing it
+    by doc_id would scan every posting list instead). No stop-word
+    gate is applied beyond the index's own: the corpus tables here are
+    pre-filtered tokens, and idf inside the pass-2 scorer already
+    crushes high-df expansion terms.
+    """
+    spark = docs.sparkSession
+    qset = list(dict.fromkeys(query_terms))
+    qt = spark.createDataFrame(
+        [(0, t) for t in qset], "query_id int, term string"
+    )
+    m = _matched(index, qt, terms=qset)
+    pass1 = (
+        m.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp
+            ).alias("s")
+        )
+        # round BEFORE the cut (r3 advice: an unrounded cut can rank
+        # sub-1e-6 score twins differently from the replay)
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(fb_docs)
+    )
+    fb = pass1.collect()  # ≤ fb_docs scalars — the PRF barrier
+    total = sum(r["s"] for r in fb)
+    pq_w = (1.0 - alpha) / len(qset)
+    orig = spark.createDataFrame([(t, pq_w) for t in qset], "term string, pq double")
+    if not fb or total <= 0.0:
+        return orig.select(
+            "term", F.round(F.col("pq"), round_dp).alias("weight")
+        ).orderBy(F.col("weight").desc(), F.col("term").asc()).limit(fb_terms)
+    from search_engine_spark.numerics import round_half_up
+
+    wd = spark.createDataFrame(
+        # round_half_up, not builtin round: the oracle's round(s/t, 9)
+        # is HALF_UP and Python's builtin is HALF_EVEN (numerics.py)
+        [(int(r["doc_id"]), round_half_up(r["s"] / total, 9)) for r in fb],
+        "doc_id long, w double",
+    )
+    ids = [int(r["doc_id"]) for r in fb]
+    from search_engine_spark.operators.index_build import raw_postings_from_docs
+
+    fb_tf = raw_postings_from_docs(
+        docs.filter(F.col("doc_id").isin(ids)), tokenizer
+    ).filter(F.col("term").isNotNull())
+    dl = fb_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    prm = (
+        fb_tf.join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(wd), "doc_id")
+        .groupBy("term")
+        .agg(F.sum(F.col("w") * F.col("tf") / F.col("dl")).alias("prm"))
+    )
+    model = prm.join(orig, "term", "full_outer").select(
+        "term",
+        F.round(
+            alpha * F.coalesce(F.col("prm"), F.lit(0.0))
+            + F.coalesce(F.col("pq"), F.lit(0.0)),
+            round_dp,
+        ).alias("weight"),
+    )
+    return (
+        model.orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(fb_terms)
+    )
+
+
+def rm3_search(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    tokenizer=None,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score): weighted-BM25 retrieval under the RM3
+    expanded model — score(d) = Σ_t weight(t)·idf_t·tf_norm(t,d).
+
+    The expansion terms are collected (≤ fb_terms scalars) so the
+    pass-2 probe pushes the literal isin into the postings scan, the
+    same dictionary-seek shape as plain `search` — expansion changes
+    WHICH posting lists are read (a few more), not HOW.
+    """
+    exp = rm3_expand(
+        index, docs, query_terms, tokenizer,
+        fb_docs=fb_docs, fb_terms=fb_terms, alpha=alpha, round_dp=round_dp,
+    ).collect()
+    spark = docs.sparkSession
+    terms = [r["term"] for r in exp]
+    wdf = spark.createDataFrame(
+        [(0, r["term"], float(r["weight"])) for r in exp],
+        "query_id int, term string, weight double",
+    )
+    m = _matched(index, wdf.select("query_id", "term"), terms=terms)
+    scored = (
+        m.join(F.broadcast(wdf.select("term", "weight")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("weight") * F.col("bm25_idf") * F.col("tf_norm")),
+                round_dp,
+            ).alias("score")
+        )
+    )
+    return topk(scored, k)

@@ -139,3 +139,87 @@ def test_lm_dirichlet_batch_equals_single_query(spark):
         if r["query_id"] == 0
     }
     assert alone == in_batch
+
+
+def test_rm3_expansion_recalls_feedback_vocabulary(spark):
+    """The point of pseudo-relevance feedback: a doc sharing NO term
+    with the query becomes retrievable when it shares vocabulary with
+    the query's top-ranked (feedback) docs."""
+    from search_engine_spark.operators.query import rm3_expand, rm3_search
+
+    rows = [
+        # on-topic docs: query term + companion vocabulary
+        (0, "solar panel inverter grid energy"),
+        (1, "solar inverter battery grid storage"),
+        (2, "solar grid inverter output energy"),
+        # the PRF target: companion terms only, never the query term
+        (3, "inverter grid battery energy storage"),
+        # off-topic noise
+        (4, "pasta sauce tomato basil recipe"),
+        (5, "guitar chord melody rhythm song"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_index(docs, tokenizer=ws_tokens)
+
+    model = {
+        r["term"]: r["weight"]
+        for r in rm3_expand(
+            index, docs, ["solar"], tokenizer=ws_tokens, fb_docs=3, fb_terms=6
+        ).collect()
+    }
+    # the original term keeps its (1-α)/|q| floor plus its P_rm mass
+    assert model["solar"] > 0.5
+    # companion vocabulary from the feedback docs enters the model...
+    assert "inverter" in model and "grid" in model
+    # ...and off-topic vocabulary does not
+    assert "pasta" not in model and "guitar" not in model
+
+    hits = {
+        r["doc_id"]
+        for r in rm3_search(
+            index, docs, ["solar"], tokenizer=ws_tokens, fb_docs=3, fb_terms=6
+        ).collect()
+    }
+    assert 3 in hits, "PRF must retrieve the companion-only doc"
+    assert 4 not in hits and 5 not in hits
+
+
+def test_mmr_demotes_near_duplicate_results(spark):
+    """MMR's contract: among equally relevant docs, a near-duplicate of
+    an already-picked doc ranks below a relevant-but-different doc."""
+    from search_engine_spark.operators.rerank import mmr_rerank
+
+    rows = [
+        # two near-identical highly relevant docs (19/20 shared tokens)
+        (0, "solar " * 3 + " ".join(f"t{i}" for i in range(17))),
+        (1, "solar " * 3 + " ".join(f"t{i}" for i in range(16)) + " zz"),
+        # a less-relevant but different doc
+        (2, "solar " + " ".join(f"u{i}" for i in range(19))),
+        # filler so stats aren't degenerate
+        (3, " ".join(f"v{i}" for i in range(20))),
+        (4, " ".join(f"w{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_index(docs, tokenizer=ws_tokens)
+
+    plain = [
+        r["doc_id"]
+        for r in score_bm25(
+            index,
+            spark.createDataFrame([(0, "solar")], "query_id int, term string"),
+            k=3,
+            terms=["solar"],
+        ).collect()
+    ]
+    assert plain[:2] == [0, 1], "BM25 alone ranks the twins 1-2"
+
+    mmr = [
+        r["doc_id"]
+        for r in mmr_rerank(
+            index, docs, ["solar"], tokenizer=ws_tokens,
+            n_candidates=5, k=3, lam=0.5,
+        ).collect()
+    ]
+    assert mmr[0] == 0
+    assert mmr[1] == 2, f"the different doc must jump the near-dup twin: {mmr}"
+    assert mmr[2] == 1
