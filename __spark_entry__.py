@@ -457,6 +457,14 @@ def _dsir_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _embeddings(spark, sf_dir), n=100, k=8, iters=2, family="portable"
+    )
+
+
 def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.similarity import semdedup
 
@@ -715,7 +723,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'semdedup', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -951,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk_batch": q(_ivf_topk_batch),
         "lsh_cosine_topk_batch": q(_lsh_topk_batch),
         "semdedup": q(_semdedup),
+        "cluster_sample": q(_cluster_sample),
         "kmeans_clusters": q(
             lambda s, d: similarity.kmeans_clusters(_embeddings(s, d), k=8, iters=2)
         ),
@@ -2150,6 +2159,26 @@ labels AS (SELECT n AS vec_id, min(rep) AS keep_id FROM r GROUP BY n)
 SELECT vec_id, keep_id FROM labels"""
 
 
+def _cluster_sample_sql(
+    n: int = 100, k: int = 8, iters: int = 2, seed: int = 44
+) -> str:
+    """similarity.cluster_balanced_sample: the _kmeans_sql trajectory,
+    integer-exact per-cell thresholds quota·1e6 // size, and the same
+    portable-hash membership band as sample_corpus."""
+    base, rem = n // k, n % k
+    h = _h64_sql(f"CAST(km.vec_id AS VARCHAR) || ':{seed}'")
+    return f"""
+WITH km AS MATERIALIZED ({_kmeans_sql(k, iters)}),
+sz AS (SELECT cell, count(*) AS sz FROM km GROUP BY cell),
+thr AS (SELECT cell,
+               least(1000000,
+                     ({base} + CASE WHEN cell < {rem} THEN 1 ELSE 0 END)
+                     * 1000000 // sz) AS thr
+        FROM sz)
+SELECT km.vec_id, km.cell FROM km JOIN thr USING (cell)
+WHERE {h} % 1000000 < thr.thr"""
+
+
 def _pq_ctes(m: int = 8, ks: int = 16, iters: int = 2, dim: int = 64) -> tuple[str, str, str]:
     """CTE chain replaying similarity.pq_train + pq_assign: per-subspace
     Lloyd on the fixed-point grid (same salt, rounding, tie rules as
@@ -2693,6 +2722,7 @@ WHERE rep.n_tokens BETWEEN 20 AND 100000
         "materialize_sequences": _MATERIALIZE_SEQUENCES_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "semdedup": _semdedup_sql(k=8, iters=2, threshold=0.4),
+        "cluster_sample": _cluster_sample_sql(n=100, k=8, iters=2, seed=44),
         "pq_codes": _pq_codes_sql(),
         "pq_adc_topk": _pq_adc_sql(),
     }

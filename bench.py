@@ -284,6 +284,12 @@ def main() -> None:
             lambda: similarity.kmeans_clusters(embeddings, k=8, iters=2).count(),
         )
         timed("cosine_topk", lambda: similarity.cosine_topk(embeddings, 0).collect())
+        timed(
+            "cluster_sample",
+            lambda: similarity.cluster_balanced_sample(
+                embeddings, n=1000, k=8, iters=2
+            ).count(),
+        )
         # SemDeDup: cluster-bounded pair work + components fixpoint —
         # the embedding-space analog of minhash_dedup's labeling row
         timed(

@@ -1007,3 +1007,62 @@ def semdedup(
     return comp.select(
         col("doc_id").alias("vec_id"), col("comp_id").alias("keep_id")
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    n: int,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 44,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """(vec_id, cell): ~n rows drawn uniformly ACROSS the k k-means
+    cells — cluster-balanced data selection: where proportional
+    sampling reproduces the corpus's topic skew, this gives each
+    semantic region an equal quota (n/k, the first n%k cells taking
+    the remainder), the standard diversity-balancing step before
+    pretraining-corpus assembly.
+
+    Mechanism: per-cell hash-band thresholds, the same scan-stage
+    membership rule as sample_corpus/resample_corpus — a row is kept
+    iff h(vec_id:seed) mod 1e6 < quota_c·1e6 // size_c, a pure
+    function of the row, so membership survives repartitioning and
+    retries, and no per-cell sort or global rank touches the corpus
+    (a window-rank version would sort n/k-row cells; at 10^9 rows
+    that's the difference between a filter and k giant sorts).
+    Realized counts are binomial around the quota (exact when a cell
+    is smaller than its quota — rate clamps to 1), same contract as
+    sample_corpus. Thresholds are integer-exact (quota·1e6 // size)
+    so the oracle replays without float-boundary hazards. What
+    crosses the driver: k (cell, count) rows.
+
+    `family="portable"` makes membership replayable outside Spark
+    (oracle gate); default xxhash64 stays in codegen.
+    """
+    from search_engine_spark.operators.hashing import h64
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    cells = kmeans_clusters(embeddings, k=k, iters=iters).select(
+        "vec_id", "cell"
+    )
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base, rem = n // k, n % k
+    thr = [
+        (c, min(1_000_000, (base + (1 if c < rem else 0)) * 1_000_000 // sz))
+        for c, sz in sorted(sizes.items())
+    ]
+    spark = embeddings.sparkSession
+    thr_df = F.broadcast(
+        spark.createDataFrame(thr, "cell int, thr long")
+    )
+    u = h64(F.concat(col("vec_id").cast("string"), lit(f":{seed}")), family)
+    return (
+        cells.join(thr_df, "cell")
+        .filter(u % F.lit(1_000_000) < col("thr"))
+        .select("vec_id", "cell")
+    )

@@ -384,3 +384,37 @@ def test_semdedup_merges_transitive_chain(spark):
     assert {labels[i] for i in range(3)} == {0}, f"chain split: {labels}"
     for i in range(4):
         assert labels[10 + i] == 10 + i, f"singleton {10+i} merged"
+
+
+def test_cluster_balanced_sample_balances_and_is_stable(spark):
+    from search_engine_spark.operators.similarity import (
+        cluster_balanced_sample,
+        kmeans_clusters,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = cluster_balanced_sample(emb, n=100, k=8, iters=2).collect()
+    per_cell = {}
+    for r in got:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    sizes = {
+        r["cell"]: r["count"]
+        for r in kmeans_clusters(emb, k=8, iters=2).groupBy("cell").count().collect()
+    }
+    # every populated cell contributes, and no cell hogs the sample:
+    # binomial(size, quota/size) stays well under 3x the 12-13 quota
+    assert set(per_cell) == set(sizes)
+    assert all(v <= 40 for v in per_cell.values()), per_cell
+    # ~n total (hash-band realization, quota-exact only when rate clamps)
+    assert 50 <= len(got) <= 200
+
+    # membership is a pure row function: repartitioning changes nothing
+    again = cluster_balanced_sample(
+        emb.repartition(7, "vec_id"), n=100, k=8, iters=2
+    ).collect()
+    assert sorted(r["vec_id"] for r in again) == sorted(r["vec_id"] for r in got)
+
+    # n >= corpus: rate clamps to 1 in every cell -> everything kept
+    total = emb.count()
+    allrows = cluster_balanced_sample(emb, n=8 * total, k=8, iters=2)
+    assert allrows.count() == total
