@@ -471,6 +471,14 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(_embeddings(spark, sf_dir), k=8, iters=2, threshold=0.4)
 
 
+def _textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.keywords import textrank_keywords
+
+    return textrank_keywords(
+        _documents(spark, sf_dir), k=3, window=2, iters=5
+    )
+
+
 def _index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion with stats recompute: build over the full corpus, erase
     every doc_id % 10 == 0, emit the recomputed term dimension — the
@@ -723,7 +731,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -960,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk_batch": q(_lsh_topk_batch),
         "semdedup": q(_semdedup),
         "cluster_sample": q(_cluster_sample),
+        # TextRank keywords: joint per-doc PageRank over co-occurrence
+        "textrank_keywords": q(_textrank),
         "kmeans_clusters": q(
             lambda s, d: similarity.kmeans_clusters(_embeddings(s, d), k=8, iters=2)
         ),
@@ -1857,6 +1867,57 @@ FROM bm LEFT JOIN prox p USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def _textrank_sql(
+    k: int = 3, window: int = 2, iters: int = 5, damping: float = 0.85
+) -> str:
+    """keywords.textrank_keywords: positioned whitespace tokens, the
+    lead-window co-occurrence edges as a pos-distance self-join, and the
+    same unrolled WS_{t+1} = (1-d) + d·Σ (w/wd)·WS_t trajectory with e0
+    DOUBLE literals and (1-d) spelled as the identical IEEE subtraction.
+    Same AS MATERIALIZED discipline as _pagerank_ctes (each round reads
+    the previous one; inlined, the tree doubles per round). Score is
+    rounded to 6dp BEFORE the per-doc row_number cut, ties → term ASC,
+    exactly like the Spark side."""
+    parts = [
+        f"""s AS MATERIALIZED (SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM s),
+toks AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+    l[CAST(i AS INT)] AS term FROM idx),
+nodes AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM toks),
+und AS MATERIALIZED (SELECT doc_id, least(a_t, b_t) AS ta,
+    greatest(a_t, b_t) AS tb, count(*) AS w FROM (
+    SELECT a.doc_id, a.term AS a_t, b.term AS b_t
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+      AND b.pos - a.pos BETWEEN 1 AND {window} AND a.term <> b.term) p
+    GROUP BY 1, 2, 3),
+edges AS MATERIALIZED (
+    SELECT doc_id, ta AS src, tb AS dst, w FROM und
+    UNION ALL SELECT doc_id, tb AS src, ta AS dst, w FROM und),
+wdeg AS MATERIALIZED (SELECT doc_id, src, sum(w) AS wd
+    FROM edges GROUP BY 1, 2),
+w0 AS MATERIALIZED (SELECT doc_id, term, 1.0e0 AS ws FROM nodes)"""
+    ]
+    base = f"(1.0e0 - {damping}e0)"
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (SELECT e.doc_id, e.dst AS term,
+    sum(x.ws * e.w / wd.wd) AS contrib
+    FROM w{i} x JOIN edges e ON e.doc_id = x.doc_id AND e.src = x.term
+    JOIN wdeg wd ON wd.doc_id = e.doc_id AND wd.src = e.src
+    GROUP BY 1, 2),
+w{i + 1} AS MATERIALIZED (SELECT n.doc_id, n.term,
+    {base} + {damping}e0 * coalesce(c.contrib, 0e0) AS ws
+    FROM nodes n LEFT JOIN c{i} c USING (doc_id, term))"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+ranked AS (SELECT doc_id, term, round(ws, 6) AS score FROM w{iters}),
+rn AS (SELECT doc_id, term, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM ranked)
+SELECT doc_id, term, score FROM rn WHERE rn <= {k}"""
+
+
 def _bm25_pagerank_sql(iters: int) -> str:
     """graph.fused_bm25_pagerank: the _BM25_SQL per-doc aggregate scaled
     by (1 + n·pr) before the top-k order/limit."""
@@ -2723,6 +2784,7 @@ WHERE rep.n_tokens BETWEEN 20 AND 100000
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "semdedup": _semdedup_sql(k=8, iters=2, threshold=0.4),
         "cluster_sample": _cluster_sample_sql(n=100, k=8, iters=2, seed=44),
+        "textrank_keywords": _textrank_sql(k=3, window=2, iters=5),
         "pq_codes": _pq_codes_sql(),
         "pq_adc_topk": _pq_adc_sql(),
     }
