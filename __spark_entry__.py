@@ -646,6 +646,18 @@ def _lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_lm_dirichlet(index, qt, mu=2000.0, k=10, terms=QUERY_TERMS)
 
 
+def _champion_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import champion_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return champion_search(
+        index, spark, [" ".join(QUERY_TERMS)], m=8, k=10
+    )
+
+
 def _bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -731,7 +743,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -930,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_tf": q(_anchor_tf),
         "bm25_pagerank_topk": q(_bm25_pagerank),
         "lm_dirichlet_topk": q(_lm_dirichlet),
+        "champion_bm25_topk": q(_champion_bm25),
         "bm25f_topk": q(_bm25f),
         "block_bm25f_topk": q(_block_bm25f),
         "block_lm_topk": q(_block_lm),
@@ -1763,6 +1776,34 @@ SELECT base.doc_id,
        round(1e0 / (1e0 + exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) AS p,
        CAST(y AS INT) AS y
 FROM base, {wf} w"""
+
+
+def _champion_bm25_sql(m: int = 8, k: int = 10) -> str:
+    """query.champion_search: per-term posting lists truncated to their
+    m highest-tf_norm entries (ties doc_id ASC) before the plain BM25
+    sum. df stays the FULL-corpus df (stats are not rescaled by the
+    cut), tfn is the same IEEE expression as _BM25_SQL so the
+    truncation ranking replays bit-identically; score rounded 6dp
+    before the top-k cut like the engine."""
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT tf.doc_id, tf.term,
+    tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      AS tfn
+    FROM tf JOIN dl USING (doc_id), stats WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+ch AS (SELECT doc_id, term, tfn FROM (
+    SELECT matched.*, row_number() OVER (
+        PARTITION BY term ORDER BY tfn DESC, doc_id ASC) AS rn
+    FROM matched) WHERE rn <= {m})
+SELECT 0 AS query_id, doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * ch.tfn), 6) AS score
+FROM ch JOIN df USING (term), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
 def _lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
@@ -2622,6 +2663,7 @@ LIMIT 50""",
         "anchor_tf": _anchor_tf_sql(),
         "bm25_pagerank_topk": _bm25_pagerank_sql(_PR_ITERS),
         "lm_dirichlet_topk": _lm_dirichlet_sql(),
+        "champion_bm25_topk": _champion_bm25_sql(m=8, k=10),
         "bm25f_topk": _bm25f_sql(),
         # same math through the block serving path; block_search returns
         # no query_id->query text mapping differences — identical oracle

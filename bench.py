@@ -62,7 +62,7 @@ def main() -> None:
         read_index,
         write_index,
     )
-    from search_engine_spark.operators import dedup, pipelines, similarity
+    from search_engine_spark.operators import dedup, keywords, pipelines, similarity
     from search_engine_spark.operators import text_analytics as ta
     from search_engine_spark.operators import query as query_ops
     from search_engine_spark.operators import rerank
@@ -111,6 +111,14 @@ def main() -> None:
         timed(
             "bm25_search_warm",
             lambda: search(idx, spark, SEARCH_QUERIES, k=10, scorer="bm25").collect(),
+        )
+        # champion-list approximate serving: per-term lists cut to the
+        # m highest-impact postings before scoring (IIR §7.1.3)
+        timed(
+            "champion_bm25_search",
+            lambda: query_ops.champion_search(
+                idx, spark, SEARCH_QUERIES, m=32, k=10
+            ).collect(),
         )
         timed(
             "tfidf_search",
@@ -216,6 +224,14 @@ def main() -> None:
             ).collect(),
         )
         docs_idx.unpersist()
+        # TextRank keywords: every document's co-occurrence PageRank in
+        # one joint iteration (no per-doc loop) — corpus-tagging cost
+        timed(
+            "textrank_keywords",
+            lambda: keywords.textrank_keywords(
+                documents.select("doc_id", "text"), k=3, window=2, iters=5
+            ).count(),
+        )
         timed(
             "minhash_dedup",
             lambda: dedup.minhash_dedup(documents)  # xxhash64 production family

@@ -598,3 +598,81 @@ def rm3_search(
         )
     )
     return topk(scored, k)
+
+
+def champion_postings(index: InvertedIndex, m: int = 32) -> InvertedIndex:
+    """Champion lists (a.k.a. top-docs / fancy lists, Manning et al.
+    IIR §7.1.3): truncate every posting list to its m highest-impact
+    entries, ranked by the precomputed BM25 saturation tf_norm (the
+    doc-dependent factor of the score; bm25_idf is constant within a
+    term), ties doc_id ASC.
+
+    Serving over champions reads O(m) postings per query term instead
+    of O(df) — the standard answer to head terms whose lists are
+    millions long, at the price of approximation (a doc outside every
+    query term's champion list can't be retrieved; for k ≤ m and
+    single-term queries the top-k is exact). Stats are NOT rescaled:
+    champions are the same postings the full index scored, just fewer,
+    so champion scores equal full scores for every surviving doc.
+
+    Scale shape: one rank-limit window keyed by term. Catalyst rewrites
+    row_number ≤ m into WindowGroupLimit — a per-partition group-limit
+    BEFORE the exchange — so at most m rows per term per input
+    partition shuffle, never the full posting lists. Over the
+    write_index term-partitioned layout the window is shuffle-free.
+
+    Reference analog: none (the reference always scores full lists,
+    app/main.py:58-73) — engine-side serving surface.
+    """
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf_norm").desc(), F.col("doc_id").asc()
+    )
+    champs = (
+        index.postings.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .drop("rn")
+    )
+    return InvertedIndex(
+        postings=champs,
+        term_stats=index.term_stats,
+        doc_stats=index.doc_stats,
+        n_docs=index.n_docs,
+        avgdl=index.avgdl,
+    )
+
+
+def champion_search(
+    index: InvertedIndex,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    m: int = 32,
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score): BM25 top-k over champion lists only.
+
+    The champion cut composes with the dictionary-seek probe: the isin
+    prune reaches the scan first (only the query terms' lists are
+    read), then each surviving list is truncated to its m champions
+    before scoring. Score rounded to round_dp BEFORE the top-k window
+    so near-ties replay identically in oracles.
+    """
+    qt = queries_to_terms(spark, queries)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    champ = champion_postings(
+        InvertedIndex(
+            postings=index.postings.filter(F.col("term").isin(terms)),
+            term_stats=index.term_stats,
+            doc_stats=index.doc_stats,
+            n_docs=index.n_docs,
+            avgdl=index.avgdl,
+        ),
+        m=m,
+    )
+    mt = _matched(champ, qt, terms=terms)
+    scored = mt.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp
+        ).alias("score")
+    )
+    return topk(scored, k)

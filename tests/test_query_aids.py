@@ -223,3 +223,65 @@ def test_mmr_demotes_near_duplicate_results(spark):
     assert mmr[0] == 0
     assert mmr[1] == 2, f"the different doc must jump the near-dup twin: {mmr}"
     assert mmr[2] == 1
+
+
+def test_champion_search_exact_when_m_exceeds_df(spark, index):
+    """With m ≥ every query term's df, no list is truncated — champion
+    top-k must equal the full BM25 ranking (scores 6dp)."""
+    from search_engine_spark.operators.query import champion_search
+
+    q = ["spark merge batch"]
+    full = score_bm25(
+        index,
+        spark.createDataFrame(
+            [(0, t) for t in ["spark", "merge", "batch"]],
+            "query_id int, term string",
+        ),
+        k=10,
+        terms=["spark", "merge", "batch"],
+    ).collect()
+    champ = champion_search(index, spark, q, m=10**6, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in champ] == [
+        (r["doc_id"], round(r["score"], 6)) for r in full
+    ]
+
+
+def test_champion_scores_are_unrescaled_and_subset(spark, index):
+    """Small m: every champion hit keeps its FULL-index score (stats are
+    not recomputed over the truncated lists), and every returned doc is
+    a champion of at least one query term."""
+    from search_engine_spark.operators.query import (
+        champion_postings,
+        champion_search,
+    )
+
+    terms = ["spark", "merge", "batch"]
+    full = {
+        (r["doc_id"]): r["score"]
+        for r in score_bm25(
+            index,
+            spark.createDataFrame(
+                [(0, t) for t in terms], "query_id int, term string"
+            ),
+            k=10**6,
+            terms=terms,
+        ).collect()
+    }
+    m = 4
+    champ_idx = champion_postings(index, m=m)
+    champ_docs = {
+        r["doc_id"]
+        for r in champ_idx.postings.filter(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    # truncation is real at this m on this corpus
+    assert champ_idx.postings.filter(F.col("term").isin(terms)).count() <= m * 3
+    out = champion_search(index, spark, [" ".join(terms)], m=m, k=10).collect()
+    assert out, "champion search returned nothing"
+    for r in out:
+        assert r["doc_id"] in champ_docs
+        # champion score ≤ full score (subset of the doc's matched terms),
+        # equal when ALL its matched terms kept it as champion
+        assert r["score"] <= round(full[r["doc_id"]], 6) + 1e-9
