@@ -529,6 +529,14 @@ def _pos_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _POS_CACHE[sf_dir]
 
 
+def _best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.phrase import best_passage
+
+    return best_passage(
+        _pos_index(spark, sf_dir), QUERY_TERMS, passage_size=16, k=10
+    )
+
+
 def _bm25_prox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.phrase import proximity_bm25
@@ -743,7 +751,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -969,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q(_facet_counts),
         "prefix_terms": q(_prefix_terms),
         "bm25_prox_topk": q(_bm25_prox),
+        "best_passage_topk": q(_best_passage),
         "block_bm25_prior": q(_block_bm25_prior),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
@@ -1877,6 +1886,29 @@ FROM xx JOIN idf USING (term)
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def _best_passage_sql(passage_size: int = 16, k: int = 10) -> str:
+    """phrase.best_passage: aligned ⌊pos/W⌋ windows over matched token
+    positions, per-doc argmax by (n_terms DESC, n_matches DESC, win
+    ASC), doc cut by the same integral key + doc_id ASC. Every ranking
+    signal is an integer — no FP anywhere to drift."""
+    w = passage_size
+    return f"""
+WITH s AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+           FROM documents),
+idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM s),
+posr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[CAST(i AS INT)] AS term
+         FROM idx WHERE l[CAST(i AS INT)] IN {_IN_TERMS}),
+wb AS (SELECT doc_id, CAST(floor(pos / {w}.0e0) AS BIGINT) AS win,
+       count(DISTINCT term) AS n_terms, count(*) AS n_matches
+       FROM posr GROUP BY 1, 2),
+best AS (SELECT doc_id, win * {w} AS passage_start, n_terms, n_matches FROM (
+    SELECT wb.*, row_number() OVER (PARTITION BY doc_id
+        ORDER BY n_terms DESC, n_matches DESC, win ASC) AS rn FROM wb)
+    WHERE rn = 1)
+SELECT doc_id, passage_start, n_terms, n_matches FROM best
+ORDER BY n_terms DESC, n_matches DESC, doc_id ASC LIMIT {k}"""
+
+
 def _bm25_prox_sql(k: int = 10, lam: float = 1.0) -> str:
     """phrase.proximity_bm25: the _BM25_SQL per-doc aggregate plus the
     λ/(1+mindist) pair boost over post-filter token positions."""
@@ -2694,6 +2726,7 @@ WITH {_TOKENS}, {_TF}
 SELECT term, count(*) AS df FROM tf
 WHERE term LIKE '{_PREFIX}%' GROUP BY term""",
         "bm25_prox_topk": _bm25_prox_sql(),
+        "best_passage_topk": _best_passage_sql(passage_size=16, k=10),
         # the additive fusion BM25 + n·pr — same CTE parts as
         # bm25_pagerank_topk's multiplicative variant
         "block_bm25_prior": _bm25_pagerank_sql(_PR_ITERS).replace(

@@ -507,6 +507,14 @@ def main() -> None:
                 None, ["data", "pipeline"], k=10, pos_index=pos_idx
             ).collect(),
         )
+        # best-passage selection: snippet-choice over the same
+        # materialized positional probe (isin-pruned, integer ranking)
+        timed(
+            "best_passage_probe",
+            lambda: ph.best_passage(
+                pos_idx, ["data", "pipeline"], passage_size=16, k=10
+            ).collect(),
+        )
         doc_idx4 = build_index(
             documents.select("doc_id", "text"), tokenizer=ta.ws_tokens
         )

@@ -28,7 +28,7 @@ checks value-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -225,3 +225,60 @@ def proximity_bm25(
         )
     )
     return topk(scored, k)
+
+
+def best_passage(
+    pos_index: DataFrame,
+    terms: list[str],
+    passage_size: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """(doc_id, passage_start, n_terms, n_matches): the best fixed
+    window of `passage_size` tokens per document for a query, ranked
+    (distinct query terms covered DESC, total matches DESC) — the
+    snippet-SELECTION step of a search frontend, run at corpus scale
+    over the materialized positional index instead of re-reading text.
+
+    Windows are aligned (win = ⌊pos / passage_size⌋), not sliding: a
+    2× denser stride would double the agg rows for ~1 window of recall
+    gain; alignment keeps every signal integer-exact and replayable.
+    Passage quality ordering is purely integral (no FP ties), per-doc
+    argmax breaks ties toward the EARLIEST window, the final doc cut
+    toward the smallest doc_id (the Q7 rule family).
+
+    Scale shape: the isin prune pushes to the term-partitioned parquet
+    scan (only the query terms' position lists are read), one explode
+    (positions are per-(doc,term) arrays), one hash agg keyed
+    (doc_id, win), one rank-limit window — no corpus re-tokenization,
+    no self-join. Reference analog: snippet choice in app/utils.py is
+    first-match-only over raw text; this is the ranked generalization.
+    """
+    occ = pos_index.filter(F.col("term").isin(list(terms))).select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    )
+    wb = (
+        occ.withColumn(
+            "win", F.floor(F.col("pos") / F.lit(float(passage_size))).cast("long")
+        )
+        .groupBy("doc_id", "win")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+    per_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("n_terms").desc(), F.col("n_matches").desc(), F.col("win").asc()
+    )
+    best = (
+        wb.withColumn("rn", F.row_number().over(per_doc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("win") * passage_size).cast("long").alias("passage_start"),
+            "n_terms",
+            "n_matches",
+        )
+    )
+    return best.orderBy(
+        F.col("n_terms").desc(), F.col("n_matches").desc(), F.col("doc_id").asc()
+    ).limit(k)

@@ -182,3 +182,33 @@ def test_materialized_index_serves_phrase_and_proximity(spark, docs, tmp_path):
 def test_phrase_search_requires_an_index_source(docs):
     with pytest.raises(ValueError, match="pos_index"):
         phrase_search(None, ["red"], k=5)
+
+
+def test_best_passage_picks_densest_window(spark):
+    """Handcrafted corpus: the window covering more DISTINCT query
+    terms wins over one with more raw matches; ties break to the
+    earliest window; doc ranking puts fuller coverage first."""
+    from search_engine_spark.operators.phrase import (
+        best_passage,
+        positional_postings,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    filler = " ".join(["z"] * 16)
+    rows = [
+        # doc 0: window 0 has a+b (2 terms), window 1 has a a a (1 term)
+        (0, "a b " + " ".join(["z"] * 14) + " a a a"),
+        # doc 1: only 'a', twice, in window 0
+        (1, "a a " + filler),
+        # doc 2: a+b in window 1 only
+        (2, filler + " a b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pidx = positional_postings(docs, ws_tokens)
+    out = best_passage(pidx, ["a", "b"], passage_size=16, k=10).collect()
+    got = {r["doc_id"]: (r["passage_start"], r["n_terms"], r["n_matches"]) for r in out}
+    assert got[0] == (0, 2, 2)      # coverage beats the 3-match window
+    assert got[1] == (0, 1, 2)
+    assert got[2] == (16, 2, 2)
+    # doc order: 2-term docs first (0 then 2 by doc_id), 1-term doc last
+    assert [r["doc_id"] for r in out] == [0, 2, 1]

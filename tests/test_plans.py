@@ -310,3 +310,27 @@ def test_positional_probe_is_pruned_scan_no_tokenizer(spark, tmp_path):
     # only assert the PROBE has no tokenizer by checking the pushed
     # filter reaches a parquet scan of the positional relation
     assert "In(term" in plan2, plan2[:3000]
+
+
+def test_best_passage_probe_is_pruned_scan(spark, tmp_path):
+    """best_passage over the materialized positional index: the query
+    terms' isin reaches the parquet scan, no tokenizer UDF in the plan."""
+    from search_engine_spark.operators.phrase import (
+        best_passage,
+        positional_postings,
+        read_positional_index,
+        write_positional_index,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    pages = synth_pages(spark, 80, seed=13)
+    docs = prepare_docs(pages, id_method="hash").select("doc_id", "text")
+    path = str(tmp_path / "posidx_bp")
+    write_positional_index(positional_postings(docs, ws_tokens), path)
+    pidx = read_positional_index(spark, path)
+
+    plan = _plan(best_passage(pidx, ["the", "and"], passage_size=16, k=10))
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "EqualTo(term" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
