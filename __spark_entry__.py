@@ -751,7 +751,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -933,6 +933,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time operators (engine additions; SURVEY §2.5/§2.8)
         "events_windowed": q(lambda s, d: ev.windowed_counts(_events(s, d))),
         "user_sessions": q(lambda s, d: ev.user_sessions(_events(s, d))),
+        # product-analytics shapes over the event stream
+        "funnel_counts": q(
+            lambda s, d: ev.funnel(
+                _events(s, d), ["view", "click", "purchase"]
+            )
+        ),
+        "cohort_retention": q(
+            lambda s, d: ev.cohort_retention(_events(s, d))
+        ),
         "asof_join": q(
             lambda s, d: ev.asof_join(_events(s, d), "click", "purchase")
         ),
@@ -2632,6 +2641,25 @@ s AS (SELECT user_id, e,
 SELECT user_id, session_id, count(*) AS n_events,
        max(e) - min(e) AS duration_s
 FROM s GROUP BY 1, 2""",
+        "funnel_counts": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+       count(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3""",
+        "cohort_retention": """
+WITH p AS (SELECT user_id,
+           CAST(floor(epoch(ts) / 604800.0e0) AS BIGINT) AS p FROM events),
+first AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, p FROM p)
+SELECT cohort, p - cohort AS "offset", count(DISTINCT user_id) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2""",
         "asof_join": """
 WITH t AS (SELECT user_id, ts, event_id,
            CASE WHEN event_type = 'purchase' THEN value END AS r_val,

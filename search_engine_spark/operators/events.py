@@ -167,3 +167,97 @@ def range_join(
             (F.col("b_us") - F.col("a_us")).alias("gap_us"),
         )
     )
+
+
+def funnel(
+    events: DataFrame, steps: list[str], within_s: int | None = None
+) -> DataFrame:
+    """(step, event_type, n_users): ordered-funnel conversion counts —
+    how many users performed steps[0], then steps[1] STRICTLY later,
+    then steps[2] later still… (greedy earliest-completion semantics,
+    the standard product-analytics funnel). `within_s` optionally
+    bounds each step to at most that many seconds after the PREVIOUS
+    step's match.
+
+    Greedy-earliest is the right fixpoint: taking min(ts) at every
+    step never misses a completion that any other witness ordering
+    would find (any valid chain's step-i time is ≥ the greedy one).
+
+    Scale shape: len(steps)-1 equi-joins keyed user_id, each side
+    pre-filtered to ONE event type at the scan (predicate pushdown on
+    event_type), aggregates map-side combined; no window over the full
+    event stream, no per-user UDF state. Counts are integers end to
+    end — replayable exactly.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    spark = events.sparkSession
+    reached = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .persist()
+    )
+    # each step's reached-set is persisted so step i+1 builds on the
+    # materialized frontier, not a re-derivation of steps 1…i; the
+    # per-step count() is a 1-scalar driver barrier (the documented
+    # k-scalar pattern — len(steps) tiny)
+    stages = [reached]
+    counts = [(1, steps[0], reached.count())]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col("event_type") == step).join(
+            reached, "user_id"
+        )
+        cond = F.col("ts") > F.col("t")
+        if within_s is not None:
+            cond = cond & (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("t").cast("timestamp").cast("long")
+                <= F.lit(int(within_s))
+            )
+        reached = (
+            nxt.filter(cond)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+            .persist()
+        )
+        stages.append(reached)
+        counts.append((i, step, reached.count()))
+    for s in stages:
+        s.unpersist()
+    return spark.createDataFrame(
+        counts, "step int, event_type string, n_users long"
+    )
+
+
+def cohort_retention(events: DataFrame, period_s: int = 604800) -> DataFrame:
+    """(cohort, offset, n_users): classic cohort-retention grid —
+    cohort = the user's first-activity period (epoch-aligned, default
+    weekly), offset = how many periods later the user was active,
+    n_users = distinct users from that cohort active at that offset.
+    offset 0 row = cohort size.
+
+    Period ids are integer epoch divisions (⌊epoch/period⌋), so the
+    whole grid is integral and replays exactly; calendar-aligned
+    variants are a date_trunc swap away.
+
+    Scale shape: one groupBy(user) for first-activity, one broadcast-
+    sized… no — the cohort dim is per-user, so it's a user_id equi-join
+    (users ≪ events rows, AQE may broadcast), then one distinct-count
+    agg keyed (cohort, offset). Two shuffles total.
+    """
+    # TIMESTAMP_NTZ: no direct long cast under ANSI — via timestamp (UTC tz)
+    ep = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / F.lit(period_s)
+    ).cast("long")
+    first = (
+        events.select("user_id", ep.alias("p"))
+        .groupBy("user_id")
+        .agg(F.min("p").alias("cohort"))
+    )
+    active = events.select("user_id", ep.alias("p")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

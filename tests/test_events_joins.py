@@ -82,3 +82,69 @@ def test_range_join_boundary_inclusive(spark):
     ])
     got = {(r["b_id"], r["gap_us"]) for r in range_join(ev, "click", "purchase", 600).collect()}
     assert got == {(1, 600_000_000)}
+
+
+def test_funnel_strict_order_and_horizon(spark):
+    from datetime import datetime
+
+    from search_engine_spark.operators.events import funnel
+
+    T = datetime
+    rows = [
+        # u1 completes view→click→purchase in order
+        (1, T(2026, 1, 1, 10, 0), 1, "view"),
+        (2, T(2026, 1, 1, 10, 5), 1, "click"),
+        (3, T(2026, 1, 1, 10, 9), 1, "purchase"),
+        # u2: click BEFORE view — must not count past step 1
+        (4, T(2026, 1, 1, 9, 0), 2, "click"),
+        (5, T(2026, 1, 1, 9, 30), 2, "view"),
+        # u3: view and click at the SAME instant — strict '>' rejects
+        (6, T(2026, 1, 1, 8, 0), 3, "view"),
+        (7, T(2026, 1, 1, 8, 0), 3, "click"),
+        # u4: completes but the click comes 2h after view
+        (8, T(2026, 1, 1, 7, 0), 4, "view"),
+        (9, T(2026, 1, 1, 9, 0), 4, "click"),
+        (10, T(2026, 1, 1, 9, 1), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {1: 4, 2: 2, 3: 2}
+    # 30-minute horizon drops u4's 2h view→click leg
+    bounded = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["view", "click", "purchase"], within_s=1800).collect()
+    }
+    assert bounded == {1: 4, 2: 1, 3: 1}
+
+
+def test_cohort_retention_grid(spark):
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.operators.events import cohort_retention
+
+    wk = 604800
+    base = datetime(2026, 1, 8)  # mid-epoch-week is fine: ids are ⌊epoch/wk⌋
+    rows = []
+    eid = 0
+    # u1 active weeks 0,1,3 (relative to its first); u2 weeks 0,1; u3 week 0
+    for uid, offsets in ((1, [0, 1, 3]), (2, [0, 1]), (3, [0])):
+        for o in offsets:
+            eid += 1
+            rows.append((eid, base + timedelta(seconds=o * wk), uid, "view"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    c = min(k[0] for k in got)
+    assert got[(c, 0)] == 3
+    assert got[(c, 1)] == 2
+    assert got[(c, 3)] == 1
+    assert (c, 2) not in got
