@@ -465,6 +465,12 @@ def _cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.similarity import centroid_classify
+
+    return centroid_classify(_embeddings(spark, sf_dir), holdout_mod=5)
+
+
 def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.similarity import semdedup
 
@@ -751,7 +757,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -999,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk_batch": q(_lsh_topk_batch),
         "semdedup": q(_semdedup),
         "cluster_sample": q(_cluster_sample),
+        "centroid_classify": q(_centroid_classify),
         # TextRank keywords: joint per-doc PageRank over co-occurrence
         "textrank_keywords": q(_textrank),
         "kmeans_clusters": q(
@@ -2270,6 +2277,28 @@ c0 AS (SELECT r.cell, x.i, round(x.v, 6) AS m FROM rk r JOIN e x ON x.vec_id = r
     return sql
 
 
+def _centroid_classify_sql(holdout_mod: int = 5, dim: int = 64) -> str:
+    """similarity.centroid_classify: per-label 6dp-grid mean centroids
+    from the vec_id % mod ≠ 0 train split, squared-L2 assignment of the
+    held-out split (9dp, ties → smallest label) — the kmeans_assign
+    discipline with labels as cells."""
+    return f"""
+WITH e AS (SELECT vec_id, label, g.i AS i,
+           CAST(embedding[g.i + 1] AS DOUBLE) AS v
+           FROM embeddings,
+                (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
+cent AS (SELECT label, i, round(avg(v), 6) AS m
+         FROM e WHERE vec_id % {holdout_mod} <> 0 GROUP BY 1, 2),
+d AS (SELECT x.vec_id, x.label, c.label AS predicted,
+      round(sum((x.v - c.m) * (x.v - c.m)), 9) AS d2
+      FROM e x JOIN cent c ON c.i = x.i
+      WHERE x.vec_id % {holdout_mod} = 0
+      GROUP BY 1, 2, 3)
+SELECT vec_id, label, predicted, round(d2, 6) AS d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY d2 ASC, predicted ASC) AS rn FROM d) WHERE rn = 1"""
+
+
 def _semdedup_sql(
     k: int = 8, iters: int = 2, threshold: float = 0.4, dim: int = 64
 ) -> str:
@@ -2887,6 +2916,7 @@ WHERE rep.n_tokens BETWEEN 20 AND 100000
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "semdedup": _semdedup_sql(k=8, iters=2, threshold=0.4),
         "cluster_sample": _cluster_sample_sql(n=100, k=8, iters=2, seed=44),
+        "centroid_classify": _centroid_classify_sql(holdout_mod=5),
         "textrank_keywords": _textrank_sql(k=3, window=2, iters=5),
         "pq_codes": _pq_codes_sql(),
         "pq_adc_topk": _pq_adc_sql(),

@@ -1066,3 +1066,47 @@ def cluster_balanced_sample(
         .filter(u % F.lit(1_000_000) < col("thr"))
         .select("vec_id", "cell")
     )
+
+
+def centroid_classify(
+    embeddings: DataFrame, holdout_mod: int = 5
+) -> DataFrame:
+    """(vec_id, label, predicted, d2): Rocchio / nearest-centroid
+    domain classification over the embedding column — the cheap
+    domain/quality router a pretraining pipeline runs before mixing
+    (CCNet's LM buckets, DSIR's domains): train on the labeled split
+    (vec_id % holdout_mod ≠ 0), predict the held-out rest.
+
+    Per-label centroids are f64 means on the 6dp fixed-point grid and
+    assignment is the kmeans_assign squared-L2 map (9dp, ties → the
+    smallest label) — the same replayable-trajectory discipline as
+    kmeans_clusters, so the DuckDB oracle reproduces every prediction
+    bit-for-bit.
+
+    Scale shape: training is ONE (label, dim) hash aggregation
+    (n_labels×d rows collected — scalar-sized at any corpus size, the
+    IVF codebook pattern); inference is a broadcast-literal narrow map
+    inside the scan stage, no shuffle, no per-row Python.
+    """
+    train = embeddings.filter(col("vec_id") % holdout_mod != 0)
+    rows = (
+        train.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(col("v").cast("double")).alias("m"))
+        .collect()
+    )
+    means = {(int(r["label"]), int(r["dim"])): float(r["m"]) for r in rows}
+    labels = sorted({lab for lab, _ in means})
+    dim = 1 + max(d for _, d in means)
+    cents = [
+        [round(means[(lab, d)], 6) for d in range(dim)] for lab in labels
+    ]
+    test = embeddings.filter(col("vec_id") % holdout_mod == 0)
+    assigned = kmeans_assign(test, cents)
+    label_arr = F.array(*[lit(int(lab)) for lab in labels])
+    return assigned.select(
+        "vec_id",
+        "label",
+        label_arr[col("cell").cast("int")].alias("predicted"),
+        F.round(col("d2"), 6).alias("d2"),
+    )

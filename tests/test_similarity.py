@@ -418,3 +418,23 @@ def test_cluster_balanced_sample_balances_and_is_stable(spark):
     total = emb.count()
     allrows = cluster_balanced_sample(emb, n=8 * total, k=8, iters=2)
     assert allrows.count() == total
+
+
+def test_centroid_classify_separable_labels(spark):
+    """Two well-separated label clouds: every held-out vector must be
+    predicted as its own label; only vec_id % 5 == 0 rows come back."""
+    from search_engine_spark.operators.similarity import centroid_classify
+
+    rows = []
+    for i in range(20):
+        base = [10.0, 10.0] if i % 2 == 0 else [-10.0, -10.0]
+        jit = ((i * 37) % 5) * 0.01
+        rows.append((i, [base[0] + jit, base[1] - jit], i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = centroid_classify(emb, holdout_mod=5).collect()
+    assert {r["vec_id"] for r in out} == {0, 5, 10, 15}
+    for r in out:
+        assert r["predicted"] == r["label"]
+        assert r["d2"] >= 0.0
