@@ -757,7 +757,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -808,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bm25_search": _engine_bm25,
         # dedup family
         "exact_dedup": q(lambda s, d: dedup.exact_dedup(_documents(s, d))),
+        "normalized_dedup": q(
+            lambda s, d: dedup.normalized_dedup(_documents(s, d))
+        ),
         "token_jaccard_pairs": q(
             lambda s, d: dedup.token_jaccard_pairs(_documents(s, d), threshold=0.9)
         ),
@@ -2586,6 +2589,11 @@ LIMIT 10""",
         ),
         "exact_dedup": "SELECT md5(text) AS fp, min(doc_id) AS keep_id, "
         "count(*) AS n_copies FROM documents GROUP BY md5(text)",
+        "normalized_dedup": """
+WITH c AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+    FROM documents)
+SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM c GROUP BY fp""",
         "token_jaccard_pairs": f"""
 WITH {_TOKENS},
 toks AS (SELECT DISTINCT doc_id, term FROM tokens WHERE term <> ''),

@@ -818,3 +818,31 @@ def dupspan_scrub(
             .alias("n_removed"),
         )
     )
+
+
+def normalized_dedup(documents: DataFrame) -> DataFrame:
+    """(fp, keep_id, n_copies): exact dedup AFTER canonicalization —
+    the C4/RefinedWeb "fuzzy-exact" step that exact_dedup misses:
+    case, punctuation and whitespace-run variants of the same page
+    collapse to one canonical form before hashing.
+
+    canonical = lowercase → strip every char outside [a-z0-9 ] →
+    collapse space runs → trim. The normalizer is pure Catalyst
+    (lower + two regexp_replace + trim, whole-stage codegen'd in the
+    scan stage; the regexes avoid every construct whose semantics
+    differ between Java regex and RE2, so the DuckDB oracle replays
+    them verbatim). One shuffle on the 16-byte fp — identical scale
+    shape to exact_dedup.
+    """
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        documents.select(F.md5(canon.cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -95,3 +95,19 @@ def test_simhash_pairs_family_contract(spark):
     for pair in exact_pairs:
         assert fast.get(pair) == 0, pair
         assert portable.get(pair) == 0, pair
+
+
+def test_normalized_dedup_collapses_case_punct_ws(spark):
+    from search_engine_spark.operators.dedup import normalized_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in normalized_dedup(docs).collect()}
+    assert out == {1: 3, 4: 1}
