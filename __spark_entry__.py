@@ -543,6 +543,18 @@ def _best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _passage_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.phrase import passage_snippets
+
+    return passage_snippets(
+        _documents(spark, sf_dir).select("doc_id", "text"),
+        _pos_index(spark, sf_dir),
+        QUERY_TERMS,
+        passage_size=16,
+        k=10,
+    )
+
+
 def _bm25_prox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.phrase import proximity_bm25
@@ -757,7 +769,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -996,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_terms": q(_prefix_terms),
         "bm25_prox_topk": q(_bm25_prox),
         "best_passage_topk": q(_best_passage),
+        "passage_snippets": q(_passage_snippets),
         "block_bm25_prior": q(_block_bm25_prior),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
@@ -1928,6 +1941,23 @@ SELECT doc_id, passage_start, n_terms, n_matches FROM best
 ORDER BY n_terms DESC, n_matches DESC, doc_id ASC LIMIT {k}"""
 
 
+def _passage_snippets_sql(passage_size: int = 16, k: int = 10) -> str:
+    """phrase.passage_snippets: _best_passage_sql's winners joined back
+    to documents, snippet = the 1-based inclusive list slice of the
+    same filtered whitespace tokens, space-joined."""
+    w = passage_size
+    inner = _best_passage_sql(passage_size=passage_size, k=k)
+    return f"""
+WITH best AS ({inner}),
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents)
+SELECT b.doc_id, b.passage_start, b.n_terms, b.n_matches,
+       array_to_string(list_slice(t.l,
+           CAST(b.passage_start + 1 AS INT),
+           CAST(b.passage_start + {w} AS INT)), ' ') AS snippet
+FROM best b JOIN toks t ON t.doc_id = b.doc_id"""
+
+
 def _bm25_prox_sql(k: int = 10, lam: float = 1.0) -> str:
     """phrase.proximity_bm25: the _BM25_SQL per-doc aggregate plus the
     λ/(1+mindist) pair boost over post-filter token positions."""
@@ -2792,6 +2822,7 @@ SELECT term, count(*) AS df FROM tf
 WHERE term LIKE '{_PREFIX}%' GROUP BY term""",
         "bm25_prox_topk": _bm25_prox_sql(),
         "best_passage_topk": _best_passage_sql(passage_size=16, k=10),
+        "passage_snippets": _passage_snippets_sql(passage_size=16, k=10),
         # the additive fusion BM25 + n·pr — same CTE parts as
         # bm25_pagerank_topk's multiplicative variant
         "block_bm25_prior": _bm25_pagerank_sql(_PR_ITERS).replace(

@@ -282,3 +282,48 @@ def best_passage(
     return best.orderBy(
         F.col("n_terms").desc(), F.col("n_matches").desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def passage_snippets(
+    documents: DataFrame,
+    pos_index: DataFrame,
+    terms: list[str],
+    passage_size: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """(doc_id, passage_start, n_terms, n_matches, snippet): the
+    best_passage winners joined back to their text — the user-visible
+    snippet for each top doc, sliced token-exact from the same
+    whitespace tokenization the positional index was built with.
+
+    Scale shape: best_passage runs entirely on the pruned positional
+    probe; only the k winning (doc_id, window) rows are broadcast
+    against the docs relation, so full text is touched for exactly k
+    documents (a broadcast-semi-join-sized read, never a corpus scan
+    feeding a sort).
+    """
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    best = best_passage(pos_index, terms, passage_size=passage_size, k=k)
+    return (
+        documents.join(F.broadcast(best), "doc_id")
+        .select(
+            "doc_id",
+            "passage_start",
+            "n_terms",
+            "n_matches",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    ws_tokens(F.col("text")),
+                    F.col("passage_start").cast("int") + F.lit(1),
+                    F.lit(passage_size),
+                ),
+            ).alias("snippet"),
+        )
+        .orderBy(
+            F.col("n_terms").desc(),
+            F.col("n_matches").desc(),
+            F.col("doc_id").asc(),
+        )
+    )

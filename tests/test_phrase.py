@@ -212,3 +212,24 @@ def test_best_passage_picks_densest_window(spark):
     assert got[2] == (16, 2, 2)
     # doc order: 2-term docs first (0 then 2 by doc_id), 1-term doc last
     assert [r["doc_id"] for r in out] == [0, 2, 1]
+
+
+def test_passage_snippets_slice_exact_tokens(spark):
+    from search_engine_spark.operators.phrase import (
+        passage_snippets,
+        positional_postings,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(40)) + " a b")],
+        ["doc_id", "text"],
+    )
+    pidx = positional_postings(docs, ws_tokens)
+    out = passage_snippets(docs, pidx, ["a", "b"], passage_size=16, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 'a b' sit at positions 40,41 → window 2 (tokens 32..41, only 10 left)
+    assert r["passage_start"] == 32
+    assert r["snippet"] == " ".join(f"w{i}" for i in range(32, 40)) + " a b"
+    assert r["n_terms"] == 2 and r["n_matches"] == 2
