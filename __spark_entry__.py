@@ -769,7 +769,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -795,6 +795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S-scans + F-filters + A-aggregations (SURVEY §2.1/2.2/2.4)
         "tokenize_tf": q(lambda s, d: ta.term_tf(_documents(s, d))),
         "term_df": q(lambda s, d: ta.term_df(_documents(s, d))),
+        "vocab_growth": q(
+            lambda s, d: ta.vocab_growth(_documents(s, d), band_size=100)
+        ),
+        "df_histogram": q(lambda s, d: ta.df_histogram(_documents(s, d))),
         "term_idf": q(lambda s, d: ta.term_idf(_documents(s, d))),
         "doc_lengths": q(lambda s, d: ta.doc_lengths(_documents(s, d))),
         "corpus_count": q(
@@ -2566,6 +2570,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM tokens WHERE term <> '' GROUP BY doc_id, term",
         "term_df": f"WITH {_TOKENS}, {_TF} "
         "SELECT term, count(*) AS df FROM tf GROUP BY term",
+        "vocab_growth": f"""
+WITH {_TOKENS},
+first AS (SELECT term, min(doc_id) AS fd FROM tokens GROUP BY term),
+pb AS (SELECT CAST(floor(fd / 100.0e0) AS BIGINT) AS band,
+       count(*) AS new_terms FROM first GROUP BY 1)
+SELECT band, new_terms, CAST(sum(new_terms) OVER (
+    ORDER BY band ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms FROM pb""",
+        "df_histogram": f"""
+WITH {_TOKENS}, {_TF},
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bin, count(*) AS n_terms,
+       min(df) AS min_df, max(df) AS max_df
+FROM dfr GROUP BY 1""",
         "term_idf": f"WITH {_TOKENS}, {_TF}, "
         "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
         "n AS (SELECT count(*) AS n FROM documents) "

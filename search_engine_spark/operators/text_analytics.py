@@ -14,7 +14,7 @@ reference-semantics pandas UDF from functions/textproc.py instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators.index_build import B, K1
@@ -492,3 +492,55 @@ def term_pmi(index, min_pairs: int = 5, k: int = 50) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
     ).limit(k)
+
+
+def vocab_growth(documents: DataFrame, band_size: int = 100) -> DataFrame:
+    """(band, new_terms, cum_terms): Heaps'-law vocabulary growth —
+    how many NEW distinct terms each band of `band_size` documents
+    (by doc_id order) introduces, with the running total. The curve a
+    tokenizer-sizing / vocabulary-budget decision reads before BPE
+    training.
+
+    new_terms attributes each term to the band of its FIRST doc_id —
+    one distinct-agg shuffle on term; the cumulative sum then runs
+    over n_bands rows (corpus-size-independent), so the single
+    unpartitioned window is a scalar-sized tail, not a corpus sort.
+    All counts integral.
+    """
+    first = tokens_df(documents).groupBy("term").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_band = (
+        first.groupBy(
+            F.floor(F.col("first_doc") / F.lit(float(band_size)))
+            .cast("long")
+            .alias("band")
+        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    return per_band.select(
+        "band", "new_terms", F.sum("new_terms").over(w).alias("cum_terms")
+    )
+
+
+def df_histogram(documents: DataFrame) -> DataFrame:
+    """(bin, n_terms, min_df, max_df): log2-binned document-frequency
+    histogram of the vocabulary — the head/tail shape that decides
+    stop-listing, champion-list m, and posting-partition salting.
+
+    bin = ⌊log2 df⌋ computed as length(bin(df)) - 1 — pure integer
+    string length, so the binning is exact at every power-of-two
+    boundary (float log2 is off-by-ulp exactly there). One term-keyed
+    agg + one ≤64-row agg.
+    """
+    df_rel = term_df(documents)
+    binned = df_rel.select(
+        (F.length(F.bin(F.col("df"))) - F.lit(1)).cast("long").alias("bin"),
+        "df",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.min("df").alias("min_df"),
+        F.max("df").alias("max_df"),
+    )

@@ -350,3 +350,35 @@ class TestDupspanScrub:
         # shorter than k: no shingles, nothing removed (exact_dedup's job)
         assert out[1]["n_removed"] == 0
         assert out[1]["clean_text"] == "tiny doc"
+
+
+def test_vocab_growth_monotone_and_total(spark):
+    from search_engine_spark.operators.text_analytics import (
+        tokens_df,
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (150, "c d e"), (310, "a f")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        vocab_growth(docs, band_size=100).collect(), key=lambda r: r["band"]
+    )
+    assert [(r["band"], r["new_terms"]) for r in out] == [(0, 3), (1, 2), (3, 1)]
+    # cumulative is a running total ending at the full vocabulary size
+    assert [r["cum_terms"] for r in out] == [3, 5, 6]
+    assert out[-1]["cum_terms"] == tokens_df(docs).select("term").distinct().count()
+
+
+def test_df_histogram_exact_power_of_two_bins(spark):
+    from search_engine_spark.operators.text_analytics import df_histogram
+
+    # term df values: a→4 (bin 2 boundary), b→3 (bin 1), c→1 (bin 0)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["a b", "a b", "a b c", "a"])],
+        ["doc_id", "text"],
+    )
+    got = {r["bin"]: (r["n_terms"], r["min_df"], r["max_df"])
+           for r in df_histogram(docs).collect()}
+    assert got == {2: (1, 4, 4), 1: (1, 3, 3), 0: (1, 1, 1)}
