@@ -684,6 +684,21 @@ def _champion_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tiered(m: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.operators.query import tiered_search
+        from search_engine_spark.operators.text_analytics import ws_tokens
+
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        index = build_index(docs, tokenizer=ws_tokens)
+        return tiered_search(
+            index, spark, [" ".join(QUERY_TERMS)], m=m, k=10
+        )
+
+    return run
+
+
 def _bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -769,7 +784,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -985,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pagerank_topk": q(_bm25_pagerank),
         "lm_dirichlet_topk": q(_lm_dirichlet),
         "champion_bm25_topk": q(_champion_bm25),
+        "tiered_bm25_topk": q(_tiered(8)),
+        "tiered_fallback_topk": q(_tiered(2)),
         "bm25f_topk": q(_bm25f),
         "block_bm25f_topk": q(_block_bm25f),
         "block_lm_topk": q(_block_lm),
@@ -1849,6 +1866,23 @@ SELECT 0 AS query_id, doc_id, round(sum(
 FROM ch JOIN df USING (term), stats
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _tiered_bm25_sql(m: int = 8, k: int = 10) -> str:
+    """query.tiered_search: champion tier if it FILLS k results, else
+    the full rounded-before-cut BM25 — both branches computed, one
+    selected by the tier-1 count guard (replays the engine's driver
+    decision exactly)."""
+    ch = _champion_bm25_sql(m=m, k=k)
+    full = _BM25_SQL.format(
+        qid="CAST(0 AS INTEGER) AS query_id, ", qid_group=""
+    )
+    return f"""
+WITH ch AS MATERIALIZED ({ch}),
+fullr AS MATERIALIZED ({full})
+SELECT * FROM ch WHERE (SELECT count(*) FROM ch) >= {k}
+UNION ALL
+SELECT * FROM fullr WHERE (SELECT count(*) FROM ch) < {k}"""
 
 
 def _lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
@@ -2808,6 +2842,8 @@ LIMIT 50""",
         "bm25_pagerank_topk": _bm25_pagerank_sql(_PR_ITERS),
         "lm_dirichlet_topk": _lm_dirichlet_sql(),
         "champion_bm25_topk": _champion_bm25_sql(m=8, k=10),
+        "tiered_bm25_topk": _tiered_bm25_sql(m=8, k=10),
+        "tiered_fallback_topk": _tiered_bm25_sql(m=2, k=10),
         "bm25f_topk": _bm25f_sql(),
         # same math through the block serving path; block_search returns
         # no query_id->query text mapping differences — identical oracle

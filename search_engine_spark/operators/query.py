@@ -676,3 +676,56 @@ def champion_search(
         ).alias("score")
     )
     return topk(scored, k)
+
+
+def tiered_search(
+    index: InvertedIndex,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    m: int = 32,
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score): tiered retrieval (Manning et al. IIR
+    §7.2.1) — serve from the champion tier; any query that the tier
+    cannot FILL with k results re-runs against the full lists. The
+    common case touches O(m) postings per term; the exact-BM25
+    guarantee is kept for every under-filled query.
+
+    The tier decision is one k·|queries|-row collect (top-k output,
+    scalar-sized at any corpus scale); fallback queries re-enter the
+    standard dictionary-seek path. Under-filled ≠ differently-ranked:
+    a filled champion top-k can still differ from full BM25 (champion
+    docs only) — that approximation is the documented price of the
+    tier, identical to champion_search.
+    """
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    tier1 = champion_search(index, spark, queries, m=m, k=k, round_dp=round_dp)
+    filled = {qid: 0 for qid in queries}
+    t1_rows = tier1.collect()
+    for r in t1_rows:
+        filled[r["query_id"]] += 1
+    refill = {qid: q for qid, q in queries.items() if filled[qid] < k}
+    if not refill:
+        return tier1
+    qt = queries_to_terms(spark, refill)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    mt = _matched(index, qt, terms=terms)
+    full_scored = mt.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp
+        ).alias("score")
+    )
+    tier2 = topk(full_scored, k)
+    kept = [
+        (r["query_id"], r["doc_id"], float(r["score"]))
+        for r in t1_rows
+        if r["query_id"] not in refill
+    ]
+    kept_df = spark.createDataFrame(
+        kept, "query_id int, doc_id long, score double"
+    )
+    return kept_df.unionByName(tier2).orderBy(
+        "query_id", F.col("score").desc(), F.col("doc_id").asc()
+    )

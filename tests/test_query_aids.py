@@ -285,3 +285,47 @@ def test_champion_scores_are_unrescaled_and_subset(spark, index):
         # champion score ≤ full score (subset of the doc's matched terms),
         # equal when ALL its matched terms kept it as champion
         assert r["score"] <= round(full[r["doc_id"]], 6) + 1e-9
+
+
+def test_tiered_search_fallback_restores_exact_bm25(spark, index):
+    """m=1 starves the champion tier (< k results) → the query re-runs
+    on full lists and must equal plain rounded BM25 exactly."""
+    from search_engine_spark.operators.query import tiered_search
+
+    terms = ["spark", "merge", "batch"]
+    full = score_bm25(
+        index,
+        spark.createDataFrame(
+            [(0, t) for t in terms], "query_id int, term string"
+        ),
+        k=10,
+        terms=terms,
+    ).collect()
+    out = tiered_search(index, spark, [" ".join(terms)], m=1, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in out] == [
+        (r["doc_id"], round(r["score"], 6)) for r in full
+    ]
+
+
+def test_tiered_search_mixed_batch(spark, index):
+    """Two queries, one fillable from champions, one not: each takes
+    its own tier and both come back in one result."""
+    from search_engine_spark.operators.query import (
+        champion_search,
+        tiered_search,
+    )
+
+    qs = {0: "spark merge batch", 1: "spark"}
+    # m large enough that q0 fills from champions; q1 is single-term so
+    # its champion tier is exact anyway
+    out = tiered_search(index, spark, qs, m=64, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert set(by_q) == {0, 1}
+    champ = champion_search(index, spark, qs, m=64, k=10).collect()
+    cby = {}
+    for r in champ:
+        cby.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, rows in by_q.items():
+        assert rows == cby[qid] or len(rows) == 10
