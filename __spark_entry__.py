@@ -699,6 +699,24 @@ def _tiered(m: int):
     return run
 
 
+def _rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 top-50 over documents fused
+    with embedding-cosine top-50 (query = stored vector 0) by
+    reciprocal-rank fusion — the modern two-retriever serving shape."""
+    from search_engine_spark.operators import similarity
+    from search_engine_spark.operators import text_analytics as ta
+    from search_engine_spark.operators.rerank import rrf_fuse
+
+    sparse = ta.bm25_topk(_documents(spark, sf_dir), QUERY_TERMS, k=50)
+    dense = similarity.cosine_topk(
+        _embeddings(spark, sf_dir), 0, k=50
+    ).select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("cos").alias("score"),
+    )
+    return rrf_fuse([sparse, dense], k=10)
+
+
 def _bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -784,7 +802,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1002,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "champion_bm25_topk": q(_champion_bm25),
         "tiered_bm25_topk": q(_tiered(8)),
         "tiered_fallback_topk": q(_tiered(2)),
+        "rrf_hybrid_topk": q(_rrf_hybrid),
         "bm25f_topk": q(_bm25f),
         "block_bm25f_topk": q(_block_bm25f),
         "block_lm_topk": q(_block_lm),
@@ -1883,6 +1902,50 @@ fullr AS MATERIALIZED ({full})
 SELECT * FROM ch WHERE (SELECT count(*) FROM ch) >= {k}
 UNION ALL
 SELECT * FROM fullr WHERE (SELECT count(*) FROM ch) < {k}"""
+
+
+def _rrf_hybrid_sql(n_cand: int = 50, c: int = 60, k: int = 10) -> str:
+    """rerank.rrf_fuse over (BM25 top-n, cosine top-n vs vector 0):
+    both candidate lists replayed with their existing oracle math, then
+    rrf = 1/(c+rank_sparse) + 1/(c+rank_dense) summed in fixed list
+    order (w0 then w1 — the engine's left-to-right fold), rounded 6dp,
+    tie-broken doc_id ASC."""
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+bm AS (SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {n_cand}),
+rb AS (SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm),
+pos AS (SELECT pos FROM generate_series(1, 64) t(pos)),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (SELECT b.vec_id,
+    sum(CAST(b.embedding[pos] AS DOUBLE) * CAST(q.qe[pos] AS DOUBLE)) AS dot,
+    sum(CAST(b.embedding[pos] AS DOUBLE) * CAST(b.embedding[pos] AS DOUBLE)) AS nb
+  FROM embeddings b, q, pos WHERE b.vec_id <> 0 GROUP BY b.vec_id),
+qn AS (SELECT sum(CAST(qe[pos] AS DOUBLE) * CAST(qe[pos] AS DOUBLE)) AS nq2
+       FROM q, pos),
+co AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+       round(dot / (sqrt(nb) * sqrt(qn.nq2)), 6) AS score
+       FROM prod, qn ORDER BY score DESC, doc_id ASC LIMIT {n_cand}),
+rc AS (SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM co),
+u AS (SELECT doc_id, 0 AS src, 1.0 / ({c}.0 + r) AS w FROM rb
+      UNION ALL
+      SELECT doc_id, 1 AS src, 1.0 / ({c}.0 + r) AS w FROM rc),
+g AS (SELECT doc_id,
+      sum(CASE WHEN src = 0 THEN w END) AS w0,
+      sum(CASE WHEN src = 1 THEN w END) AS w1
+      FROM u GROUP BY doc_id)
+SELECT doc_id, round(coalesce(w0, 0.0) + coalesce(w1, 0.0), 6) AS rrf
+FROM g ORDER BY rrf DESC, doc_id ASC LIMIT {k}"""
 
 
 def _lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
@@ -2844,6 +2907,7 @@ LIMIT 50""",
         "champion_bm25_topk": _champion_bm25_sql(m=8, k=10),
         "tiered_bm25_topk": _tiered_bm25_sql(m=8, k=10),
         "tiered_fallback_topk": _tiered_bm25_sql(m=2, k=10),
+        "rrf_hybrid_topk": _rrf_hybrid_sql(n_cand=50, c=60, k=10),
         "bm25f_topk": _bm25f_sql(),
         # same math through the block serving path; block_search returns
         # no query_id->query text mapping differences — identical oracle

@@ -139,3 +139,67 @@ def mmr_rerank(
     return spark.createDataFrame(
         picked, "rank int, doc_id long, score double"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(doc_id, rrf) — Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009): rrf(d) = Σ_lists 1/(c + rank_list(d)), the
+    standard score-free way to combine a sparse (BM25) and a dense
+    (embedding-cosine) retriever into one hybrid result. Rank-based
+    fusion needs no score calibration between retrievers, which is why
+    it is the default hybrid in modern search stacks.
+
+    Each input carries (id_col, score); ranks are row_numbers under the
+    engine's canonical tie-break (score DESC, id ASC — quirk Q7), so
+    inputs must arrive score-rounded (every engine top-k already is).
+
+    Scale shape: fusion runs over CANDIDATE LISTS (each retriever's
+    top-n), never the corpus — each rank window spans ≤ n rows and the
+    union/agg moves ≤ Σn (id, double) rows. The expensive part of
+    hybrid search is the two retrievals, which keep their own
+    distributed plans; fusion adds no corpus-sized stage.
+
+    Determinism contract (shared with the DuckDB oracle): per-list
+    contributions are summed via per-list conditional aggregates added
+    LEFT-TO-RIGHT in list order — a fixed f64 fold, immune to shuffle
+    order — then rounded to `round_dp` before the final tie-broken cut.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window
+
+    parts = []
+    for i, r in enumerate(rankings):
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        parts.append(
+            r.select(
+                F.col(id_col),
+                F.lit(i).alias("src"),
+                (F.lit(1.0) / (F.lit(float(c)) + F.row_number().over(w))).alias(
+                    "w"
+                ),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("src") == i, F.col("w"))).alias(f"_w{i}")
+            for i in range(len(rankings))
+        ]
+    )
+    total = F.coalesce(F.col("_w0"), F.lit(0.0))
+    for i in range(1, len(rankings)):
+        total = total + F.coalesce(F.col(f"_w{i}"), F.lit(0.0))
+    return (
+        agg.select(F.col(id_col), F.round(total, round_dp).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

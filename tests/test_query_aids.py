@@ -329,3 +329,22 @@ def test_tiered_search_mixed_batch(spark, index):
         cby.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
     for qid, rows in by_q.items():
         assert rows == cby[qid] or len(rows) == 10
+
+
+def test_rrf_fuse_prefers_docs_in_both_lists(spark):
+    """RRF: a doc ranked in BOTH lists outranks single-list docs of
+    comparable rank; exact 1/(c+r) sums; tie-break doc_id ASC."""
+    from search_engine_spark.operators.rerank import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([(2, 9.0), (4, 5.0)], "doc_id long, score double")
+    out = rrf_fuse([a, b], k=4, c=60).collect()
+    order = [r["doc_id"] for r in out]
+    assert order == [2, 1, 4, 3]
+    vals = {r["doc_id"]: r["rrf"] for r in out}
+    assert vals[2] == round(1 / 62 + 1 / 61, 6)
+    assert vals[1] == round(1 / 61, 6)
+    assert vals[4] == round(1 / 62, 6)
+    assert vals[3] == round(1 / 63, 6)
