@@ -717,6 +717,14 @@ def _rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([sparse, dense], k=10)
 
 
+def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import text_analytics as ta
+
+    return ta.more_like_this(
+        _documents(spark, sf_dir), doc_id=7, n_terms=10, k=10
+    )
+
+
 def _bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
     from search_engine_spark.operators.index_build import build_index
@@ -802,7 +810,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1021,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_bm25_topk": q(_tiered(8)),
         "tiered_fallback_topk": q(_tiered(2)),
         "rrf_hybrid_topk": q(_rrf_hybrid),
+        "more_like_this_topk": q(_more_like_this),
         "bm25f_topk": q(_bm25f),
         "block_bm25f_topk": q(_block_bm25f),
         "block_lm_topk": q(_block_lm),
@@ -1946,6 +1955,32 @@ g AS (SELECT doc_id,
       FROM u GROUP BY doc_id)
 SELECT doc_id, round(coalesce(w0, 0.0) + coalesce(w1, 0.0), 6) AS rrf
 FROM g ORDER BY rrf DESC, doc_id ASC LIMIT {k}"""
+
+
+def _more_like_this_sql(q: int = 7, n_terms: int = 10, k: int = 10) -> str:
+    """text_analytics.more_like_this: the source doc's top-n terms by
+    6dp-rounded tf·BM25-idf (tie term ASC) become an OR query; plain
+    BM25 over the corpus minus the source doc, rounded before the cut."""
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfa AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sel AS (SELECT t.term FROM tf t JOIN dfa USING (term), stats
+        WHERE t.doc_id = {q}
+        ORDER BY round(t.tf * ln(1.0 +
+            (CAST(stats.n AS DOUBLE) - dfa.df + 0.5) / (dfa.df + 0.5)), 6)
+            DESC, t.term ASC
+        LIMIT {n_terms}),
+matched AS (SELECT * FROM tf WHERE term IN (SELECT term FROM sel))
+SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfa.df + 0.5) / (dfa.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+), 6) AS score
+FROM matched m JOIN dfa USING (term) JOIN dl USING (doc_id), stats
+WHERE m.doc_id <> {q}
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
 def _lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
@@ -2908,6 +2943,7 @@ LIMIT 50""",
         "tiered_bm25_topk": _tiered_bm25_sql(m=8, k=10),
         "tiered_fallback_topk": _tiered_bm25_sql(m=2, k=10),
         "rrf_hybrid_topk": _rrf_hybrid_sql(n_cand=50, c=60, k=10),
+        "more_like_this_topk": _more_like_this_sql(q=7, n_terms=10, k=10),
         "bm25f_topk": _bm25f_sql(),
         # same math through the block serving path; block_search returns
         # no query_id->query text mapping differences — identical oracle

@@ -544,3 +544,71 @@ def df_histogram(documents: DataFrame) -> DataFrame:
         F.min("df").alias("min_df"),
         F.max("df").alias("max_df"),
     )
+
+
+def more_like_this(
+    documents: DataFrame,
+    doc_id: int,
+    n_terms: int = 10,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(doc_id, score): query-by-document — the source doc's top
+    `n_terms` terms by tf·BM25-idf become an OR query, scored with
+    plain BM25 over the corpus minus the source doc. The standard
+    "more like this" serving feature (Elasticsearch MLT, Lucene
+    MoreLikeThis) expressed as two declarative passes.
+
+    Scale shape: term selection is a doc_id-equality scan (pushed to
+    the parquet reader) joined to the term-dim df table; only the
+    n_terms winning strings cross the driver, re-entering as an isin
+    scan predicate — the same dictionary-seek prune as every other
+    query path. No corpus-sized collect anywhere.
+
+    Determinism: term weights rounded 6dp, ties break term ASC; final
+    scores rounded 6dp, ties doc_id ASC (quirk Q7).
+    """
+    tf = term_tf(documents)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n, avgdl = int(row["n"]), float(row["avgdl"])
+
+    def idf(df_col):
+        return F.log(
+            F.lit(1.0) + (F.lit(float(n)) - df_col + 0.5) / (df_col + 0.5)
+        )
+
+    df_all = term_tf(documents).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    sel = (
+        tf.filter(F.col("doc_id") == doc_id)
+        .join(df_all, "term")
+        .select(
+            "term",
+            F.round(F.col("tf") * idf(F.col("df")), 6).alias("w"),
+        )
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(n_terms)
+        .collect()
+    )
+    terms = [r["term"] for r in sel]
+    matched = tf.filter(F.col("term").isin(terms))
+    # df over matched == full-corpus df per term (term-equality filter)
+    dfq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf_norm = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        matched.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf(F.col("df")) * tf_norm), 6).alias("score"))
+        .filter(F.col("doc_id") != doc_id)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -382,3 +382,22 @@ def test_df_histogram_exact_power_of_two_bins(spark):
     got = {r["bin"]: (r["n_terms"], r["min_df"], r["max_df"])
            for r in df_histogram(docs).collect()}
     assert got == {2: (1, 4, 4), 1: (1, 3, 3), 0: (1, 1, 1)}
+
+
+def test_more_like_this_finds_lexical_neighbor(spark):
+    """MLT(source) ranks the near-copy above the unrelated doc and
+    never returns the source itself."""
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor resonance cavity alignment"),
+            (2, "quantum flux capacitor resonance tuning"),
+            (3, "banana bread recipe with extra walnuts and honey"),
+            (4, "cavity alignment for the quantum capacitor"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ta.more_like_this(docs, doc_id=1, n_terms=5, k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids
+    assert ids[0] in (2, 4)
+    assert 3 not in ids or ids.index(3) > ids.index(2)
