@@ -636,6 +636,34 @@ def _prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_terms(index, _PREFIX)
 
 
+#: general wildcard (leading anchor + interior star) — expands to
+#: {scan, small, spark, stream} on the driver's synthetic vocabulary
+_WILDCARD = "s*a*"
+
+
+def _wildcard_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import wildcard_terms
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return wildcard_terms(index, _WILDCARD)
+
+
+def _wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import wildcard_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    top = wildcard_search(index, spark, _WILDCARD, k=10)
+    return top.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 def _block_bm25_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 + n·PageRank through the static-prior block index (f64
     blocks so the result is value-identical to the additive row-path
@@ -810,7 +838,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1055,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q(_mmr_topk),
         "facet_counts": q(_facet_counts),
         "prefix_terms": q(_prefix_terms),
+        "wildcard_terms": q(_wildcard_terms),
+        "wildcard_topk": q(_wildcard_topk),
         "bm25_prox_topk": q(_bm25_prox),
         "best_passage_topk": q(_best_passage),
         "passage_snippets": q(_passage_snippets),
@@ -2973,6 +3003,30 @@ GROUP BY d.{_FACET_COL}""",
 WITH {_TOKENS}, {_TF}
 SELECT term, count(*) AS df FROM tf
 WHERE term LIKE '{_PREFIX}%' GROUP BY term""",
+        "wildcard_terms": f"""
+WITH {_TOKENS}, {_TF},
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM vocab
+WHERE term LIKE '{_WILDCARD.replace("*", "%")}'
+ORDER BY term ASC LIMIT 50""",
+        "wildcard_topk": f"""
+WITH {_TOKENS}, {_TF},
+wc AS (SELECT term FROM (SELECT term FROM tf GROUP BY term) v
+       WHERE term LIKE '{_WILDCARD.replace("*", "%")}'
+       ORDER BY term ASC LIMIT 50),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN (SELECT term FROM wc)),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT 0 AS query_id, doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+), 6) AS score
+FROM matched m
+JOIN df USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
         "bm25_prox_topk": _bm25_prox_sql(),
         "best_passage_topk": _best_passage_sql(passage_size=16, k=10),
         "passage_snippets": _passage_snippets_sql(passage_size=16, k=10),

@@ -463,6 +463,103 @@ def prefix_terms(index: InvertedIndex, prefix: str) -> DataFrame:
     )
 
 
+def _wildcard_grams(pattern: str, k: int = 3) -> list[str]:
+    """Boundary-decorated k-grams of a wildcard pattern's fixed
+    segments (the '$'-decorated k-gram index of IIR §3.2.2). Lossless
+    prune: every dictionary term matching the pattern contains ALL of
+    these grams in its own decorated form, so gram containment can only
+    over-select — the LIKE post-filter is the correctness guard."""
+    segs = pattern.split("*")
+    grams: set[str] = set()
+    for i, seg in enumerate(segs):
+        dec = ("$" if i == 0 else "") + seg + ("$" if i == len(segs) - 1 else "")
+        grams.update(dec[j : j + k] for j in range(len(dec) - k + 1))
+    return sorted(grams)
+
+
+def _wildcard_like(pattern: str) -> str:
+    """'*'-wildcard → SQL LIKE with %/_/\\ in fixed segments escaped
+    (backslash escape — the Spark AND DuckDB default)."""
+    esc = (
+        pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    )
+    return esc.replace("*", "%")
+
+
+def wildcard_terms(
+    index: InvertedIndex,
+    pattern: str,
+    kgram: int = 3,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(term, df): dictionary terms matching a general '*' wildcard
+    pattern ('s*a*' style), capped at `max_expansions` in term-ASC
+    order — Lucene's maxExpansions discipline, so a degenerate pattern
+    like '*e*' cannot explode into a million-term OR query. Generalizes
+    `prefix_terms` (no reference analog; the reference has no wildcard
+    surface).
+
+    Scale shape: everything here is DICTIONARY-sized, never
+    corpus-sized, and the whole filter chain is scan-stage Catalyst
+    predicates — no explode, no shuffle before the tiny top-limit.
+    Anchored fixed segments compile to StartsWith/EndsWith pushed
+    filters (on the sorted-by-term index layout the leading anchor
+    prunes row groups exactly like prefix_terms' B-tree-range analog);
+    interior segments become an AND of Contains over the decorated
+    term (the k-gram containment test, evaluated without materializing
+    a gram index since the dictionary scan is already cheap); the LIKE
+    post-filter guards gram false positives (e.g. out-of-order gram
+    hits). Only ≤ max_expansions rows survive to the TakeOrdered.
+    """
+    segs = pattern.split("*")
+    dec = F.concat(F.lit("$"), F.col("term"), F.lit("$"))
+    cond = F.lit(True)
+    if segs[0]:
+        cond = cond & F.col("term").startswith(segs[0])
+    if len(segs) > 1 and segs[-1]:
+        cond = cond & F.col("term").endswith(segs[-1])
+    for g in _wildcard_grams(pattern, kgram):
+        cond = cond & dec.contains(g)
+    return (
+        index.term_stats.filter(cond)
+        .filter(F.col("term").like(_wildcard_like(pattern)))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.col("term").asc())
+        .limit(max_expansions)
+    )
+
+
+def wildcard_search(
+    index: InvertedIndex,
+    spark: SparkSession,
+    pattern: str,
+    k: int = 10,
+    kgram: int = 3,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(query_id=0, doc_id, score): BM25 OR-query over every dictionary
+    term the wildcard pattern expands to — `spar*`-style serving.
+
+    Two jobs by construction: the expansion TakeOrdered collects ≤
+    max_expansions strings to the driver (the same tiny driver-side
+    term-list discipline as `search`, and what lets `_matched` push the
+    isin into the postings scan), then one standard broadcast-joined
+    scoring pass. An empty expansion short-circuits to an empty result
+    without touching postings.
+    """
+    terms = [r["term"] for r in wildcard_terms(
+        index, pattern, kgram=kgram, max_expansions=max_expansions
+    ).collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double"
+        )
+    qt = spark.createDataFrame(
+        [(0, t) for t in terms], "query_id int, term string"
+    )
+    return score_bm25(index, qt, k=k, terms=terms)
+
+
 def rm3_expand(
     index: InvertedIndex,
     docs: DataFrame,

@@ -334,3 +334,24 @@ def test_best_passage_probe_is_pruned_scan(spark, tmp_path):
     assert "In(term" in plan or "EqualTo(term" in plan, plan[:3000]
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_wildcard_terms_is_scan_stage_only(spark, stored_index):
+    """General-wildcard expansion stays dictionary-sized: the anchored
+    segment reaches the parquet reader as a pushed StringStartsWith,
+    the gram-containment + LIKE post-filters run in the same scan
+    stage (no explode, no gram-index shuffle), and the capped
+    TakeOrdered is the only wide-ish op — zero shuffle Exchanges."""
+    import re
+
+    from search_engine_spark.operators.query import wildcard_terms
+
+    _, idx = stored_index
+    plan = _plan(wildcard_terms(idx, "sp*k*"))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "StringStartsWith" in pushed, pushed
+    assert "Generate" not in plan, plan[:1500]  # no gram explode
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert shuffles == [], plan[:2000]

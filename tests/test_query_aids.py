@@ -348,3 +348,84 @@ def test_rrf_fuse_prefers_docs_in_both_lists(spark):
     assert vals[1] == round(1 / 61, 6)
     assert vals[4] == round(1 / 62, 6)
     assert vals[3] == round(1 / 63, 6)
+
+
+# ---- wildcard dictionary expansion + serving -------------------------------
+
+
+def test_wildcard_grams_boundary_decoration():
+    from search_engine_spark.operators.query import _wildcard_grams
+
+    # fixed segments decorated with $ anchors; only segments long
+    # enough to yield a k-gram contribute
+    assert _wildcard_grams("str*am", 3) == ["$st", "am$", "str"]
+    assert _wildcard_grams("s*a*", 3) == []
+    assert _wildcard_grams("spark", 3) == sorted(
+        {"$sp", "spa", "par", "ark", "rk$"}
+    )
+
+
+def test_wildcard_like_escapes_sql_metachars():
+    from search_engine_spark.operators.query import _wildcard_like
+
+    assert _wildcard_like("a_b%c*d") == "a\\_b\\%c%d"
+    assert _wildcard_like("s*a*") == "s%a%"
+
+
+@pytest.mark.parametrize("pattern", ["s*", "*e", "s*a*", "*ar*", "b*h", "zz*"])
+def test_wildcard_terms_matches_fnmatch(spark, index, pattern):
+    """Expansion == naive fnmatch over the collected vocabulary, for
+    anchored, suffix, interior, and no-match patterns."""
+    import fnmatch
+
+    from search_engine_spark.operators.query import wildcard_terms
+
+    vocab = {
+        r["term"]: r["df"]
+        for r in index.term_stats.select("term", "df").collect()
+    }
+    want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pattern))[:50]
+    got = wildcard_terms(index, pattern).collect()
+    assert [r["term"] for r in got] == want
+    assert all(r["df"] == vocab[r["term"]] for r in got)
+
+
+def test_wildcard_terms_caps_expansions_term_asc(spark, index):
+    from search_engine_spark.operators.query import wildcard_terms
+
+    full = [r["term"] for r in wildcard_terms(index, "*").collect()]
+    assert len(full) >= 3
+    capped = [
+        r["term"] for r in wildcard_terms(index, "*", max_expansions=2).collect()
+    ]
+    assert capped == full[:2]
+
+
+def test_wildcard_search_equals_manual_or_query(spark, index):
+    import fnmatch
+
+    from search_engine_spark.operators.query import wildcard_search
+
+    pattern = "s*"
+    vocab = [r["term"] for r in index.term_stats.select("term").collect()]
+    terms = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pattern))[:50]
+    qt = spark.createDataFrame(
+        [(0, t) for t in terms], "query_id int, term string"
+    )
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in score_bm25(index, qt, k=10, terms=terms).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in wildcard_search(index, spark, pattern, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_wildcard_search_no_match_is_empty(spark, index):
+    from search_engine_spark.operators.query import wildcard_search
+
+    out = wildcard_search(index, spark, "qqqxyz*")
+    assert out.columns == ["query_id", "doc_id", "score"]
+    assert out.count() == 0
