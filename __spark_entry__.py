@@ -664,6 +664,101 @@ def _wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# retrieval evaluation (operators/evaluation.py): a 3-query BM25 run
+# judged against deterministic synthetic qrels — rel = doc_id % 3 for
+# every doc with (doc_id + query_id) % 7 == 0, so grades, misses, and
+# judged-non-relevant rows all occur and the SQL twin replays them
+_EVAL_QUERIES = [(0, "spark"), (1, "merge"), (2, "batch")]
+
+
+def _eval_index_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_bm25
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(_EVAL_QUERIES, "query_id int, term string")
+    return score_bm25(
+        index, qt, k=10, terms=[t for _, t in _EVAL_QUERIES]
+    )
+
+
+def _eval_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qids = spark.range(3).select(F.col("id").cast("int").alias("query_id"))
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(qids)
+        .filter((F.col("doc_id") + F.col("query_id")) % 7 == 0)
+        .withColumn("rel", (F.col("doc_id") % 3).cast("int"))
+    )
+
+
+def _rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.evaluation import rank_eval
+
+    return rank_eval(
+        _eval_index_run(spark, sf_dir), _eval_qrels(spark, sf_dir), k=10
+    )
+
+
+def _rank_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.evaluation import eval_summary, rank_eval
+
+    return eval_summary(
+        rank_eval(
+            _eval_index_run(spark, sf_dir), _eval_qrels(spark, sf_dir), k=10
+        )
+    )
+
+
+def _ann_recall_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap recall of the m=2 champion tier (approximate by
+    contract: ≤ 2 postings per term survive) against exact BM25 — the
+    acceptance measurement every pruned serving path owes."""
+    from search_engine_spark.operators.evaluation import ann_recall
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import champion_search, score_bm25
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    approx = champion_search(
+        index, spark, [" ".join(QUERY_TERMS)], m=2, k=10
+    )
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    exact = score_bm25(index, qt, k=10, terms=QUERY_TERMS)
+    return ann_recall(approx, exact, k=10)
+
+
+# standing queries for the percolation gate: single-term, multi-term,
+# and one query poisoned with an out-of-vocabulary term (q3 must never
+# fire in AND mode); q1 carries a duplicate row (must count once)
+_PERC_QUERIES = [
+    (0, "spark"),
+    (1, "spark"), (1, "merge"), (1, "merge"),
+    (2, "merge"), (2, "batch"),
+    (3, "spark"), (3, "zzznope"),
+]
+
+
+def _percolate(mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from search_engine_spark.operators.percolate import percolate
+        from search_engine_spark.operators.text_analytics import ws_tokens
+
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        sq = spark.createDataFrame(
+            _PERC_QUERIES, "query_id int, term string"
+        )
+        return percolate(docs, sq, mode=mode, tokenizer=ws_tokens)
+
+    return run
+
+
 def _block_bm25_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 + n·PageRank through the static-prior block index (f64
     blocks so the result is value-identical to the additive row-path
@@ -838,7 +933,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1085,6 +1180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_terms": q(_prefix_terms),
         "wildcard_terms": q(_wildcard_terms),
         "wildcard_topk": q(_wildcard_topk),
+        # retrieval evaluation: per-query TREC metrics, macro summary,
+        # and ANN overlap recall of the champion tier vs exact BM25
+        "rank_eval": q(_rank_eval),
+        "rank_eval_summary": q(_rank_eval_summary),
+        "ann_recall_champion": q(_ann_recall_champion),
+        # standing-query percolation (reverse search / alerting)
+        "percolate_and": q(_percolate("and")),
+        "percolate_or": q(_percolate("or")),
         "bm25_prox_topk": q(_bm25_prox),
         "best_passage_topk": q(_best_passage),
         "passage_snippets": q(_passage_snippets),
@@ -1941,6 +2044,116 @@ fullr AS MATERIALIZED ({full})
 SELECT * FROM ch WHERE (SELECT count(*) FROM ch) >= {k}
 UNION ALL
 SELECT * FROM fullr WHERE (SELECT count(*) FROM ch) < {k}"""
+
+
+def _rank_eval_ctes(k: int = 10) -> str:
+    """CTE chain replaying evaluation.rank_eval over the 3-query BM25
+    run and the synthetic qrels: Q7-ranked run cut at k, left-joined
+    judgments, cumulative hits (AP numerators), per-query DCG, the
+    qrels-side R and IDCG — conventions pinned in evaluation.py's
+    module docstring."""
+    qt_vals = ", ".join(f"({q}, '{t}')" for q, t in _EVAL_QUERIES)
+    return f"""{_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES {qt_vals}),
+matched AS (SELECT q.query_id, t.doc_id, t.term, t.tf
+            FROM tf t JOIN qt q USING (term)),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+scores AS (SELECT m.query_id, m.doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY m.query_id, m.doc_id),
+run AS (SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scores) WHERE rank <= {k}),
+qrels AS (SELECT q.query_id, d.doc_id, CAST(d.doc_id % 3 AS INT) AS rel
+    FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS query_id) q
+    WHERE (d.doc_id + q.query_id) % 7 = 0),
+judged AS (SELECT r.query_id, r.rank, coalesce(qr.rel, 0) AS rel
+    FROM run r LEFT JOIN qrels qr
+      ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id),
+cum AS (SELECT query_id, rank, rel,
+    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+        PARTITION BY query_id ORDER BY rank) AS hits_at
+    FROM judged),
+per AS (SELECT query_id,
+    max(hits_at) AS n_hits,
+    max(CASE WHEN rel > 0 THEN 1.0 / rank END) AS rr_raw,
+    sum((power(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg,
+    sum(CASE WHEN rel > 0 THEN CAST(hits_at AS DOUBLE) / rank END) AS ap_num
+    FROM cum GROUP BY query_id),
+rtot AS (SELECT query_id, count(*) AS n_rel FROM qrels WHERE rel > 0
+         GROUP BY query_id),
+ideal AS (SELECT query_id,
+    sum((power(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg FROM (
+    SELECT query_id, rel, row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM qrels WHERE rel > 0) WHERE irank <= {k} GROUP BY query_id),
+metrics AS (SELECT p.query_id,
+    round(CAST(p.n_hits AS DOUBLE) / {k}, 6) AS precision_k,
+    round(coalesce(CAST(p.n_hits AS DOUBLE) / rt.n_rel, 0.0), 6) AS recall_k,
+    round(coalesce(p.rr_raw, 0.0), 6) AS rr,
+    round(coalesce(p.ap_num / rt.n_rel, 0.0), 6) AS ap,
+    round(coalesce(p.dcg / i.idcg, 0.0), 6) AS ndcg_k
+    FROM per p LEFT JOIN rtot rt USING (query_id)
+    LEFT JOIN ideal i USING (query_id))"""
+
+
+def _rank_eval_sql(k: int = 10) -> str:
+    return f"WITH {_rank_eval_ctes(k)}\nSELECT * FROM metrics"
+
+
+def _rank_eval_summary_sql(k: int = 10) -> str:
+    return f"""WITH {_rank_eval_ctes(k)}
+SELECT count(*) AS n_queries,
+       round(avg(precision_k), 6) AS p_at_k,
+       round(avg(recall_k), 6) AS recall_at_k,
+       round(avg(rr), 6) AS mrr,
+       round(avg(ap), 6) AS map,
+       round(avg(ndcg_k), 6) AS ndcg
+FROM metrics"""
+
+
+def _ann_recall_sql(m: int = 2, k: int = 10) -> str:
+    """evaluation.ann_recall of the m-champion tier vs exact BM25:
+    both runs are already ≤ k rows, so recall = matched-reference-rows
+    / reference-rows per query."""
+    exact = _BM25_SQL.format(
+        qid="CAST(0 AS INTEGER) AS query_id, ", qid_group=""
+    )
+    return f"""
+WITH approx AS MATERIALIZED ({_champion_bm25_sql(m=m, k=k)}),
+exact AS MATERIALIZED ({exact})
+SELECT e.query_id,
+       round(CAST(count(a.doc_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+GROUP BY e.query_id"""
+
+
+def _percolate_sql(mode: str) -> str:
+    """percolate.percolate: distinct doc terms ⋈ distinct standing-query
+    terms → per-(doc, query) overlap counts; AND keeps only full
+    matches against each query's distinct-term requirement."""
+    sq_vals = ", ".join(f"({q}, '{t}')" for q, t in _PERC_QUERIES)
+    base = f"""{_TOKENS},
+dt AS (SELECT DISTINCT doc_id, term FROM tokens WHERE term <> ''),
+sq_raw(query_id, term) AS (VALUES {sq_vals}),
+sq AS (SELECT DISTINCT query_id, term FROM sq_raw),
+matched AS (SELECT d.doc_id, s.query_id, count(*) AS n_matched
+            FROM dt d JOIN sq s USING (term)
+            GROUP BY d.doc_id, s.query_id)"""
+    if mode == "or":
+        return f"WITH {base}\nSELECT doc_id, query_id, n_matched FROM matched"
+    return f"""WITH {base},
+req AS (SELECT query_id, count(*) AS n_required FROM sq GROUP BY query_id)
+SELECT m.doc_id, m.query_id, m.n_matched
+FROM matched m JOIN req USING (query_id)
+WHERE m.n_matched = req.n_required"""
 
 
 def _rrf_hybrid_sql(n_cand: int = 50, c: int = 60, k: int = 10) -> str:
@@ -3009,6 +3222,11 @@ vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT term, CAST(df AS BIGINT) AS df FROM vocab
 WHERE term LIKE '{_WILDCARD.replace("*", "%")}'
 ORDER BY term ASC LIMIT 50""",
+        "rank_eval": _rank_eval_sql(10),
+        "rank_eval_summary": _rank_eval_summary_sql(10),
+        "ann_recall_champion": _ann_recall_sql(m=2, k=10),
+        "percolate_and": _percolate_sql("and"),
+        "percolate_or": _percolate_sql("or"),
         "wildcard_topk": f"""
 WITH {_TOKENS}, {_TF},
 wc AS (SELECT term FROM (SELECT term FROM tf GROUP BY term) v

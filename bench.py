@@ -62,7 +62,7 @@ def main() -> None:
         read_index,
         write_index,
     )
-    from search_engine_spark.operators import dedup, keywords, pipelines, similarity
+    from search_engine_spark.operators import dedup, evaluation, keywords, pipelines, similarity
     from search_engine_spark.operators import text_analytics as ta
     from search_engine_spark.operators import query as query_ops
     from search_engine_spark.operators import rerank
@@ -120,6 +120,12 @@ def main() -> None:
                 idx, spark, SEARCH_QUERIES, m=32, k=10
             ).collect(),
         )
+        # general wildcard serving: capped dictionary expansion (scan-
+        # stage k-gram prune, ≤50 terms collected) + one BM25 OR pass
+        timed(
+            "wildcard_search",
+            lambda: query_ops.wildcard_search(idx, spark, "s*a*", k=10).collect(),
+        )
         timed(
             "tfidf_search",
             lambda: search(
@@ -168,6 +174,26 @@ def main() -> None:
             "block_bm25_100q",
             lambda: block_search(blocks, spark, batch_queries, k=10).collect(),
         )
+
+        # evaluation sweep: TREC metrics for the 100-query run against
+        # deterministic synthetic qrels — the million-query eval shape
+        # (rank windows + one judgment join), measured at 100 queries
+        def _eval_100q():
+            run = block_search(blocks, spark, batch_queries, k=10)
+            qids = spark.range(len(batch_queries)).select(
+                F.col("id").cast("int").alias("query_id")
+            )
+            qrels = (
+                idx.doc_stats.select("doc_id")
+                .crossJoin(qids)
+                .filter((F.col("doc_id") + F.col("query_id")) % 97 == 0)
+                .withColumn("rel", (F.col("doc_id") % 3).cast("int"))
+            )
+            return evaluation.eval_summary(
+                evaluation.rank_eval(run, qrels, k=10)
+            ).collect()
+
+        timed("rank_eval_100q", _eval_100q)
 
         # per-query p50/p95 (BASELINE.json metric wording): one Spark job
         # per query against the persisted block index
