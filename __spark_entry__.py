@@ -734,6 +734,40 @@ def _ann_recall_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(approx, exact, k=10)
 
 
+_LTR_ITERS = 8
+
+
+def _ltr_train(spark: SparkSession, sf_dir: str):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.ltr import ltr_features, ltr_train
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(_EVAL_QUERIES, "query_id int, term string")
+    feats = ltr_features(index, qt, terms=[t for _, t in _EVAL_QUERIES])
+    return ltr_train(feats, _eval_qrels(spark, sf_dir), iters=_LTR_ITERS)
+
+
+def _ltr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, _ = _ltr_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(w)], "j int, w double"
+    )
+
+
+def _ltr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, scores = _ltr_train(spark, sf_dir)
+    return scores
+
+
+def _ltr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.ltr import ltr_rerank
+
+    _, scores = _ltr_train(spark, sf_dir)
+    return ltr_rerank(scores, k=10)
+
+
 # standing queries for the percolation gate: single-term, multi-term,
 # and one query poisoned with an out-of-vocabulary term (q3 must never
 # fire in AND mode); q1 carries a duplicate row (must count once)
@@ -933,7 +967,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1188,6 +1222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing-query percolation (reverse search / alerting)
         "percolate_and": q(_percolate("and")),
         "percolate_or": q(_percolate("or")),
+        # learning-to-rank: features → pointwise GD → learned re-rank
+        "ltr_weights": q(_ltr_weights),
+        "ltr_scores": q(_ltr_scores),
+        "ltr_topk": q(_ltr_topk),
         "bm25_prox_topk": q(_bm25_prox),
         "best_passage_topk": q(_best_passage),
         "passage_snippets": q(_passage_snippets),
@@ -2133,6 +2171,115 @@ SELECT e.query_id,
 FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.doc_id = a.doc_id
 GROUP BY e.query_id"""
+
+
+def _ltr_ctes(iters: int, lr: float = 1.0) -> tuple[str, str]:
+    """CTE chain replaying ltr.ltr_features + ltr.ltr_train over the
+    3-query batch and the synthetic qrels: one matched pass → the five
+    features (f_bm25/f_idf 6dp-rounded, same grids as the engine) →
+    weak-negative labels → standardized base → unrolled full-batch GD
+    with the weight vector on the 9dp grid per step (the distill_gate
+    trick that absorbs libm exp/avg ulp drift). Returns
+    (ctes, final_weights_cte)."""
+    qt_vals = ", ".join(f"({q}, '{t}')" for q, t in _EVAL_QUERIES)
+    nf = 5
+    idf = "ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))"
+    tfn = "(m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))"
+    feats = ["f_bm25", "f_match", "f_tf", "f_idf", "f_dl"]  # ltr.FEATURES order
+    mom_cols = ", ".join(
+        f"avg({c}) AS m{i}, avg({c}*{c}) AS q{i}"
+        for i, c in enumerate(feats, start=1)
+    )
+    sd_cols = "m1, m2, m3, m4, m5, " + ", ".join(
+        f"CASE WHEN sqrt(greatest(q{i} - m{i}*m{i}, 0e0)) = 0e0 THEN 1e0 "
+        f"ELSE sqrt(greatest(q{i} - m{i}*m{i}, 0e0)) END AS s{i}"
+        for i in range(1, nf + 1)
+    )
+    x_cols = ", ".join(
+        f"({c} - m{i}) / s{i} AS x{i}" for i, c in enumerate(feats, start=1)
+    )
+    w0_cols = "0e0 AS b, " + ", ".join(f"0e0 AS w{i}" for i in range(1, nf + 1))
+    z = "w.b + " + " + ".join(f"w.w{i}*x{i}" for i in range(1, nf + 1))
+    parts = [
+        f"""{_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES {qt_vals}),
+nq AS (SELECT query_id, count(DISTINCT term) AS n_q FROM qt GROUP BY query_id),
+matched AS (SELECT q.query_id, t.doc_id, t.term, t.tf
+            FROM tf t JOIN qt q USING (term)),
+df AS (SELECT term, count(*) AS df FROM tf WHERE term IN {_IN_TERMS}
+       GROUP BY term),
+feats AS (SELECT m.query_id, m.doc_id,
+    round(sum({idf} * {tfn}), 6) AS f_bm25,
+    CAST(count(*) AS DOUBLE) / any_value(nq.n_q) AS f_match,
+    CAST(sum(m.tf) AS DOUBLE) AS f_tf,
+    round(max({idf}), 6) AS f_idf,
+    CAST(any_value(dl.dl) AS DOUBLE) AS f_dl
+    FROM matched m JOIN df USING (term) JOIN dl USING (doc_id)
+    JOIN nq ON nq.query_id = m.query_id, stats
+    GROUP BY m.query_id, m.doc_id),
+qrels AS (SELECT q.query_id, d.doc_id, CAST(d.doc_id % 3 AS INT) AS rel
+    FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS query_id) q
+    WHERE (d.doc_id + q.query_id) % 7 = 0),
+labeled AS (SELECT f.*, CASE WHEN coalesce(qr.rel, 0) > 0
+            THEN 1e0 ELSE 0e0 END AS y
+    FROM feats f LEFT JOIN qrels qr
+      ON f.query_id = qr.query_id AND f.doc_id = qr.doc_id),
+mom AS (SELECT {mom_cols} FROM labeled),
+sd AS (SELECT {sd_cols} FROM mom),
+base AS MATERIALIZED (SELECT query_id, doc_id, y, {x_cols}
+      FROM labeled, sd),
+w0 AS (SELECT {w0_cols})"""
+    ]
+    for i in range(iters):
+        upd = ", ".join(
+            f"round(w.w{j} - {lr}e0 * avg(e * x{j}), 9) AS w{j}"
+            for j in range(1, nf + 1)
+        )
+        grp = "w.b, " + ", ".join(f"w.w{j}" for j in range(1, nf + 1))
+        parts.append(
+            f"""e{i} AS MATERIALIZED (SELECT {", ".join(f"x{j}" for j in range(1, nf + 1))},
+    1e0 / (1e0 + exp(-({z}))) - y AS e
+    FROM base, w{i} w),
+w{i + 1} AS MATERIALIZED (SELECT
+    round(w.b - {lr}e0 * avg(e), 9) AS b, {upd}
+    FROM e{i}, w{i} w GROUP BY {grp})"""
+        )
+    return ",\n".join(parts), f"w{iters}"
+
+
+def _ltr_weights_sql(iters: int) -> str:
+    ctes, wf = _ltr_ctes(iters)
+    sel = "\nUNION ALL ".join(
+        f"SELECT {j}, w{j} FROM {wf}" for j in range(1, 6)
+    )
+    return f"""WITH {ctes}
+SELECT 0 AS j, b AS w FROM {wf}
+UNION ALL {sel}"""
+
+
+def _ltr_scores_sql(iters: int) -> str:
+    ctes, wf = _ltr_ctes(iters)
+    z = "w.b + " + " + ".join(f"w.w{i}*x{i}" for i in range(1, 6))
+    return f"""WITH {ctes}
+SELECT base.query_id, base.doc_id,
+       round(1e0 / (1e0 + exp(-({z}))), 6) AS s,
+       CAST(y AS INT) AS y
+FROM base, {wf} w"""
+
+
+def _ltr_topk_sql(iters: int, k: int = 10) -> str:
+    ctes, wf = _ltr_ctes(iters)
+    z = "w.b + " + " + ".join(f"w.w{i}*x{i}" for i in range(1, 6))
+    return f"""WITH {ctes},
+sc AS (SELECT base.query_id, base.doc_id,
+       round(1e0 / (1e0 + exp(-({z}))), 6) AS score
+       FROM base, {wf} w)
+SELECT query_id, doc_id, score FROM (
+    SELECT sc.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM sc) WHERE rn <= {k}"""
 
 
 def _percolate_sql(mode: str) -> str:
@@ -3227,6 +3374,9 @@ ORDER BY term ASC LIMIT 50""",
         "ann_recall_champion": _ann_recall_sql(m=2, k=10),
         "percolate_and": _percolate_sql("and"),
         "percolate_or": _percolate_sql("or"),
+        "ltr_weights": _ltr_weights_sql(_LTR_ITERS),
+        "ltr_scores": _ltr_scores_sql(_LTR_ITERS),
+        "ltr_topk": _ltr_topk_sql(_LTR_ITERS),
         "wildcard_topk": f"""
 WITH {_TOKENS}, {_TF},
 wc AS (SELECT term FROM (SELECT term FROM tf GROUP BY term) v

@@ -249,6 +249,32 @@ def main() -> None:
                 n_candidates=20,
             ).collect(),
         )
+        # learning-to-rank: feature extraction (one matched pass) +
+        # 8 full-batch GD steps (one 6-scalar aggregate each) + re-rank
+        def _ltr_bench():
+            from search_engine_spark.operators import ltr
+
+            qt = spark.createDataFrame(
+                [(0, "spark"), (1, "merge"), (2, "batch")],
+                "query_id int, term string",
+            )
+            feats = ltr.ltr_features(
+                docs_idx, qt, terms=["spark", "merge", "batch"]
+            )
+            qrels = (
+                documents.select("doc_id")
+                .crossJoin(
+                    spark.range(3).select(
+                        F.col("id").cast("int").alias("query_id")
+                    )
+                )
+                .filter((F.col("doc_id") + F.col("query_id")) % 7 == 0)
+                .withColumn("rel", (F.col("doc_id") % 3).cast("int"))
+            )
+            _, scores = ltr.ltr_train(feats, qrels, iters=8)
+            return ltr.ltr_rerank(scores, k=10).collect()
+
+        timed("ltr_train_rerank", _ltr_bench)
         docs_idx.unpersist()
         # TextRank keywords: every document's co-occurrence PageRank in
         # one joint iteration (no per-doc loop) — corpus-tagging cost
