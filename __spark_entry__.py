@@ -734,6 +734,52 @@ def _ann_recall_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(approx, exact, k=10)
 
 
+#: QPP gate queries: two-term, single-term, and one query mixing a
+#: present term with an out-of-vocabulary term (coverage accounting)
+_QPP_QUERIES = [
+    (0, "spark"), (0, "merge"),
+    (1, "batch"),
+    (2, "spark"), (2, "zzznope"),
+    (3, "zzznope"),
+]
+
+
+def _qpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import qpp_predictors
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(_QPP_QUERIES, "query_id int, term string")
+    return qpp_predictors(
+        index, qt, terms=sorted({t for _, t in _QPP_QUERIES})
+    )
+
+
+def _corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.pipelines import split_corpus
+
+    return split_corpus(
+        _documents(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42,
+        family="portable",
+    ).select("doc_id", "split")
+
+
+def _dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import dedup
+    from search_engine_spark.operators import text_analytics as ta
+
+    docs = _documents(spark, sf_dir)
+    labels = dedup.minhash_dedup(docs, family="portable")
+    scores = ta.quality_stats(docs).select(
+        "doc_id", F.col("n_tokens").cast("double").alias("score")
+    )
+    return dedup.select_representatives(labels, scores)
+
+
 _LTR_ITERS = 8
 
 
@@ -967,7 +1013,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1226,6 +1272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_weights": q(_ltr_weights),
         "ltr_scores": q(_ltr_scores),
         "ltr_topk": q(_ltr_topk),
+        # pre-retrieval query-difficulty predictors (SCQ family)
+        "qpp_predictors": q(_qpp),
+        # named train/val/test hash-band splits + quality-argmax reps
+        "corpus_splits": q(_corpus_splits),
+        "dedup_representatives": q(_dedup_representatives),
         "bm25_prox_topk": q(_bm25_prox),
         "best_passage_topk": q(_best_passage),
         "passage_snippets": q(_passage_snippets),
@@ -2280,6 +2331,46 @@ SELECT query_id, doc_id, score FROM (
     SELECT sc.*, row_number() OVER (
         PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM sc) WHERE rn <= {k}"""
+
+
+def _qpp_sql() -> str:
+    """query.qpp_predictors: BM25 idf + collection frequency per query
+    term (OOV terms contribute nothing, predictors coalesce to 0.0)."""
+    qt_vals = ", ".join(f"({q}, '{t}')" for q, t in _QPP_QUERIES)
+    in_terms = "('" + "','".join(sorted({t for _, t in _QPP_QUERIES})) + "')"
+    return f"""
+WITH {_TOKENS}, {_TF},
+stats AS (SELECT count(*) AS n FROM (SELECT doc_id FROM tf GROUP BY doc_id)),
+v AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf
+      WHERE term IN {in_terms} GROUP BY term),
+vi AS (SELECT term,
+       ln(1.0 + (CAST(stats.n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+       cf FROM v, stats),
+qt(query_id, term) AS (VALUES {qt_vals}),
+per AS (SELECT q.query_id, vi.idf, vi.cf
+        FROM qt q LEFT JOIN vi ON vi.term = q.term)
+SELECT query_id, count(*) AS n_terms, count(idf) AS n_present,
+       round(coalesce(avg(idf), 0.0), 6) AS avg_idf,
+       round(coalesce(max(idf), 0.0), 6) AS max_idf,
+       round(coalesce(sum((1.0 + ln(CAST(cf AS DOUBLE))) * idf), 0.0), 6)
+           AS scq
+FROM per GROUP BY query_id"""
+
+
+def _dedup_reps_sql() -> str:
+    """dedup.select_representatives over the portable minhash labels
+    with token-count quality: per-group argmax (n_tokens DESC, doc_id
+    ASC) replaces the min-id canonical."""
+    return f"""WITH RECURSIVE {_minhash_ctes()}, {_CC_LABELS},
+qc AS (SELECT doc_id, count(*) AS n_tokens FROM tokens
+       WHERE term <> '' GROUP BY doc_id),
+g AS (SELECT l.doc_id, l.keep_id, qc.n_tokens
+      FROM labels l JOIN qc USING (doc_id)),
+reps AS (SELECT keep_id, doc_id AS rep_id FROM (
+    SELECT g.*, row_number() OVER (PARTITION BY keep_id
+        ORDER BY CAST(n_tokens AS DOUBLE) DESC, doc_id ASC) AS rn
+    FROM g) WHERE rn = 1)
+SELECT l.doc_id, r.rep_id FROM labels l JOIN reps r USING (keep_id)"""
 
 
 def _percolate_sql(mode: str) -> str:
@@ -3377,6 +3468,16 @@ ORDER BY term ASC LIMIT 50""",
         "ltr_weights": _ltr_weights_sql(_LTR_ITERS),
         "ltr_scores": _ltr_scores_sql(_LTR_ITERS),
         "ltr_topk": _ltr_topk_sql(_LTR_ITERS),
+        "qpp_predictors": _qpp_sql(),
+        "corpus_splits": f"""
+SELECT doc_id,
+       CASE WHEN band < 800000 THEN 'train'
+            WHEN band < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+      {_h64_sql("CAST(doc_id AS VARCHAR) || ':42'")} % 1000000 AS band
+      FROM documents)""",
+        "dedup_representatives": _dedup_reps_sql(),
         "wildcard_topk": f"""
 WITH {_TOKENS}, {_TF},
 wc AS (SELECT term FROM (SELECT term FROM tf GROUP BY term) v

@@ -846,3 +846,45 @@ def normalized_dedup(documents: DataFrame) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def select_representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+) -> DataFrame:
+    """(doc_id, rep_id): re-canonicalize dedup groups by QUALITY — keep
+    each group's best-scoring member (score DESC, doc_id ASC) instead
+    of the smallest id. min-id canonicalization (what the CC fixpoint
+    emits as keep_id) is arbitrary: in a training-data pipeline you
+    want the longest / highest-quality / least-boilerplate variant of
+    a near-dup cluster to survive, and the paraphrases to drop — this
+    is the "keep best, not first" step every dedup writeup glosses
+    over.
+
+    `labels` is any (doc_id, keep_id) labeling (exact, normalized,
+    minhash, SemDeDup — they all emit this shape); `scores` is any
+    (doc_id, <score_col>) quality signal (token count, distilled gate
+    p, perplexity-gate logprob…). One (doc_id) equi-join + one
+    per-group rank-limit window (WindowGroupLimit per-partition cut,
+    the topk shape keyed by group instead of query) + one join back —
+    nothing corpus-sized crosses more than the group-key shuffle.
+    """
+    from pyspark.sql import Window
+
+    g = labels.select("doc_id", "keep_id").join(
+        scores.select("doc_id", F.col(score_col).alias("_s")), "doc_id"
+    )
+    w = Window.partitionBy("keep_id").orderBy(
+        F.col("_s").desc(), F.col("doc_id").asc()
+    )
+    reps = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("keep_id", F.col("doc_id").alias("rep_id"))
+    )
+    return (
+        labels.select("doc_id", "keep_id")
+        .join(reps, "keep_id")
+        .select("doc_id", "rep_id")
+    )

@@ -130,6 +130,43 @@ def sample_corpus(
     return documents.filter(u % F.lit(1_000_000) < int(rate * 1_000_000))
 
 
+def split_corpus(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 42,
+    key: str = "doc_id",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """documents + a `split` column: deterministic, DISJOINT named
+    splits (train/val/test) from consecutive hash bands — the
+    train/eval partition a 100 TB pretraining pipeline must be able to
+    recompute byte-identically months later.
+
+    Same mechanism and guarantees as `sample_corpus` (membership is a
+    pure row function: h(key ":" seed) mod 1e6 lands in one cumulative
+    band per split — stable under repartitioning/retries, and splits
+    at the same seed are disjoint BY CONSTRUCTION, no anti-joins).
+    Fractions must sum to ≤ 1.0; rows falling past the last band are
+    dropped (a ≤-1.0 sum doubles as holdout carving). Pure scan-stage
+    CASE — no shuffle, no second pass per split.
+    """
+    total = sum(fractions.values())
+    if not 0.0 < total <= 1.0 + 1e-12:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    u = h64(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")), family)
+    band = u % F.lit(1_000_000)
+    expr = None
+    hi = 0
+    for name, frac in fractions.items():
+        hi += int(frac * 1_000_000)
+        cond = band < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (
+        documents.withColumn("split", expr)
+        .filter(F.col("split").isNotNull())
+    )
+
+
 def resample_corpus(
     documents: DataFrame,
     temperature: float = 0.7,

@@ -560,6 +560,61 @@ def wildcard_search(
     return score_bm25(index, qt, k=k, terms=terms)
 
 
+def qpp_predictors(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(query_id, n_terms, n_present, avg_idf, max_idf, scq):
+    pre-retrieval query-performance prediction — estimate how well a
+    query will retrieve BEFORE running it (Zhao/Scholer/Tsegay 2008's
+    SCQ family + the idf statistics every QPP survey baselines).
+    A serving tier uses this to route hard queries to the expensive
+    ranker (full lists / proximity / LTR) and easy ones to the champion
+    tier; a query-log pipeline uses it to stratify eval sets.
+
+        SCQ_t = (1 + ln(cf_t)) · idf_t,  scq = Σ_t∈q∩V SCQ_t
+
+    with cf the collection frequency and idf the BM25 idf the index
+    already serves. Out-of-vocabulary terms count in n_terms but
+    contribute nothing (n_present tracks coverage; all-OOV queries get
+    0.0 predictors, not NULL). Cost: term-dimension only — one
+    isin-pruned postings agg for cf (the dictionary-seek shape, O(query
+    postings) IO on the sorted layout) + a broadcast join against
+    term_stats; nothing doc-granular is touched, no retrieval pass.
+    """
+    qt = query_terms.select("query_id", "term").distinct()
+    term_list = terms or [r["term"] for r in qt.select("term").distinct().collect()]
+    cf = (
+        index.postings.filter(F.col("term").isin(term_list))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+    )
+    ts = (
+        index.term_stats.filter(F.col("term").isin(term_list))
+        .select("term", "bm25_idf")
+        .join(cf, "term")
+    )
+    per = qt.join(F.broadcast(ts), "term", "left")
+    zero = F.lit(0.0)
+    return per.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.count("bm25_idf").alias("n_present"),
+        F.round(F.coalesce(F.avg("bm25_idf"), zero), 6).alias("avg_idf"),
+        F.round(F.coalesce(F.max("bm25_idf"), zero), 6).alias("max_idf"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    (F.lit(1.0) + F.log(F.col("cf").cast("double")))
+                    * F.col("bm25_idf")
+                ),
+                zero,
+            ),
+            6,
+        ).alias("scq"),
+    )
+
+
 def rm3_expand(
     index: InvertedIndex,
     docs: DataFrame,

@@ -111,3 +111,20 @@ def test_normalized_dedup_collapses_case_punct_ws(spark):
     )
     out = {r["keep_id"]: r["n_copies"] for r in normalized_dedup(docs).collect()}
     assert out == {1: 3, 4: 1}
+
+
+def test_select_representatives_keeps_best_not_first(spark):
+    from search_engine_spark.operators.dedup import select_representatives
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, keep_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.9), (9, 0.5)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r["rep_id"]
+        for r in select_representatives(labels, scores).collect()
+    }
+    # group 1: docs 2 and 3 tie on score → doc_id ASC wins (2), NOT min-id 1
+    assert out == {1: 2, 2: 2, 3: 2, 9: 9}

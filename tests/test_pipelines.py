@@ -119,3 +119,45 @@ class TestResampleCorpus:
 
         with _pytest.raises(ValueError):
             resample_corpus(self._skewed(spark), temperature=-0.1)
+
+
+def test_split_corpus_disjoint_exhaustive_and_stable(spark):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.pipelines import split_corpus
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = split_corpus(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    rows = out.collect()
+    assert len(rows) == 2000  # fractions sum to 1.0 → exhaustive
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == 2000  # disjoint
+    assert 0.75 < len(by["train"]) / 2000 < 0.85
+    # membership is a pure row function: repartitioning cannot move docs
+    again = {
+        (r["doc_id"], r["split"])
+        for r in split_corpus(
+            docs.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=7,
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_split_corpus_holdout_carving_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.pipelines import split_corpus
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = split_corpus(docs, {"train": 0.5}, seed=7)
+    n = out.count()
+    assert 400 < n < 600  # the other half is dropped (holdout)
+    with pytest.raises(ValueError):
+        split_corpus(docs, {"a": 0.9, "b": 0.2}, seed=7)

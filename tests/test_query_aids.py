@@ -429,3 +429,46 @@ def test_wildcard_search_no_match_is_empty(spark, index):
     out = wildcard_search(index, spark, "qqqxyz*")
     assert out.columns == ["query_id", "doc_id", "score"]
     assert out.count() == 0
+
+
+# ---- pre-retrieval query-performance prediction ----------------------------
+
+
+def test_qpp_predictors_idf_stats_and_scq(spark, index):
+    import math
+
+    from search_engine_spark.operators.query import qpp_predictors
+
+    stats = {
+        r["term"]: r
+        for r in index.term_stats.select("term", "bm25_idf").collect()
+    }
+    cf = {
+        r["term"]: r["cf"]
+        for r in index.postings.groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .collect()
+    }
+    t1, t2 = sorted(stats)[0], sorted(stats)[1]
+    qt = spark.createDataFrame(
+        [(0, t1), (0, t2), (1, t1)], "query_id int, term string"
+    )
+    out = {r["query_id"]: r for r in qpp_predictors(index, qt).collect()}
+    i1, i2 = stats[t1]["bm25_idf"], stats[t2]["bm25_idf"]
+    assert out[0]["n_terms"] == 2 and out[0]["n_present"] == 2
+    assert out[0]["avg_idf"] == round((i1 + i2) / 2, 6)
+    assert out[0]["max_idf"] == round(max(i1, i2), 6)
+    want_scq = (1 + math.log(cf[t1])) * i1 + (1 + math.log(cf[t2])) * i2
+    assert out[0]["scq"] == pytest.approx(round(want_scq, 6), abs=2e-6)
+    assert out[1]["max_idf"] == round(i1, 6)
+
+
+def test_qpp_predictors_oov_query_is_zero_not_null(spark, index):
+    from search_engine_spark.operators.query import qpp_predictors
+
+    qt = spark.createDataFrame(
+        [(5, "zzzneverseen"), (5, "qqqneverseen")], "query_id int, term string"
+    )
+    [r] = qpp_predictors(index, qt).collect()
+    assert r["n_terms"] == 2 and r["n_present"] == 0
+    assert (r["avg_idf"], r["max_idf"], r["scq"]) == (0.0, 0.0, 0.0)
