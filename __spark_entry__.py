@@ -780,6 +780,24 @@ def _dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.select_representatives(labels, scores)
 
 
+def _collapse_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_bm25
+    from search_engine_spark.operators.rerank import collapse_hosts
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir)
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    qt = spark.createDataFrame(_EVAL_QUERIES, "query_id int, term string")
+    run = score_bm25(
+        index, qt, k=50, terms=[t for _, t in _EVAL_QUERIES]
+    ).select("query_id", "doc_id", F.round(F.col("score"), 6).alias("score"))
+    return collapse_hosts(
+        run, docs.select("doc_id", "source"), key="source",
+        max_per_key=2, k=10,
+    )
+
+
 _LTR_ITERS = 8
 
 
@@ -1013,7 +1031,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1274,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_topk": q(_ltr_topk),
         # pre-retrieval query-difficulty predictors (SCQ family)
         "qpp_predictors": q(_qpp),
+        # SERP host crowding (site collapse) over a BM25 candidate run
+        "collapse_hosts_topk": q(_collapse_hosts),
         # named train/val/test hash-band splits + quality-argmax reps
         "corpus_splits": q(_corpus_splits),
         "dedup_representatives": q(_dedup_representatives),
@@ -2373,6 +2393,38 @@ reps AS (SELECT keep_id, doc_id AS rep_id FROM (
 SELECT l.doc_id, r.rep_id FROM labels l JOIN reps r USING (keep_id)"""
 
 
+def _collapse_hosts_sql(n_cand: int = 50, m: int = 2, k: int = 10) -> str:
+    """rerank.collapse_hosts over the 3-query BM25 candidate run:
+    per-(query, host) rank caps at m, then the page recuts to k."""
+    qt_vals = ", ".join(f"({q}, '{t}')" for q, t in _EVAL_QUERIES)
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES {qt_vals}),
+matched AS (SELECT q.query_id, t.doc_id, t.term, t.tf
+            FROM tf t JOIN qt q USING (term)),
+df AS (SELECT term, count(*) AS df FROM tf WHERE term IN {_IN_TERMS}
+       GROUP BY term),
+scores AS (SELECT m.query_id, m.doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY m.query_id, m.doc_id),
+run AS (SELECT query_id, doc_id, score FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS rank FROM scores s)
+    WHERE rank <= {n_cand}),
+g AS (SELECT r.query_id, r.doc_id, r.score, d.source
+      FROM run r JOIN documents d USING (doc_id)),
+h AS (SELECT g.*, row_number() OVER (PARTITION BY query_id, source
+      ORDER BY score DESC, doc_id ASC) AS hr FROM g),
+f AS (SELECT h.*, row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) AS rn FROM h WHERE hr <= {m})
+SELECT query_id, doc_id, score, source FROM f WHERE rn <= {k}"""
+
+
 def _percolate_sql(mode: str) -> str:
     """percolate.percolate: distinct doc terms ⋈ distinct standing-query
     terms → per-(doc, query) overlap counts; AND keeps only full
@@ -3469,6 +3521,7 @@ ORDER BY term ASC LIMIT 50""",
         "ltr_scores": _ltr_scores_sql(_LTR_ITERS),
         "ltr_topk": _ltr_topk_sql(_LTR_ITERS),
         "qpp_predictors": _qpp_sql(),
+        "collapse_hosts_topk": _collapse_hosts_sql(n_cand=50, m=2, k=10),
         "corpus_splits": f"""
 SELECT doc_id,
        CASE WHEN band < 800000 THEN 'train'

@@ -203,3 +203,44 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def collapse_hosts(
+    run: DataFrame,
+    dims: DataFrame,
+    key: str = "source",
+    max_per_key: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, doc_id, score, <key>): host crowding / site collapse —
+    at most `max_per_key` results per host survive per query, then the
+    page is cut to k. The standard SERP diversity rule (a dedup-free
+    web corpus puts ten pages of one mirror in any head query's top
+    ten; MMR fixes content redundancy, this fixes SOURCE redundancy,
+    and real engines apply both).
+
+    One broadcast-ish dim join (doc → host; AQE decides, the dim is a
+    projection of the docs relation) + two rank windows SHARING the
+    query_id partitioning — the (query_id, host) inner rank is a
+    narrow re-sort within the same shuffle's partitions, so collapsing
+    costs no extra exchange over plain topk. Candidates enter as a
+    per-query top-N run (N ≥ k·max hosts you expect to crowd), never
+    the corpus.
+    """
+    from pyspark.sql import Window
+
+    d = dims.select("doc_id", F.col(key).alias("_host"))
+    g = run.select("query_id", "doc_id", "score").join(d, "doc_id")
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    hw = Window.partitionBy("query_id", "_host").orderBy(*order)
+    qw = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        g.withColumn("hr", F.row_number().over(hw))
+        .filter(F.col("hr") <= max_per_key)
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "doc_id", "score", F.col("_host").alias(key)
+        )
+        .orderBy("query_id", *order)
+    )

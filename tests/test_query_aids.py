@@ -472,3 +472,40 @@ def test_qpp_predictors_oov_query_is_zero_not_null(spark, index):
     [r] = qpp_predictors(index, qt).collect()
     assert r["n_terms"] == 2 and r["n_present"] == 0
     assert (r["avg_idf"], r["max_idf"], r["scq"]) == (0.0, 0.0, 0.0)
+
+
+# ---- host crowding / site collapse ------------------------------------------
+
+
+def test_collapse_hosts_caps_per_host_and_recuts(spark):
+    from search_engine_spark.operators.rerank import collapse_hosts
+
+    run = spark.createDataFrame(
+        [(0, d, 10.0 - d) for d in range(1, 9)],
+        "query_id int, doc_id long, score double",
+    )
+    # docs 1-4 on host A (top of the ranking), 5-8 on host B
+    dims = spark.createDataFrame(
+        [(d, "A" if d <= 4 else "B") for d in range(1, 9)],
+        "doc_id long, source string",
+    )
+    out = collapse_hosts(run, dims, key="source", max_per_key=2, k=4).collect()
+    assert [(r["doc_id"], r["source"]) for r in out] == [
+        (1, "A"), (2, "A"), (5, "B"), (6, "B"),
+    ]
+    # scores survive unchanged; per-query isolation
+    assert out[0]["score"] == 9.0
+
+
+def test_collapse_hosts_is_plain_topk_when_hosts_diverse(spark):
+    from search_engine_spark.operators.rerank import collapse_hosts
+
+    run = spark.createDataFrame(
+        [(1, d, float(100 - d)) for d in range(1, 6)],
+        "query_id int, doc_id long, score double",
+    )
+    dims = spark.createDataFrame(
+        [(d, f"h{d}") for d in range(1, 6)], "doc_id long, source string"
+    )
+    out = collapse_hosts(run, dims, max_per_key=1, k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
