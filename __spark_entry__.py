@@ -1031,7 +1031,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1220,6 +1220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time operators (engine additions; SURVEY §2.5/§2.8)
         "events_windowed": q(lambda s, d: ev.windowed_counts(_events(s, d))),
         "user_sessions": q(lambda s, d: ev.user_sessions(_events(s, d))),
+        "related_items": q(
+            lambda s, d: ev.related_items(
+                _events(s, d), gap_minutes=30, min_pairs=2, k=10
+            )
+        ),
         # product-analytics shapes over the event stream
         "funnel_counts": q(
             lambda s, d: ev.funnel(
@@ -3377,6 +3382,38 @@ GROUP BY r_name""",
         "events_windowed": "SELECT date_trunc('hour', ts) AS ws, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2",
+        "related_items": """
+WITH l AS (SELECT user_id, event_id, ts, props,
+           CAST(floor(epoch(ts)) AS BIGINT) AS e,
+           lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+           FROM events),
+b AS (SELECT *, CASE WHEN e - pe > 1800 THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT user_id, props,
+      CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM b),
+sess AS (SELECT DISTINCT user_id, session_id,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS item
+         FROM s WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+nsess AS (SELECT count(*) AS n FROM
+          (SELECT DISTINCT user_id, session_id FROM sess)),
+per AS (SELECT item, count(*) AS n FROM sess GROUP BY item),
+pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+          FROM sess a JOIN sess b
+            ON a.user_id = b.user_id AND a.session_id = b.session_id
+           AND a.item < b.item
+          GROUP BY a.item, b.item HAVING count(*) >= 2),
+sym AS (SELECT item_a AS item, item_b AS related, n_ab FROM pairs
+        UNION ALL SELECT item_b, item_a, n_ab FROM pairs),
+scored AS (SELECT sym.item, sym.related, sym.n_ab,
+           round(sym.n_ab * CAST(nsess.n AS DOUBLE) / (na.n * nb.n), 6)
+             AS lift
+           FROM sym JOIN per na ON na.item = sym.item
+           JOIN per nb ON nb.item = sym.related, nsess)
+SELECT item, related, n_ab, lift FROM (
+    SELECT scored.*, row_number() OVER (PARTITION BY item
+        ORDER BY lift DESC, n_ab DESC, related ASC) AS rn FROM scored)
+WHERE rn <= 10""",
         "user_sessions": """
 WITH l AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
            lag(CAST(floor(epoch(ts)) AS BIGINT))

@@ -261,3 +261,105 @@ def cohort_retention(events: DataFrame, period_s: int = 604800) -> DataFrame:
         .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def related_items(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    min_pairs: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """(item, related, n_ab, lift): co-session recommendation — "users
+    who engaged with X in a session also engaged with Y", the mechanism
+    behind related-searches / people-also-viewed panels, mined from the
+    event log's item ids (`props.k`).
+
+    Sessionize (same gap-break windows as `user_sessions` — one shuffle
+    + one sort for both passes), reduce to DISTINCT (session, item)
+    incidences, self-join within session for co-occurrence counts, and
+    score each pair by session-lift
+
+        lift(a,b) = n_ab · N_sessions / (n_a · n_b)
+
+    (>1 ⇒ co-occur more than independence predicts). Per-item top-k by
+    (lift DESC, n_ab DESC, related ASC), emitted symmetrically.
+
+    Scale shape: the self-join is keyed on (user, session) — pair work
+    is Σ|session|², bounded by the session gap, never corpus²; the
+    only driver barrier is the 1-scalar session count. min_pairs cuts
+    the long noise tail before the window.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.col("ts").cast("timestamp").cast("long")
+    gap = e - F.lag(e).over(w)
+    sess = (
+        events.withColumn(
+            "brk", F.when(gap > gap_minutes * 60, 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "item",
+            F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("int"),
+        )
+        .filter(F.col("item").isNotNull())
+        .select("user_id", "session_id", "item")
+        .distinct()
+        .persist()
+    )
+    n_sessions = sess.select("user_id", "session_id").distinct().count()
+    per_item = sess.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sess.alias("a"), sess.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("related"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("related"),
+            "n_ab",
+        )
+    )
+    na = per_item.select(F.col("item"), F.col("n").alias("n_i"))
+    nb = per_item.select(
+        F.col("item").alias("related"), F.col("n").alias("n_r")
+    )
+    scored = (
+        sym.join(na, "item")
+        .join(nb, "related")
+        .select(
+            "item",
+            "related",
+            "n_ab",
+            F.round(
+                F.col("n_ab")
+                * F.lit(float(n_sessions))
+                / (F.col("n_i") * F.col("n_r")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    rw = Window.partitionBy("item").orderBy(
+        F.col("lift").desc(), F.col("n_ab").desc(), F.col("related").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

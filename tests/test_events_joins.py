@@ -148,3 +148,55 @@ def test_cohort_retention_grid(spark):
     assert got[(c, 1)] == 2
     assert got[(c, 3)] == 1
     assert (c, 2) not in got
+
+
+def test_related_items_co_session_lift_and_topk(spark):
+    from search_engine_spark.operators.events import related_items
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes, item):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "view", 1.0,
+                '{"k": %d}' % item)
+
+    rows = [
+        # user 1, one session: items 10, 11, 12 co-occur
+        ev(0, 1, 0, 10), ev(1, 1, 5, 11), ev(2, 1, 9, 12),
+        # user 1, second session (gap > 30 min): 10 and 11 again
+        ev(3, 1, 60, 10), ev(4, 1, 65, 11),
+        # user 2, one session: 10 and 11
+        ev(5, 2, 0, 10), ev(6, 2, 3, 11),
+        # duplicate incidence must count once per session
+        ev(7, 2, 4, 11),
+        # user 3, singleton sessions produce no pairs
+        ev(8, 3, 0, 12), ev(9, 3, 90, 10),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = related_items(events, gap_minutes=30, min_pairs=2, k=5).collect()
+    got = {(r["item"], r["related"]): (r["n_ab"], r["lift"]) for r in out}
+    # sessions: {10,11,12}, {10,11}, {10,11}, {12}, {10} → N=5
+    # n_10=4, n_11=3, n_12=2; pair (10,11) in 3 sessions; others < min_pairs
+    assert set(got) == {(10, 11), (11, 10)}
+    assert got[(10, 11)] == (3, round(3 * 5 / (4 * 3), 6))
+    assert got[(10, 11)] == got[(11, 10)]
+
+
+def test_related_items_respects_session_boundaries(spark):
+    from search_engine_spark.operators.events import related_items
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "view", 1.0, '{"k": 1}'),
+        # same user, next item 45 min later → different session, no pair
+        (1, t0 + dt.timedelta(minutes=45), 1, "view", 1.0, '{"k": 2}'),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert related_items(events, gap_minutes=30, min_pairs=1).count() == 0
