@@ -780,6 +780,39 @@ def _dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.select_representatives(labels, scores)
 
 
+_SUFFIX = "e"
+
+
+def _suffix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-wildcard ('*e') probe against a /tmp-cached reversed
+    dictionary — the same build-once/probe-pruned shape as the ANN
+    entries (cache keyed on the documents file's mtime/size)."""
+    import hashlib
+    import os
+
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import (
+        suffix_terms,
+        write_reversed_dictionary,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        stamp = sf_dir
+    tag = hashlib.md5(stamp.encode()).hexdigest()[:10]
+    path = f"/tmp/se_spark_rdict/{tag}"
+    done = f"{path}/_BUILT"
+    if not os.path.exists(done):
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        index = build_index(docs, tokenizer=ws_tokens)
+        write_reversed_dictionary(index, path)
+        open(done, "w").close()
+    return suffix_terms(spark, path, _SUFFIX)
+
+
 def _collapse_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import score_bm25
@@ -1031,7 +1064,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1299,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qpp_predictors": q(_qpp),
         # SERP host crowding (site collapse) over a BM25 candidate run
         "collapse_hosts_topk": q(_collapse_hosts),
+        # leading-wildcard probe via the materialized reversed dictionary
+        "suffix_terms": q(_suffix_terms),
         # named train/val/test hash-band splits + quality-argmax reps
         "corpus_splits": q(_corpus_splits),
         "dedup_representatives": q(_dedup_representatives),
@@ -3559,6 +3594,11 @@ ORDER BY term ASC LIMIT 50""",
         "ltr_topk": _ltr_topk_sql(_LTR_ITERS),
         "qpp_predictors": _qpp_sql(),
         "collapse_hosts_topk": _collapse_hosts_sql(n_cand=50, m=2, k=10),
+        "suffix_terms": f"""
+WITH {_TOKENS}, {_TF},
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM vocab
+WHERE term LIKE '%{_SUFFIX}' ORDER BY term ASC LIMIT 50""",
         "corpus_splits": f"""
 SELECT doc_id,
        CASE WHEN band < 800000 THEN 'train'

@@ -560,6 +560,50 @@ def wildcard_search(
     return score_bm25(index, qt, k=k, terms=terms)
 
 
+def write_reversed_dictionary(index: InvertedIndex, path: str) -> None:
+    """Materialize the term dictionary keyed by reverse(term) — the
+    reverse-B-tree half of IIR §3.2.1's leading-wildcard answer.
+    `prefix_terms`/`wildcard_terms` push StartsWith on the
+    sorted-by-term layout, but a '*ing' query has no leading anchor
+    and degrades to a full dictionary scan; probing a reversed twin
+    restores the pushed-range shape. Range-partitioned and sorted by
+    rterm so parquet min/max stats skip everything outside the
+    reversed prefix range — same build/probe split as
+    write_index / build_lsh_index."""
+    from search_engine_spark.catalog import write_table
+
+    laid = (
+        index.term_stats.select(
+            F.reverse(F.col("term")).alias("rterm"),
+            "term",
+            F.col("df").cast("long").alias("df"),
+        )
+        .repartitionByRange(F.col("rterm"))
+        .sortWithinPartitions("rterm")
+    )
+    write_table(laid, path)
+
+
+def suffix_terms(
+    spark: SparkSession,
+    path: str,
+    suffix: str,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(term, df): dictionary terms ending in `suffix` ('*ing' style),
+    capped at `max_expansions` in term-ASC order, served from the
+    materialized reversed dictionary. The reversed-suffix StartsWith is
+    a pushed StringStartsWith on the range-sorted rterm column
+    (plan-asserted) — a B-tree range seek, not a vocabulary scan."""
+    rd = spark.read.parquet(path)
+    return (
+        rd.filter(F.col("rterm").startswith(suffix[::-1]))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.col("term").asc())
+        .limit(max_expansions)
+    )
+
+
 def qpp_predictors(
     index: InvertedIndex,
     query_terms: DataFrame,

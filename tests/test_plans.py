@@ -355,3 +355,22 @@ def test_wildcard_terms_is_scan_stage_only(spark, stored_index):
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert shuffles == [], plan[:2000]
+
+
+def test_suffix_probe_pushes_reversed_startswith(spark, stored_index, tmp_path):
+    """Leading-wildcard serving probes the materialized REVERSED
+    dictionary: the reversed suffix reaches the parquet reader as a
+    pushed StringStartsWith on the range-sorted rterm column — a range
+    seek, not a dictionary scan."""
+    from search_engine_spark.operators.query import (
+        suffix_terms,
+        write_reversed_dictionary,
+    )
+
+    _, idx = stored_index
+    path = str(tmp_path / "rdict")
+    write_reversed_dictionary(idx, path)
+    plan = _plan(suffix_terms(spark, path, "ing"))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "StringStartsWith(rterm" in pushed, pushed

@@ -509,3 +509,25 @@ def test_collapse_hosts_is_plain_topk_when_hosts_diverse(spark):
     )
     out = collapse_hosts(run, dims, max_per_key=1, k=3).collect()
     assert [r["doc_id"] for r in out] == [1, 2, 3]
+
+
+# ---- reversed dictionary: leading-wildcard (suffix) probes -------------------
+
+
+def test_suffix_terms_matches_endswith(spark, index, tmp_path):
+    from search_engine_spark.operators.query import (
+        suffix_terms,
+        write_reversed_dictionary,
+    )
+
+    path = str(tmp_path / "rdict")
+    write_reversed_dictionary(index, path)
+    vocab = {
+        r["term"]: r["df"]
+        for r in index.term_stats.select("term", "df").collect()
+    }
+    for suffix in ("e", "ch", "zzz"):
+        want = sorted(t for t in vocab if t.endswith(suffix))[:50]
+        got = suffix_terms(spark, path, suffix).collect()
+        assert [r["term"] for r in got] == want
+        assert all(r["df"] == vocab[r["term"]] for r in got)
