@@ -276,6 +276,25 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("doc_id", F.round("pr", 9).alias("pr"))
 
 
+#: topic seed rule for personalized PageRank: every 13th doc, unit
+#: weight (13 is coprime to the edge rule's DANGLING_MOD=17, so seeds
+#: include both linking and dangling pages)
+_PPR_SEED_MOD = 13
+
+
+def _personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import graph as g
+
+    docs, edges, _ = _graph(spark, sf_dir)
+    seeds = (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % _PPR_SEED_MOD == 0)
+        .select("doc_id", F.lit(1.0).alias("w"))
+    )
+    ppr = g.personalized_pagerank(docs, edges, seeds, iters=_PR_ITERS)
+    return ppr.select("doc_id", F.round("pr", 9).alias("pr"))
+
+
 def _anchor_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import graph as g
 
@@ -1064,7 +1083,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1279,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi": q(_term_pmi),
         # web link graph (operators/graph.py)
         "pagerank": q(_pagerank),
+        "personalized_pagerank": q(_personalized_pagerank),
         "hits": q(_hits),
         "link_components": q(_link_components),
         "anchor_tf": q(_anchor_tf),
@@ -1968,6 +1988,38 @@ r{i + 1} AS MATERIALIZED (SELECT nodes.doc_id,
 def _pagerank_sql(iters: int) -> str:
     ctes, final = _pagerank_ctes(iters)
     return f"WITH {ctes}\nSELECT doc_id, round(pr, 9) AS pr FROM {final}"
+
+
+def _ppr_sql(iters: int, damping: float = 0.85) -> str:
+    """graph.personalized_pagerank: the pagerank unroll with the
+    teleport AND the dangling mass redistributed over the L1-normalized
+    seed vector (every _PPR_SEED_MOD-th doc, unit weight)."""
+    base, _ = _pagerank_ctes(iters=0)  # nodes/nn/edges/deg (+ unused r0)
+    d = damping
+    parts = [
+        base,
+        f"""seeds AS MATERIALIZED (SELECT doc_id, 1.0e0 AS w FROM nodes
+     WHERE doc_id % {_PPR_SEED_MOD} = 0),
+st AS (SELECT sum(w) AS t FROM seeds),
+sv AS MATERIALIZED (SELECT nodes.doc_id, coalesce(seeds.w / st.t, 0e0) AS s
+     FROM nodes CROSS JOIN st LEFT JOIN seeds USING (doc_id)),
+p0 AS MATERIALIZED (SELECT doc_id, s AS pr FROM sv)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""pd{i} AS MATERIALIZED (SELECT coalesce(sum(pr), 0e0) AS dang
+    FROM p{i} LEFT JOIN deg ON p{i}.doc_id = deg.src WHERE deg.src IS NULL),
+pc{i} AS MATERIALIZED (SELECT e.dst AS doc_id, sum(r.pr / dd.out) AS contrib
+    FROM p{i} r JOIN edges e ON e.src = r.doc_id JOIN deg dd ON dd.src = e.src
+    GROUP BY e.dst),
+p{i + 1} AS MATERIALIZED (SELECT sv.doc_id,
+    (1.0e0 - {d}e0) * sv.s
+      + {d}e0 * (coalesce(c.contrib, 0e0) + dd.dang * sv.s) AS pr
+    FROM sv CROSS JOIN pd{i} dd LEFT JOIN pc{i} c USING (doc_id))"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT doc_id, round(pr, 9) AS pr FROM p{iters}"""
 
 
 def _hits_sql(iters: int) -> str:
@@ -3539,6 +3591,7 @@ CROSS JOIN n
 ORDER BY pmi DESC, term_a ASC, term_b ASC
 LIMIT 50""",
         "pagerank": _pagerank_sql(_PR_ITERS),
+        "personalized_pagerank": _ppr_sql(_PR_ITERS),
         "hits": _hits_sql(_HITS_ITERS),
         "link_components": _link_components_sql(),
         "anchor_tf": _anchor_tf_sql(),

@@ -49,6 +49,7 @@ from search_engine_spark.operators.text_analytics import ws_tokens
 __all__ = [
     "synthetic_links",
     "pagerank",
+    "personalized_pagerank",
     "hits",
     "link_components",
     "anchor_postings",
@@ -161,6 +162,87 @@ def pagerank(
         ranks = new_ck
     e.unpersist()
     deg.unpersist()
+    return ranks
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(doc_id, pr) after `iters` rounds of topic-sensitive PageRank
+    (Haveliwala 2002): the teleport lands on a SEED distribution
+    instead of uniformly, so authority flows out from a trusted /
+    topical set —
+
+        pr_{t+1}(v) = (1-d)·s(v) + d·(Σ_{u→v} pr_t(u)/out(u)
+                                      + dangling_t·s(v))
+
+    with s the L1-normalized `seeds` (doc_id, w); non-seeds teleport 0.
+    Dangling mass also redistributes over s (the personalization-
+    consistent choice: a random surfer who falls off a dangling page
+    restarts at a seed), so Σ pr = 1 every round. This is the TrustRank
+    / topic-hub mechanism: spam demotion from trusted seeds, per-topic
+    authority for BM25 fusion, crawl frontier prioritization toward a
+    topic.
+
+    Plan shape: identical to `pagerank` — edges pre-partitioned by src,
+    two shuffles per round, dangling via 1-row broadcast, per-round
+    localCheckpoint — plus one broadcast-sized (doc_id, s) column
+    persisted once; the seed normalization is the only extra driver
+    barrier (1 scalar).
+    """
+    nodes = nodes.select("doc_id")
+    tot = float(seeds.agg(F.sum("w").alias("t")).collect()[0]["t"])
+    s = seeds.select("doc_id", (F.col("w") / F.lit(tot)).alias("s"))
+    base = (
+        nodes.join(s, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
+        .persist()
+    )
+    base.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out")).persist()
+    e = edges.join(deg, "src").repartition("src").persist()
+    ranks = base.select("doc_id", F.col("s").alias("pr"))
+    for _ in range(iters):
+        dang = (
+            ranks.join(
+                deg.select(F.col("src").alias("doc_id")), "doc_id", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            e.join(
+                ranks.select(F.col("doc_id").alias("src"), "pr"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("out")).alias("contrib"))
+        )
+        new = (
+            base.join(
+                contrib.select(F.col("dst").alias("doc_id"), "contrib"),
+                "doc_id",
+                "left",
+            )
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "doc_id",
+                (
+                    F.lit(1.0 - damping) * F.col("s")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") * F.col("s")
+                    )
+                ).alias("pr"),
+            )
+        )
+        ranks = new.localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
+    base.unpersist()
     return ranks
 
 

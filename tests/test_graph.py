@@ -139,3 +139,40 @@ def test_hits_rejects_zero_iters(spark, docs, edges):
     # deep inside the final join
     with pytest.raises(ValueError, match="iters"):
         g.hits(docs, edges, iters=0)
+
+
+def test_personalized_pagerank_is_a_distribution(spark, docs, edges):
+    n = docs.count()
+    seeds = docs.select("doc_id").filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id", F.lit(1.0).alias("w")
+    )
+    ppr = g.personalized_pagerank(docs, edges, seeds, iters=5)
+    total = ppr.agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    assert ppr.count() == n
+
+
+def test_personalized_pagerank_confines_mass_to_seed_component(spark):
+    # two disjoint 3-cycles; seeds only in the first → the second
+    # community receives no teleport and no flow, its mass decays to 0
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    cyc = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)]
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    seeds = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+    ppr = {r["doc_id"]: r["pr"] for r in
+           g.personalized_pagerank(nodes, edges, seeds, iters=20).collect()}
+    assert ppr[4] < 1e-6 and ppr[5] < 1e-6 and ppr[6] < 1e-6
+    assert min(ppr[1], ppr[2], ppr[3]) > 0.2
+    # seed pulls ahead of its own cycle-mates via the teleport term
+    assert ppr[1] > ppr[2] and ppr[1] > ppr[3]
+
+
+def test_personalized_pagerank_uniform_seeds_equals_pagerank(spark, docs, edges):
+    n = docs.count()
+    uniform = docs.select("doc_id", F.lit(1.0).alias("w"))
+    a = {r["doc_id"]: r["pr"] for r in
+         g.personalized_pagerank(docs, edges, uniform, iters=3).collect()}
+    b = {r["doc_id"]: r["pr"] for r in
+         g.pagerank(docs, edges, n, iters=3).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
