@@ -895,6 +895,38 @@ _PERC_QUERIES = [
 ]
 
 
+def _percolate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING percolation path over the same docs + standing
+    queries: one AvailableNow drain of a /tmp-staged input dir (cached
+    per sf_dir; the stream checkpoint makes repeat gate calls no-op
+    drains) — gate-checked against the identical batch SQL oracle, so
+    the stream/batch equivalence is externally verified."""
+    import hashlib
+    import os
+
+    from search_engine_spark.operators.text_analytics import ws_tokens
+    from search_engine_spark.streaming.alerts import percolate_stream
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        stamp = sf_dir
+    tag = hashlib.md5(stamp.encode()).hexdigest()[:10]
+    base = f"/tmp/se_spark_alerts/{tag}"
+    os.makedirs(base, exist_ok=True)
+    if not os.path.exists(f"{base}/_FED"):
+        _documents(spark, sf_dir).select("doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/drop0")
+        open(f"{base}/_FED", "w").close()
+    sq = spark.createDataFrame(_PERC_QUERIES, "query_id int, term string")
+    return percolate_stream(
+        spark, f"{base}/in/drop*", sq, f"{base}/state",
+        mode="and", tokenizer=ws_tokens,
+    )
+
+
 def _percolate(mode: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_spark.operators.percolate import percolate
@@ -1083,7 +1115,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1344,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing-query percolation (reverse search / alerting)
         "percolate_and": q(_percolate("and")),
         "percolate_or": q(_percolate("or")),
+        "percolate_stream_and": q(_percolate_stream),
         # learning-to-rank: features → pointwise GD → learned re-rank
         "ltr_weights": q(_ltr_weights),
         "ltr_scores": q(_ltr_scores),
@@ -3642,6 +3675,8 @@ ORDER BY term ASC LIMIT 50""",
         "ann_recall_champion": _ann_recall_sql(m=2, k=10),
         "percolate_and": _percolate_sql("and"),
         "percolate_or": _percolate_sql("or"),
+        # the streaming drain must equal the batch percolation — same oracle
+        "percolate_stream_and": _percolate_sql("and"),
         "ltr_weights": _ltr_weights_sql(_LTR_ITERS),
         "ltr_scores": _ltr_scores_sql(_LTR_ITERS),
         "ltr_topk": _ltr_topk_sql(_LTR_ITERS),
