@@ -101,3 +101,49 @@ def read_state_index(
     latest = raw.groupBy("doc_id").agg(F.max("batch").alias("batch"))
     deduped = raw.join(latest, ["doc_id", "batch"]).select("doc_id", "term", "tf")
     return index_from_raw_postings(deduped, k1=k1, b=b)
+
+
+def compact_state(spark: SparkSession, state_path: str) -> int:
+    """Rewrite the accumulated per-epoch postings dirs into ONE batch
+    dir holding the latest-wins relation — the small-files compaction
+    every long-running ingest loop needs: after K drains the state is
+    K directories of tiny files, and both the finalize scan and the
+    file-listing RPC cost grow with K, not with data. Returns the
+    number of epoch dirs compacted away.
+
+    Semantics-preserving by construction: the compacted relation IS
+    `read_state_index`'s latest-wins dedup, written under the HIGHEST
+    existing epoch id — a doc re-delivered by any LATER drain still
+    outranks it, and the stream checkpoint (untouched) keeps assigning
+    fresh epochs, so drains continue seamlessly after compaction.
+
+    The swap is write-fully-then-rename, driver-side (local
+    filesystem); on a cluster this operation is the table format's
+    transactional compaction (Iceberg rewrite_data_files / Delta
+    OPTIMIZE) with the identical latest-wins projection.
+    """
+    import os
+    import shutil
+
+    root = f"{state_path}/postings_raw"
+    spark.catalog.refreshByPath(root)
+    batches = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("batch=")
+    )
+    if len(batches) <= 1:
+        return 0
+    raw = spark.read.option("basePath", root).parquet(root)
+    latest = raw.groupBy("doc_id").agg(F.max("batch").alias("batch"))
+    deduped = (
+        raw.join(latest, ["doc_id", "batch"]).select("doc_id", "term", "tf")
+    )
+    tmp = f"{state_path}/postings_raw.compact"
+    deduped.write.mode("overwrite").parquet(f"{tmp}/batch={batches[-1]}")
+    old = f"{state_path}/postings_raw.old"
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(root)
+    return len(batches) - 1

@@ -82,3 +82,39 @@ def test_redelivered_doc_latest_wins(spark, tmp_path):
     assert terms.get("fresh") == 1
     assert "old" not in terms, "stale postings survived re-delivery"
     assert idx.n_docs == 1
+
+
+def test_compact_state_preserves_index_and_future_drains(spark, tmp_path):
+    from search_engine_spark.streaming.incremental import compact_state
+
+    inp = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    all_pages = synth_pages(spark, N_A + N_B, seed=23).cache()
+    part_a = all_pages.limit(N_A).cache()
+    urls_a = {r["url"] for r in part_a.select("url").collect()}
+    part_b = all_pages.filter(~all_pages.url.isin(list(urls_a))).cache()
+
+    # two drains → two epoch dirs
+    part_a.write.parquet(f"{inp}/drop_a")
+    incremental_index_update(spark, f"{inp}/drop_*", state)
+    part_b.write.parquet(f"{inp}/drop_b")
+    before = incremental_index_update(spark, f"{inp}/drop_*", state)
+    want = _postings_set(before)
+
+    n = compact_state(spark, state)
+    assert n == 1  # two dirs → one
+    dirs = [
+        d for d in os.listdir(f"{state}/postings_raw") if d.startswith("batch=")
+    ]
+    assert len(dirs) == 1
+    after = read_state_index(spark, state)
+    assert _postings_set(after) == want
+    assert after.n_docs == before.n_docs
+
+    # compacting a compacted state is a no-op
+    assert compact_state(spark, state) == 0
+
+    # a later drain (re-crawl of part A) still wins over compacted rows
+    part_a.write.parquet(f"{inp}/drop_c")
+    idx3 = incremental_index_update(spark, f"{inp}/drop_*", state)
+    assert _postings_set(idx3) == want  # same pages → same postings
