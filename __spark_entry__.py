@@ -850,6 +850,35 @@ def _collapse_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-path serving through the materialized query-result cache:
+    first call populates a /tmp cache (keyed per sf_dir), the returned
+    result is the warm hit — gate-checked against the plain BM25
+    oracle, so cache round-trip fidelity is externally verified."""
+    import hashlib
+    import os
+
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query_cache import cached_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        stamp = sf_dir
+    tag = hashlib.md5(stamp.encode()).hexdigest()[:10]
+    path = f"/tmp/se_spark_qcache/{tag}"
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    q = [" ".join(QUERY_TERMS)]
+    cached_search(index, spark, q, path, k=10)  # cold: populate
+    warm = cached_search(index, spark, q, path, k=10)
+    return warm.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 _LTR_ITERS = 8
 
 
@@ -1115,7 +1144,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'cached_bm25_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1387,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_hosts_topk": q(_collapse_hosts),
         # leading-wildcard probe via the materialized reversed dictionary
         "suffix_terms": q(_suffix_terms),
+        # warm serving through the materialized query-result cache
+        "cached_bm25_topk": q(_cached_bm25),
         # named train/val/test hash-band splits + quality-argmax reps
         "corpus_splits": q(_corpus_splits),
         "dedup_representatives": q(_dedup_representatives),
@@ -3687,6 +3718,10 @@ WITH {_TOKENS}, {_TF},
 vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT term, CAST(df AS BIGINT) AS df FROM vocab
 WHERE term LIKE '%{_SUFFIX}' ORDER BY term ASC LIMIT 50""",
+        # the cache round-trip must reproduce plain BM25 exactly
+        "cached_bm25_topk": _BM25_SQL.format(
+            qid="CAST(0 AS INTEGER) AS query_id, ", qid_group=""
+        ),
         "corpus_splits": f"""
 SELECT doc_id,
        CASE WHEN band < 800000 THEN 'train'

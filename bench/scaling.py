@@ -530,6 +530,30 @@ Findings:
   crosses the threshold). Post-fix medians sit within ~4% of the r1
   engine, with the remainder being the measurement aggregate itself —
   bought functionality, kept.
+
+## Round-4 late additions: new bench rows (measured sf0.1, local[32])
+
+One full local run of the final r4 engine (headline core 37.1 s,
+pages_index_build 13.1 s = 1,527 docs/s — the post-fix A/B level,
+confirming the drift fix held on the full suite; full_suite 364 s):
+
+| new row | sec | what it measures |
+|---|---|---|
+| wildcard_search | 1.69 | `s*a*` dictionary expansion (scan-stage k-gram prune, <=50 terms collected) + one BM25 OR pass against the persisted index |
+| rank_eval_100q | 3.87 | TREC metrics (P/R@k, MRR, MAP, NDCG) for the 100-query block-serving run vs synthetic qrels — the million-query eval-sweep shape (rank windows + one judgment join, no per-query loop) at 100 queries |
+| ltr_train_rerank | 6.89 | LTR end-to-end: feature extraction (one matched pass), 8 full-batch GD steps (one 6-scalar aggregate each), learned re-rank |
+
+Rows not benched separately because their cost is an existing row's
+shape: percolation ~= one tokenize + term join (the docs_index_build
+scan shape); suffix_terms / collapse_hosts / qpp / split_corpus /
+select_representatives / related_items / cached_search are dictionary-
+or candidate-sized ops (sub-second at sf0.1, dominated by
+job-scheduling constants in local mode); personalized_pagerank runs
+the identical per-round plan as the benched pagerank_10it row.
+
+The round's final scaling window (post all r4 additions) measured
+0.878 raw efficiency at 1 -> 4 (0.984 of that run's hardware ceiling),
+confirming the additions left the index-build scaling path untouched.
 """
         )
 

@@ -1,0 +1,112 @@
+"""Materialized query-result cache: serve repeat queries from storage.
+
+Head queries dominate every real query log (Zipf again), so a serving
+layer puts a result cache in front of the ranker. This module is that
+layer as a batch operator: each query is fingerprinted (normalized
+text + scorer + k), a batch is split into cache hits and misses with
+ONE semi-probe of the cache relation, only the misses run the ranking
+plan, and their results are appended back so the next batch hits.
+
+Scale shape: the cache is a (qfp, doc_id, score) parquet relation —
+rows ≈ k · distinct-queries-ever, tiny next to the index. The hit/miss
+split collects ≤ |batch| fingerprint strings (the same
+query-count-sized driver barrier as query tokenization); hits join
+back by fingerprint (broadcast — the batch side is small), misses run
+the normal one-shuffle scoring plan. Appends are add-only parquet
+(each write lands new files; concurrent duplicate appends of the same
+qfp are tolerated — reads dedup by (qfp, doc_id)); on a cluster the
+cache would be an Iceberg table with snapshot-isolated appends and a
+TTL/eviction sweep, the same relation.
+
+Honest limitation (documented, tested): an empty result set stores no
+rows, so zero-hit queries are recomputed every batch — negative
+caching would need a sentinel row; out of scope here. Cache entries
+are also scorer/k-specific by fingerprint construction, and the cache
+does NOT observe index updates — serving after a re-index requires a
+new cache path (or an eviction sweep), exactly like any result cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import InvertedIndex
+from search_engine_spark.operators.query import search
+
+__all__ = ["query_fingerprint", "cached_search"]
+
+
+def query_fingerprint(query: str, scorer: str, k: int) -> str:
+    """Deterministic cache key: md5 over the whitespace-normalized
+    lowercased query text plus the scoring configuration."""
+    norm = " ".join(query.lower().split())
+    return hashlib.md5(f"{scorer}|{k}|{norm}".encode()).hexdigest()
+
+
+def cached_search(
+    index: InvertedIndex,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    cache_path: str,
+    k: int = 10,
+    scorer: str = "bm25",
+) -> DataFrame:
+    """(query_id, doc_id, score): the same contract as `query.search`,
+    served through the materialized cache at `cache_path` — hits read
+    from storage, misses computed and appended."""
+    from pyspark.errors import AnalysisException
+
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    fps = {
+        qid: query_fingerprint(q, scorer, k) for qid, q in queries.items()
+    }
+    fp_df = spark.createDataFrame(
+        [(qid, fp) for qid, fp in fps.items()], "query_id int, qfp string"
+    )
+    try:
+        spark.catalog.refreshByPath(cache_path)
+        cache = (
+            spark.read.parquet(cache_path)
+            .select("qfp", "doc_id", "score")
+            .dropDuplicates(["qfp", "doc_id"])
+        )
+        present = {
+            r["qfp"]
+            for r in cache.join(F.broadcast(fp_df.select("qfp")), "qfp", "left_semi")
+            .select("qfp")
+            .distinct()
+            .collect()
+        }
+    except AnalysisException:
+        cache, present = None, set()
+
+    miss = {qid: q for qid, q in queries.items() if fps[qid] not in present}
+    parts = []
+    if miss:
+        fresh = search(index, spark, miss, k=k, scorer=scorer)
+        store = fresh.join(F.broadcast(fp_df), "query_id").select(
+            "qfp", "doc_id", "score"
+        )
+        store.write.mode("append").parquet(cache_path)
+        parts.append(fresh.select("query_id", "doc_id", "score"))
+    if cache is not None and len(present) > 0:
+        hits = (
+            fp_df.filter(F.col("qfp").isin(sorted(present)))
+            .join(cache, "qfp")
+            .select("query_id", "doc_id", "score")
+        )
+        parts.append(hits)
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        "query_id", F.col("score").desc(), F.col("doc_id").asc()
+    )

@@ -1,0 +1,83 @@
+"""Query-result cache (operators/query_cache.py): hit/miss split,
+cache round-trip equality, proof that hits are served from storage
+(not recomputed), fingerprint normalization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.query import search
+from search_engine_spark.operators.query_cache import (
+    cached_search,
+    query_fingerprint,
+)
+from search_engine_spark.operators.text_analytics import ws_tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    return build_index(docs, tokenizer=ws_tokens).cache()
+
+
+def _rows(df):
+    return [
+        (r["query_id"], r["doc_id"], round(r["score"], 6)) for r in df.collect()
+    ]
+
+
+def test_fingerprint_normalizes_whitespace_and_case():
+    assert query_fingerprint("  Spark   MERGE ", "bm25", 10) == \
+        query_fingerprint("spark merge", "bm25", 10)
+    assert query_fingerprint("spark", "bm25", 10) != \
+        query_fingerprint("spark", "bm25", 20)
+
+
+def test_cold_equals_plain_search_and_populates(spark, index, tmp_path):
+    cache = str(tmp_path / "qcache")
+    qs = {0: "spark merge", 1: "batch"}
+    got = _rows(cached_search(index, spark, qs, cache, k=10))
+    want = _rows(
+        search(index, spark, qs, k=10).orderBy(
+            "query_id", F.col("score").desc(), F.col("doc_id").asc()
+        )
+    )
+    assert got == want
+    assert spark.read.parquet(cache).count() == len(want)
+
+
+def test_warm_hits_serve_from_storage_not_the_index(spark, index, tmp_path):
+    cache = str(tmp_path / "qcache")
+    qs = {0: "spark merge"}
+    first = _rows(cached_search(index, spark, qs, cache, k=10))
+    # poison the live index: drop every posting. If the second call
+    # recomputed, it would return nothing; the cache must still serve.
+    empty_index = build_index(
+        spark.createDataFrame([(1, "zzz")], "doc_id long, text string"),
+        tokenizer=ws_tokens,
+    )
+    again = _rows(cached_search(empty_index, spark, qs, cache, k=10))
+    assert again == first
+
+
+def test_mixed_batch_computes_only_misses_and_appends(spark, index, tmp_path):
+    cache = str(tmp_path / "qcache")
+    cached_search(index, spark, {0: "spark"}, cache, k=10)
+    n1 = spark.read.parquet(cache).count()
+    out = cached_search(index, spark, {5: "spark", 6: "merge"}, cache, k=10)
+    by_q = {}
+    for qid, doc, score in _rows(out):
+        by_q.setdefault(qid, []).append((doc, score))
+    # the hit is served under ITS OWN query_id of this batch
+    want = {
+        qid: [(r["doc_id"], round(r["score"], 6)) for r in
+              search(index, spark, {qid: q}, k=10).collect()]
+        for qid, q in ((5, "spark"), (6, "merge"))
+    }
+    assert by_q == want
+    n2 = spark.read.parquet(cache).count()
+    assert n2 == n1 + len(want[6])  # only the miss appended
