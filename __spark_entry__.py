@@ -732,6 +732,20 @@ def _rank_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _paired_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-statistic of per-query NDCG at k=10 vs k=5 on the same
+    BM25 run — the A/B acceptance arithmetic, here probing cutoff
+    sensitivity (either sign is possible for NDCG: the deeper cutoff
+    adds DCG from extra hits but also deepens the IDCG denominator)."""
+    from search_engine_spark.operators.evaluation import paired_delta, rank_eval
+
+    run = _eval_index_run(spark, sf_dir)
+    qr = _eval_qrels(spark, sf_dir)
+    return paired_delta(
+        rank_eval(run, qr, k=10), rank_eval(run, qr, k=5), metric="ndcg_k"
+    )
+
+
 def _ann_recall_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap recall of the m=2 champion tier (approximate by
     contract: ≤ 2 postings per term survive) against exact BM25 — the
@@ -875,6 +889,23 @@ def _cached_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached_search(index, spark, q, path, k=10)  # cold: populate
     warm = cached_search(index, spark, q, path, k=10)
     return warm.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
+#: fixed boolean gate query: conjunction + disjunction + negation
+_BOOL_QUERY = "spark AND ( merge OR batch ) AND NOT slow"
+
+
+def _boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.boolquery import boolean_search
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    top = boolean_search(index, spark, _BOOL_QUERY, k=10)
+    return top.select(
         "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
     )
 
@@ -1144,7 +1175,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'cached_bm25_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'paired_ndcg_delta', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'cached_bm25_topk', 'boolean_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1402,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q(_rank_eval),
         "rank_eval_summary": q(_rank_eval_summary),
         "ann_recall_champion": q(_ann_recall_champion),
+        "paired_ndcg_delta": q(_paired_cutoff),
         # standing-query percolation (reverse search / alerting)
         "percolate_and": q(_percolate("and")),
         "percolate_or": q(_percolate("or")),
@@ -1418,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_terms": q(_suffix_terms),
         # warm serving through the materialized query-result cache
         "cached_bm25_topk": q(_cached_bm25),
+        # boolean query language: AND/OR/NOT/parens + BM25 ranking
+        "boolean_topk": q(_boolean_topk),
         # named train/val/test hash-band splits + quality-argmax reps
         "corpus_splits": q(_corpus_splits),
         "dedup_representatives": q(_dedup_representatives),
@@ -2581,6 +2615,27 @@ f AS (SELECT h.*, row_number() OVER (PARTITION BY query_id
 SELECT query_id, doc_id, score, source FROM f WHERE rn <= {k}"""
 
 
+def _paired_delta_sql(ka: int = 10, kb: int = 5) -> str:
+    """evaluation.paired_delta over rank_eval(k=ka) vs rank_eval(k=kb)
+    on the same run/qrels — same variance clamp and operation order as
+    the engine so the t arithmetic replays."""
+    return f"""
+WITH a AS MATERIALIZED ({_rank_eval_sql(ka)}),
+b AS MATERIALIZED ({_rank_eval_sql(kb)}),
+j AS (SELECT a.query_id, a.ndcg_k AS x, b.ndcg_k AS y,
+      a.ndcg_k - b.ndcg_k AS d FROM a JOIN b USING (query_id)),
+s AS (SELECT count(*) AS n, avg(x) AS ma, avg(y) AS mb,
+      avg(d) AS md, avg(d*d) AS qd FROM j)
+SELECT CAST(n AS BIGINT) AS n_queries,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(md, 6) AS mean_delta,
+       round(CASE WHEN n > 1 AND qd - md*md > 0
+             THEN md / (sqrt((qd - md*md) * n / (n - 1.0))
+                        / sqrt(CAST(n AS DOUBLE)))
+             ELSE 0.0 END, 6) AS t_stat
+FROM s"""
+
+
 def _percolate_sql(mode: str) -> str:
     """percolate.percolate: distinct doc terms ⋈ distinct standing-query
     terms → per-(doc, query) overlap counts; AND keeps only full
@@ -3704,6 +3759,7 @@ ORDER BY term ASC LIMIT 50""",
         "rank_eval": _rank_eval_sql(10),
         "rank_eval_summary": _rank_eval_summary_sql(10),
         "ann_recall_champion": _ann_recall_sql(m=2, k=10),
+        "paired_ndcg_delta": _paired_delta_sql(ka=10, kb=5),
         "percolate_and": _percolate_sql("and"),
         "percolate_or": _percolate_sql("or"),
         # the streaming drain must equal the batch percolation — same oracle
@@ -3722,6 +3778,30 @@ WHERE term LIKE '%{_SUFFIX}' ORDER BY term ASC LIMIT 50""",
         "cached_bm25_topk": _BM25_SQL.format(
             qid="CAST(0 AS INTEGER) AS query_id, ", qid_group=""
         ),
+        # boolquery.boolean_search('spark AND (merge OR batch) AND NOT
+        # slow'): set algebra over posting doc-sets, BM25 over the
+        # positive terms, 0.0 for unscored survivors
+        "boolean_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+conj AS (SELECT doc_id FROM tf WHERE term = 'spark'
+         INTERSECT
+         SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'batch')),
+cand AS (SELECT doc_id FROM conj
+         EXCEPT SELECT doc_id FROM tf WHERE term = 'slow'),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+sc AS (SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id)
+SELECT 0 AS query_id, c.doc_id, coalesce(sc.score, 0.0) AS score
+FROM cand c LEFT JOIN sc USING (doc_id)
+ORDER BY score DESC, c.doc_id ASC
+LIMIT 10""",
         "corpus_splits": f"""
 SELECT doc_id,
        CASE WHEN band < 800000 THEN 'train'

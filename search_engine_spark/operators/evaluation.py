@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rank_eval", "eval_summary", "ann_recall"]
+__all__ = ["rank_eval", "eval_summary", "ann_recall", "paired_delta"]
 
 
 def _ranked(run: DataFrame, k: int) -> DataFrame:
@@ -169,4 +169,47 @@ def ann_recall(run: DataFrame, reference: DataFrame, k: int = 10) -> DataFrame:
                 F.coalesce(F.col("n_hit") / F.col("n_ref"), F.lit(0.0)), 6
             ).alias("recall"),
         )
+    )
+
+
+def paired_delta(
+    per_a: DataFrame, per_b: DataFrame, metric: str = "ndcg_k"
+) -> DataFrame:
+    """ONE row (n_queries, mean_a, mean_b, mean_delta, t_stat): paired
+    comparison of two runs' per-query `metric` (rank_eval outputs) —
+    the standard way a ranking change is accepted: same queries, same
+    judgments, per-query deltas, paired t-statistic
+
+        t = mean(d) / (sd(d) / sqrt(n)),  sd = sample std of deltas
+
+    (compare |t| to the t_{n-1} critical value offline; the statistic
+    itself is pure arithmetic so it stays oracle-replayable — no CDF,
+    no libm beyond sqrt). t_stat is 0.0 when the deltas have zero
+    variance (including the all-identical-runs case) or n < 2. One
+    (query_id) join + one 4-scalar aggregate — works unchanged on a
+    million-query eval sweep."""
+    a = per_a.select("query_id", F.col(metric).alias("x"))
+    b = per_b.select("query_id", F.col(metric).alias("y"))
+    j = a.join(b, "query_id").select(
+        "x", "y", (F.col("x") - F.col("y")).alias("d")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("ma"),
+        F.avg("y").alias("mb"),
+        F.avg("d").alias("md"),
+        F.avg(F.col("d") * F.col("d")).alias("qd"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("qd") - F.col("md") * F.col("md")) * n / (n - F.lit(1.0))
+    t = F.when(
+        (F.col("n") > 1) & (F.col("qd") - F.col("md") * F.col("md") > 0),
+        F.col("md") / (F.sqrt(var) / F.sqrt(n)),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        F.col("n").alias("n_queries"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round("md", 6).alias("mean_delta"),
+        F.round(t, 6).alias("t_stat"),
     )

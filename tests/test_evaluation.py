@@ -100,3 +100,36 @@ def test_ann_recall_zero_overlap_query_is_reported(spark):
     approx = _run(spark, [(0, 8, 2.0), (0, 9, 1.0)])
     [r] = ann_recall(approx, exact, k=2).collect()
     assert r["recall"] == 0.0
+
+
+def _per(spark, rows):
+    return spark.createDataFrame(rows, "query_id int, ndcg_k double")
+
+
+def test_paired_delta_hand_computed_t(spark):
+    from search_engine_spark.operators.evaluation import paired_delta
+
+    a = _per(spark, [(0, 0.9), (1, 0.8), (2, 0.7)])
+    b = _per(spark, [(0, 0.6), (1, 0.7), (2, 0.5)])
+    [r] = paired_delta(a, b, metric="ndcg_k").collect()
+    d = [0.3, 0.1, 0.2]
+    n = 3
+    md = sum(d) / n
+    sd = (sum((x - md) ** 2 for x in d) / (n - 1)) ** 0.5
+    t = md / (sd / n**0.5)
+    assert r["n_queries"] == 3
+    assert r["mean_a"] == round(sum([0.9, 0.8, 0.7]) / 3, 6)
+    assert r["mean_delta"] == round(md, 6)
+    assert r["t_stat"] == pytest.approx(round(t, 6), abs=2e-6)
+
+
+def test_paired_delta_zero_variance_and_identical_runs(spark):
+    from search_engine_spark.operators.evaluation import paired_delta
+
+    a = _per(spark, [(0, 0.5), (1, 0.7)])
+    # constant shift: sd = 0 → t defined as 0 (degenerate)
+    b = _per(spark, [(0, 0.4), (1, 0.6)])
+    [r] = paired_delta(a, b).collect()
+    assert r["mean_delta"] == 0.1 and r["t_stat"] == 0.0
+    [r2] = paired_delta(a, a).collect()
+    assert r2["mean_delta"] == 0.0 and r2["t_stat"] == 0.0
