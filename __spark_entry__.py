@@ -893,6 +893,50 @@ def _cached_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: plural-bearing augmentation so the S-stemmer actually fires on the
+#: driver's (plural-free) synthetic vocabulary; replayed verbatim in SQL
+_STEM_AUG = " queries tables rows"
+_STEM_QUERY_WORDS = ["queries", "table", "spark"]
+
+
+def _stem_tokenizer(c):
+    from search_engine_spark.functions.textproc import s_stem_col
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    return F.transform(ws_tokens(c), s_stem_col)
+
+
+def _stem_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_STEM_AUG)).alias("text")
+    )
+
+
+def _stemmed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+
+    index = build_index(_stem_docs(spark, sf_dir), tokenizer=_stem_tokenizer)
+    return index.term_stats.select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def _stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.functions.textproc import s_stem
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import score_bm25
+
+    index = build_index(_stem_docs(spark, sf_dir), tokenizer=_stem_tokenizer)
+    terms = sorted({s_stem(w) for w in _STEM_QUERY_WORDS})
+    qt = spark.createDataFrame(
+        [(0, t) for t in terms], "query_id int, term string"
+    )
+    top = score_bm25(index, qt, k=10, terms=terms)
+    return top.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 #: fixed boolean gate query: conjunction + disjunction + negation
 _BOOL_QUERY = "spark AND ( merge OR batch ) AND NOT slow"
 
@@ -1175,7 +1219,7 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'paired_ndcg_delta', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'cached_bm25_topk', 'boolean_topk', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
+_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'paired_ndcg_delta', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_scores', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'cached_bm25_topk', 'boolean_topk', 'stemmed_df', 'stemmed_bm25_topk', 'zipf_fit', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'distill_gate_scores', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'dsir_selected', 'dsir_sampled', 'index_delete_docs', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'facet_counts', 'prefix_terms', 'bm25_prox_topk', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'lsh_cosine_topk_batch', 'kmeans_clusters', 'pq_codes', 'pq_adc_topk']
 
 
 def _prioritize(d):
@@ -1452,6 +1496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cached_bm25_topk": q(_cached_bm25),
         # boolean query language: AND/OR/NOT/parens + BM25 ranking
         "boolean_topk": q(_boolean_topk),
+        # S-stemmed indexing + retrieval (Harman 1991)
+        "stemmed_df": q(_stemmed_df),
+        "stemmed_bm25_topk": q(_stemmed_bm25),
+        # Zipf-law diagnostic over the df-ranked vocabulary
+        "zipf_fit": q(lambda s, d: ta.zipf_fit(_documents(s, d))),
         # named train/val/test hash-band splits + quality-argmax reps
         "corpus_splits": q(_corpus_splits),
         "dedup_representatives": q(_dedup_representatives),
@@ -2636,6 +2685,83 @@ SELECT CAST(n AS BIGINT) AS n_queries,
 FROM s"""
 
 
+#: textproc.s_stem as a SQL CASE — first MATCHING PATTERN wins; a word
+#: whose exception fires stays unchanged (never falls to a later rule)
+_STEM_CASE = """CASE
+  WHEN raw LIKE '%ies' THEN
+    CASE WHEN raw LIKE '%eies' OR raw LIKE '%aies' THEN raw
+         ELSE substr(raw, 1, length(raw) - 3) || 'y' END
+  WHEN raw LIKE '%es' THEN
+    CASE WHEN raw LIKE '%aes' OR raw LIKE '%ees' OR raw LIKE '%oes' THEN raw
+         ELSE substr(raw, 1, length(raw) - 1) END
+  WHEN raw LIKE '%s' THEN
+    CASE WHEN raw LIKE '%us' OR raw LIKE '%ss' THEN raw
+         ELSE substr(raw, 1, length(raw) - 1) END
+  ELSE raw END"""
+
+
+def _stem_ctes() -> str:
+    """Augmented corpus → stemmed per-(doc, term) tf — the stemmed twin
+    of _TOKENS/_TF."""
+    return f"""docs2 AS (SELECT doc_id, text || '{_STEM_AUG}' AS text
+        FROM documents),
+rawtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS raw FROM docs2),
+stoks AS (SELECT doc_id, {_STEM_CASE} AS term FROM rawtok WHERE raw <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM stoks GROUP BY doc_id, term)"""
+
+
+def _stemmed_df_sql() -> str:
+    return f"""
+WITH {_stem_ctes()}
+SELECT term, count(*) AS df FROM tf GROUP BY term"""
+
+
+def _stemmed_bm25_sql(k: int = 10) -> str:
+    from search_engine_spark.functions.textproc import s_stem
+
+    terms = sorted({s_stem(w) for w in _STEM_QUERY_WORDS})
+    in_terms = "('" + "','".join(terms) + "')"
+    return f"""
+WITH {_stem_ctes()},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {in_terms}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT 0 AS query_id, doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+), 6) AS score
+FROM matched m
+JOIN df USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def _zipf_fit_sql() -> str:
+    """text_analytics.zipf_fit: closed-form OLS of log10(df) on
+    log10(rank) with the same variance clamps."""
+    return f"""
+WITH {_TOKENS}, {_TF},
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+xy AS (SELECT log10(CAST(row_number() OVER (
+           ORDER BY df DESC, term ASC) AS DOUBLE)) AS x,
+       log10(CAST(df AS DOUBLE)) AS y FROM vocab),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM xy)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  round(CASE WHEN n*sxx - sx*sx > 0
+        THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) ELSE 0.0 END, 6) AS slope,
+  round((sy - (CASE WHEN n*sxx - sx*sx > 0
+        THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) ELSE 0.0 END) * sx)
+        / n, 6) AS intercept,
+  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy))
+        ELSE 0.0 END, 6) AS r2
+FROM s"""
+
+
 def _percolate_sql(mode: str) -> str:
     """percolate.percolate: distinct doc terms ⋈ distinct standing-query
     terms → per-(doc, query) overlap counts; AND keeps only full
@@ -3802,6 +3928,9 @@ SELECT 0 AS query_id, c.doc_id, coalesce(sc.score, 0.0) AS score
 FROM cand c LEFT JOIN sc USING (doc_id)
 ORDER BY score DESC, c.doc_id ASC
 LIMIT 10""",
+        "stemmed_df": _stemmed_df_sql(),
+        "stemmed_bm25_topk": _stemmed_bm25_sql(k=10),
+        "zipf_fit": _zipf_fit_sql(),
         "corpus_splits": f"""
 SELECT doc_id,
        CASE WHEN band < 800000 THEN 'train'

@@ -603,3 +603,59 @@ def extract_tokens_udf(html: pd.Series) -> pd.Series:
         return tokenize(text, stop=stop)
 
     return html.map(one)
+
+
+# ---- S-stemmer (Harman 1991, "How effective is suffixing?") ----------------
+# Three ordered rules — the conservative plural stemmer real engines
+# default to when Porter is too aggressive. Twin implementations: a
+# pure-Catalyst Column expression for corpus-side stemming (whole-stage
+# codegen, replayable verbatim as a DuckDB CASE) and a Python function
+# for driver-side query-term stemming; parity is property-tested.
+
+
+def s_stem_col(c):
+    """Column → Column: Harman S-stemmer over a single lowercase token.
+    ies→y (unless -eies/-aies); -es → drop s (unless -aes/-ees/-oes);
+    -s → drop (unless -us/-ss)."""
+    from pyspark.sql import functions as F
+
+    # first MATCHING PATTERN wins: a word ending -ies/-es/-s whose
+    # exception fires is left unchanged, never tried on a later rule
+    # ('goes' stays 'goes'; it must not fall through to -s stripping)
+    cut = lambda n: c.substr(F.lit(1), F.length(c) - n)
+    return (
+        F.when(
+            c.endswith("ies"),
+            F.when(
+                c.endswith("eies") | c.endswith("aies"), c
+            ).otherwise(F.concat(cut(3), F.lit("y"))),
+        )
+        .when(
+            c.endswith("es"),
+            F.when(
+                c.endswith("aes") | c.endswith("ees") | c.endswith("oes"), c
+            ).otherwise(cut(1)),
+        )
+        .when(
+            c.endswith("s"),
+            F.when(c.endswith("us") | c.endswith("ss"), c).otherwise(cut(1)),
+        )
+        .otherwise(c)
+    )
+
+
+def s_stem(word: str) -> str:
+    """Python twin of `s_stem_col` for driver-side query terms."""
+    if word.endswith("ies"):
+        if word.endswith(("eies", "aies")):
+            return word
+        return word[:-3] + "y"
+    if word.endswith("es"):
+        if word.endswith(("aes", "ees", "oes")):
+            return word
+        return word[:-1]
+    if word.endswith("s"):
+        if word.endswith(("us", "ss")):
+            return word
+        return word[:-1]
+    return word

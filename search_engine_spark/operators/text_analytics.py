@@ -612,3 +612,52 @@ def more_like_this(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def zipf_fit(documents: DataFrame) -> DataFrame:
+    """ONE row (n_terms, slope, intercept, r2): OLS fit of
+    log10(df) ~ log10(rank) over the document-frequency-ranked
+    vocabulary — the Zipf-law diagnostic that sizes stop lists,
+    champion-list m, BPE vocabularies, and posting-salt thresholds
+    (a slope near −1 says the head is as heavy as the web's).
+
+    Rank ties break (df DESC, term ASC) so the fit is deterministic;
+    the regression is one rank window over the VOCABULARY (dictionary-
+    sized, never the corpus) + one 6-scalar aggregate — closed-form
+    OLS, no iteration. r2 is 0.0 for degenerate vocabularies (<2 terms
+    or zero variance).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    xy = (
+        term_df(documents)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.log10(F.col("rank").cast("double")).alias("x"),
+            F.log10(F.col("df").cast("double")).alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(varx_n > 0, cov_n / varx_n).otherwise(F.lit(0.0))
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when(
+        (varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -310,3 +310,45 @@ class TestPunktLiteSentenceSplit:
         assert tokenize_query("What is BM25. How does it rank results?") == [
             "bm25", ".", "rank", "results", "?",
         ]
+
+
+# ---- S-stemmer (Harman 1991) -------------------------------------------------
+
+
+def test_s_stem_hand_cases():
+    from search_engine_spark.functions.textproc import s_stem
+
+    assert s_stem("queries") == "query"
+    assert s_stem("tables") == "table"
+    assert s_stem("rows") == "row"
+    # published rule 2 drops only the trailing s of -es (crude on purpose)
+    assert s_stem("hashes") == "hashe"
+    # guards: -ss, -us, -oes/-ees/-aes, -eies/-aies untouched or partial
+    assert s_stem("class") == "class"
+    assert s_stem("radius") == "radius"
+    assert s_stem("goes") == "goes"
+    assert s_stem("trees") == "trees"
+    # rule 1 is equally crude: 'movies' → 'movy' (ies→y, guards pass)
+    assert s_stem("movies") == "movy"
+
+
+def test_s_stem_column_python_parity(spark):
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.textproc import s_stem, s_stem_col
+
+    words = [
+        "queries", "tables", "rows", "hashes", "class", "radius", "goes",
+        "trees", "movies", "s", "es", "ies", "ss", "us", "", "a", "as",
+        "bus", "eies", "aies", "aes", "oes", "dies", "ties", "axes",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["s"]
+        for r in df.select("w", s_stem_col(F.col("w")).alias("s")).collect()
+    }
+    for w in words:
+        assert got[w] == s_stem(w), w
