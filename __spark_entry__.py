@@ -1215,6 +1215,38 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_FUZZY_QUERY_TERMS = ["spork", "qeury"]
+
+
+def _fuzzy_index(spark: SparkSession, sf_dir: str):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return build_index(docs, tokenizer=ws_tokens)
+
+
+def _fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import fuzzy_expand
+
+    exp = fuzzy_expand(
+        _fuzzy_index(spark, sf_dir), _FUZZY_QUERY_TERMS,
+        max_dist=2, prefix_len=1, max_expansions=5,
+    )
+    return exp.select(
+        "q", "term", "dist", F.round("boost", 6).alias("boost"), "df"
+    )
+
+
+def _fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import fuzzy_search
+
+    return fuzzy_search(
+        _fuzzy_index(spark, sf_dir), _FUZZY_QUERY_TERMS,
+        k=10, max_dist=2, prefix_len=1, max_expansions=5,
+    )
+
+
 # Entries the round-3 driver gate did NOT sample (it takes the first ~50
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
@@ -1430,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # query aids
         "did_you_mean": q(_did_you_mean),
+        "fuzzy_terms": q(_fuzzy_terms),
+        "fuzzy_bm25_topk": q(_fuzzy_topk),
         "vocab_prune": q(_vocab_prune),
         "term_pmi": q(_term_pmi),
         # web link graph (operators/graph.py)
@@ -3809,6 +3843,50 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY t
 SELECT t AS term, term AS suggestion, CAST(dist AS INT) AS dist,
        CAST(df AS BIGINT) AS df
 FROM ranked WHERE rn = 1""",
+        "fuzzy_terms": f"""
+WITH {_TOKENS}, {_TF},
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(q) AS (VALUES {", ".join("('" + t + "')" for t in _FUZZY_QUERY_TERMS)}),
+cand AS (SELECT q.q, v.term, v.df, levenshtein(q.q, v.term) AS dist
+         FROM vocab v CROSS JOIN q
+         WHERE substr(v.term, 1, 1) = substr(q.q, 1, 1)
+           AND abs(length(v.term) - length(q.q)) <= 2
+           AND levenshtein(q.q, v.term) <= 2),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY q
+           ORDER BY dist ASC, df DESC, term ASC) AS rn FROM cand)
+SELECT q, term, CAST(dist AS INT) AS dist,
+       round(1.0 - dist / CAST(greatest(length(q), length(term)) AS DOUBLE),
+             6) AS boost,
+       CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn <= 5""",
+        "fuzzy_bm25_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(q) AS (VALUES {", ".join("('" + t + "')" for t in _FUZZY_QUERY_TERMS)}),
+cand AS (SELECT q.q, v.term, v.df, levenshtein(q.q, v.term) AS dist
+         FROM vocab v CROSS JOIN q
+         WHERE substr(v.term, 1, 1) = substr(q.q, 1, 1)
+           AND abs(length(v.term) - length(q.q)) <= 2
+           AND levenshtein(q.q, v.term) <= 2),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY q
+           ORDER BY dist ASC, df DESC, term ASC) AS rn FROM cand),
+exp AS (SELECT q, term, df,
+        1.0 - dist / CAST(greatest(length(q), length(term)) AS DOUBLE)
+          AS boost
+        FROM ranked WHERE rn <= 5),
+perq AS (SELECT e.q, m.doc_id, max(
+    e.boost
+    * ln(1.0 + (CAST(stats.n AS DOUBLE) - e.df + 0.5) / (e.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ) AS contrib
+  FROM tf m JOIN exp e USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY e.q, m.doc_id)
+SELECT 0 AS query_id, doc_id, round(sum(contrib), 6) AS score
+FROM perq GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
         "vocab_prune": f"""
 WITH {_TOKENS}, {_TF},
 vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -244,6 +244,124 @@ def did_you_mean(
     )
 
 
+def fuzzy_expand(
+    index: InvertedIndex,
+    terms: list[str],
+    max_dist: int = 2,
+    prefix_len: int = 1,
+    max_expansions: int = 5,
+) -> DataFrame:
+    """(q, term, dist, boost, df): for each query term, the vocabulary
+    terms within Levenshtein distance ≤ `max_dist` that share its first
+    `prefix_len` characters — Lucene FuzzyQuery's expansion step (no
+    reference analog: dastarruer/search-engine matches terms exactly).
+    Each q keeps at most `max_expansions` candidates by (dist ASC,
+    df DESC, term ASC); boost = 1 − dist/max(len(q), len(term)), so the
+    exact term (dist 0) keeps weight 1.0 and farther edits decay.
+
+    Plan shape: ONE narrow scan of term_stats with the tiny query-term
+    relation crossJoin-broadcast against it. The prefix equality and the
+    length band (|len(term) − len(q)| ≤ max_dist, implied by the
+    distance bound) are scan-stage prefilters: with a 26-way first-char
+    split they skip ~96 % of a 10^8-term vocabulary before any distance
+    is computed, and nothing corpus-sized shuffles — the survivors per q
+    are a handful of rows cut by a per-q window.
+    """
+    spark = index.term_stats.sparkSession
+    qset = list(dict.fromkeys(terms))
+    qt = F.broadcast(
+        spark.createDataFrame([(t,) for t in qset], "q string")
+    )
+    cand = (
+        index.term_stats.select("term", "df")
+        .crossJoin(qt)
+        .filter(
+            (F.substring("term", 1, prefix_len)
+             == F.substring("q", 1, prefix_len))
+            & (F.abs(F.length("term") - F.length("q")) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein("q", "term"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select(
+            "q",
+            "term",
+            F.col("dist").cast("int").alias("dist"),
+            (
+                1.0
+                - F.col("dist")
+                / F.greatest(F.length("q"), F.length("term")).cast("double")
+            ).alias("boost"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
+def fuzzy_search(
+    index: InvertedIndex,
+    query_terms: list[str],
+    k: int = 10,
+    max_dist: int = 2,
+    prefix_len: int = 1,
+    max_expansions: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score): BM25 retrieval tolerant of misspelled
+    query terms, Lucene-FuzzyQuery-style. Each query term is expanded
+    via `fuzzy_expand`; a document's contribution for one query term is
+    the MAX over that term's expansions of boost·idf·tf_norm (the
+    blended-disjunction semantics — a doc matching both 'spark' and
+    'sort' for the query term 'spork' is not double-counted), and the
+    final score sums those per-term maxima. Rounded `round_dp` BEFORE
+    the top-k cut so sub-epsilon score twins rank identically in any
+    replay; ties doc_id ASC (quirk Q7).
+
+    Scale shape: the expansion is collected driver-side — ≤
+    |q|·max_expansions scalars, the same k-scalar barrier class as the
+    RM3/Lloyd/BPE loops — so the probe pushes a literal isin into the
+    postings scan (the dictionary-seek shape of plain `search`): fuzzy
+    matching changes WHICH posting lists are read, never HOW many rows
+    shuffle. Two hash aggs (per-qterm max, then per-doc sum) over the
+    matched rows only.
+    """
+    spark = index.term_stats.sparkSession
+    exp = fuzzy_expand(
+        index, query_terms, max_dist=max_dist, prefix_len=prefix_len,
+        max_expansions=max_expansions,
+    ).collect()  # ≤ |q|·max_expansions scalars — the expansion barrier
+    if not exp:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double"
+        )
+    terms = sorted({r["term"] for r in exp})
+    edf = F.broadcast(
+        spark.createDataFrame(
+            [(0, r["q"], r["term"], float(r["boost"])) for r in exp],
+            "query_id int, q string, term string, boost double",
+        )
+    )
+    m = _matched(index, edf.select("query_id", "term").distinct(), terms=terms)
+    per_qterm = (
+        m.join(edf, ["query_id", "term"])
+        .groupBy("query_id", "q", "doc_id")
+        .agg(
+            F.max(
+                F.col("boost") * F.col("bm25_idf") * F.col("tf_norm")
+            ).alias("contrib")
+        )
+    )
+    scored = per_qterm.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("contrib"), round_dp).alias("score")
+    )
+    return topk(scored, k)
+
+
 def score_lm_dirichlet(
     index: InvertedIndex,
     query_terms: DataFrame,
