@@ -1215,6 +1215,49 @@ def _bm25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _divergence_sql(per_term: bool) -> str:
+    """text_analytics.divergence_contrib between the src0-9 and
+    src10-19 halves: JS(P‖Q) with m=(p+q)/2, absent-side terms
+    contributing only their present side's x·ln(x/m)."""
+    in_a = "('" + "','".join(_SRC_A) + "')"
+    base = f"""{_TOKENS},
+ca AS (SELECT term, count(*) AS ca FROM tokens t
+       JOIN documents d USING (doc_id)
+       WHERE d.source IN {in_a} AND term <> '' GROUP BY term),
+cb AS (SELECT term, count(*) AS cb FROM tokens t
+       JOIN documents d USING (doc_id)
+       WHERE d.source NOT IN {in_a} AND term <> '' GROUP BY term),
+ta AS (SELECT sum(ca) AS ta FROM ca),
+tb AS (SELECT sum(cb) AS tb FROM cb),
+j AS (SELECT coalesce(a.term, b.term) AS term,
+             coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+      FROM ca a FULL OUTER JOIN cb b ON a.term = b.term),
+d AS (SELECT term,
+        CAST(ca AS DOUBLE) / ta.ta AS p,
+        CAST(cb AS DOUBLE) / tb.tb AS q,
+        0.5 * (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / ta.ta)
+                 * ln((CAST(ca AS DOUBLE) / ta.ta)
+                      / ((CAST(ca AS DOUBLE) / ta.ta
+                          + CAST(cb AS DOUBLE) / tb.tb) / 2.0))
+               ELSE 0.0 END
+             + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / tb.tb)
+                 * ln((CAST(cb AS DOUBLE) / tb.tb)
+                      / ((CAST(ca AS DOUBLE) / ta.ta
+                          + CAST(cb AS DOUBLE) / tb.tb) / 2.0))
+               ELSE 0.0 END) AS contrib
+      FROM j, ta, tb)"""
+    if per_term:
+        return f"""
+WITH {base}
+SELECT term, round(p, 6) AS p_a, round(q, 6) AS p_b,
+       round(contrib, 6) AS contrib
+FROM d ORDER BY round(contrib, 6) DESC, term ASC LIMIT 50"""
+    return f"""
+WITH {base}
+SELECT CAST(count(*) AS BIGINT) AS n_terms, round(sum(contrib), 6) AS js
+FROM d"""
+
+
 _FUZZY_QUERY_TERMS = ["spork", "qeury"]
 
 
@@ -1245,6 +1288,53 @@ def _fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fuzzy_index(spark, sf_dir), _FUZZY_QUERY_TERMS,
         k=10, max_dist=2, prefix_len=1, max_expansions=5,
     )
+
+
+def _search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import search_after
+
+    index = _fuzzy_index(spark, sf_dir)
+    # page 1's last hit is the cursor — a k-scalar driver barrier, the
+    # price of statelessness between page requests
+    page1 = search_after(index, QUERY_TERMS, k=10).collect()
+    last = page1[-1]
+    return search_after(
+        index, QUERY_TERMS, k=10, after=(last["score"], last["doc_id"])
+    )
+
+
+_SRC_A = [f"src{i}" for i in range(10)]
+
+
+def _index_epoch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index, index_diff
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    old = build_index(docs.filter(F.col("doc_id") % 2 == 0), tokenizer=ws_tokens)
+    new = build_index(docs.filter(F.col("doc_id") % 3 != 0), tokenizer=ws_tokens)
+    return index_diff(old, new)
+
+
+def _div_sides(spark: SparkSession, sf_dir: str):
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "source")
+    a = docs.filter(F.col("source").isin(_SRC_A))
+    b = docs.filter(~F.col("source").isin(_SRC_A))
+    return a, b
+
+
+def _corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.text_analytics import corpus_divergence
+
+    a, b = _div_sides(spark, sf_dir)
+    return corpus_divergence(a, b, top_n=50)
+
+
+def _js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.text_analytics import js_divergence
+
+    a, b = _div_sides(spark, sf_dir)
+    return js_divergence(a, b)
 
 
 # Entries the round-3 driver gate did NOT sample (it takes the first ~50
@@ -1464,6 +1554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_you_mean": q(_did_you_mean),
         "fuzzy_terms": q(_fuzzy_terms),
         "fuzzy_bm25_topk": q(_fuzzy_topk),
+        "search_after_topk": q(_search_after),
+        "index_epoch_diff": q(_index_epoch_diff),
+        "corpus_divergence": q(_corpus_divergence),
+        "js_divergence": q(_js_divergence),
         "vocab_prune": q(_vocab_prune),
         "term_pmi": q(_term_pmi),
         # web link graph (operators/graph.py)
@@ -3859,6 +3953,44 @@ SELECT q, term, CAST(dist AS INT) AS dist,
              6) AS boost,
        CAST(df AS BIGINT) AS df
 FROM ranked WHERE rn <= 5""",
+        "index_epoch_diff": f"""
+WITH {_TOKENS},
+old_df AS (SELECT term, count(DISTINCT doc_id) AS df_old FROM tokens
+           WHERE doc_id % 2 = 0 AND term <> '' GROUP BY term),
+new_df AS (SELECT term, count(DISTINCT doc_id) AS df_new FROM tokens
+           WHERE doc_id % 3 != 0 AND term <> '' GROUP BY term),
+j AS (SELECT coalesce(o.term, n.term) AS term,
+             coalesce(o.df_old, 0) AS df_old,
+             coalesce(n.df_new, 0) AS df_new
+      FROM old_df o FULL OUTER JOIN new_df n ON o.term = n.term)
+SELECT term, CAST(df_old AS BIGINT) AS df_old,
+       CAST(df_new AS BIGINT) AS df_new,
+       CAST(df_new - df_old AS BIGINT) AS delta,
+       CASE WHEN df_old = 0 THEN 'added'
+            WHEN df_new = 0 THEN 'removed'
+            WHEN df_new > df_old THEN 'grown'
+            WHEN df_new < df_old THEN 'shrunk'
+            ELSE 'stable' END AS status
+FROM j""",
+        "corpus_divergence": _divergence_sql(per_term=True),
+        "js_divergence": _divergence_sql(per_term=False),
+        "search_after_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+scored AS (SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id),
+ranked AS (SELECT doc_id, score, row_number() OVER (
+           ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
+SELECT 0 AS query_id, doc_id, score
+FROM ranked WHERE rn BETWEEN 11 AND 20
+ORDER BY rn""",
         "fuzzy_bm25_topk": f"""
 WITH {_TOKENS}, {_TF},
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

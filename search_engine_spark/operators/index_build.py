@@ -395,6 +395,41 @@ def delete_docs(index: InvertedIndex, doc_ids: DataFrame) -> InvertedIndex:
     return index_from_raw_postings(raw)
 
 
+def index_diff(old: InvertedIndex, new: InvertedIndex) -> DataFrame:
+    """(term, df_old, df_new, delta, status): vocabulary diff between
+    two index epochs — the audit every re-crawl/re-index cycle needs
+    before swapping an index into serving ("what changed, and by how
+    much?"). status ∈ added | removed | grown | shrunk | stable. No
+    reference analog: its Postgres index is mutated in place with no
+    epoch compare.
+
+    Plan shape: one full-outer shuffle join of the two TERM DIMENSIONS
+    (vocabulary-sized, ~10^8 rows at web scale — never the postings,
+    which are corpus-sized); everything after is narrow column code.
+    Both sides arrive hash-partitioned on term from their own builds,
+    so AQE commonly elides one exchange.
+    """
+    o = old.term_stats.select("term", F.col("df").alias("df_old"))
+    n = new.term_stats.select("term", F.col("df").alias("df_new"))
+    j = o.join(n, "term", "full_outer").select(
+        "term",
+        F.coalesce("df_old", F.lit(0)).cast("long").alias("df_old"),
+        F.coalesce("df_new", F.lit(0)).cast("long").alias("df_new"),
+    )
+    return j.select(
+        "term",
+        "df_old",
+        "df_new",
+        (F.col("df_new") - F.col("df_old")).alias("delta"),
+        F.when(F.col("df_old") == 0, "added")
+        .when(F.col("df_new") == 0, "removed")
+        .when(F.col("df_new") > F.col("df_old"), "grown")
+        .when(F.col("df_new") < F.col("df_old"), "shrunk")
+        .otherwise("stable")
+        .alias("status"),
+    )
+
+
 def auto_salt_threshold(
     index: InvertedIndex, salt_df_floor: int = 100_000
 ) -> int:

@@ -614,6 +614,84 @@ def more_like_this(
     )
 
 
+def divergence_contrib(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
+    """(term, p_a, p_b, contrib): per-term Jensen-Shannon divergence
+    contributions between the unigram (collection-frequency)
+    distributions of two corpora — contrib(t) = ½·[xlog(p,m) +
+    xlog(q,m)] with m=(p+q)/2 and xlog(x,m)=x·ln(x/m) for x>0 else 0,
+    so Σ contrib = JS(P‖Q) ∈ [0, ln 2]. The training-data drift monitor:
+    which terms moved between last month's crawl and this month's, and
+    how much distribution shift accumulated (Lin 1991; standard corpus-
+    drift practice). Probabilities and contributions are UNROUNDED here
+    so downstream sums stay exact; round at presentation.
+
+    Plan shape: one tokenize+hash-agg per side (map-side combined), a
+    full-outer join of the two VOCABULARY-sized count relations, and a
+    1-row broadcast of each side's total token count. Nothing
+    corpus-sized crosses the join — this runs at any corpus scale for
+    the cost of two scans.
+    """
+    ca = (
+        tokens_df(docs_a).groupBy("term").agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        tokens_df(docs_b).groupBy("term").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ta = ca.agg(F.sum("ca").alias("ta"))
+    tb = cb.agg(F.sum("cb").alias("tb"))
+    j = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    p = F.col("ca") / F.col("ta")
+    q = F.col("cb") / F.col("tb")
+    m = (p + q) / F.lit(2.0)
+    xlog_p = F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    xlog_q = F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    return j.select(
+        "term",
+        p.alias("p_a"),
+        q.alias("p_b"),
+        (F.lit(0.5) * (xlog_p + xlog_q)).alias("contrib"),
+    )
+
+
+def corpus_divergence(
+    docs_a: DataFrame, docs_b: DataFrame, top_n: int = 50, round_dp: int = 6
+) -> DataFrame:
+    """Top-`top_n` drifted terms by JS contribution (DESC, term ASC),
+    rounded for exact replay. The "what changed" report row."""
+    d = divergence_contrib(docs_a, docs_b)
+    return (
+        d.select(
+            "term",
+            F.round("p_a", round_dp).alias("p_a"),
+            F.round("p_b", round_dp).alias("p_b"),
+            F.round("contrib", round_dp).alias("contrib"),
+        )
+        .orderBy(F.col("contrib").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+
+
+def js_divergence(
+    docs_a: DataFrame, docs_b: DataFrame, round_dp: int = 6
+) -> DataFrame:
+    """One row (n_terms, js): total Jensen-Shannon divergence between
+    two corpora plus union-vocabulary size — the scalar a drift alarm
+    thresholds on. Sums the unrounded per-term contributions."""
+    return divergence_contrib(docs_a, docs_b).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sum("contrib"), round_dp).alias("js"),
+    )
+
+
 def zipf_fit(documents: DataFrame) -> DataFrame:
     """ONE row (n_terms, slope, intercept, r2): OLS fit of
     log10(df) ~ log10(rank) over the document-frequency-ranked

@@ -1,0 +1,99 @@
+"""Index lifecycle and corpus-drift operators: epoch diff
+(index_build.index_diff), JS divergence (text_analytics.
+divergence_contrib/js_divergence), and keyset pagination
+(query.search_after). Oracle value parity runs in test_entry_oracle.py;
+here: the invariants the SQL comparison can't pin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.operators.index_build import build_index, index_diff
+from search_engine_spark.operators.query import search_after
+from search_engine_spark.operators.text_analytics import (
+    js_divergence,
+    ws_tokens,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_index_diff_statuses(spark):
+    old = build_index(
+        _docs(spark, [(1, "stable shrunk shrunk removed grown"), (2, "shrunk")]),
+        tokenizer=ws_tokens,
+    )
+    new = build_index(
+        _docs(
+            spark,
+            [(1, "stable shrunk added grown"), (2, "grown"), (3, "grown")],
+        ),
+        tokenizer=ws_tokens,
+    )
+    got = {r["term"]: r for r in index_diff(old, new).collect()}
+    assert got["added"]["status"] == "added" and got["added"]["df_old"] == 0
+    assert got["removed"]["status"] == "removed" and got["removed"]["df_new"] == 0
+    assert got["grown"]["status"] == "grown" and got["grown"]["delta"] == 2
+    assert got["shrunk"]["status"] == "shrunk" and got["shrunk"]["delta"] == -1
+    assert got["stable"]["status"] == "stable" and got["stable"]["delta"] == 0
+
+
+def test_js_zero_for_identical_and_ln2_for_disjoint(spark):
+    a = _docs(spark, [(1, "x y z"), (2, "x x")])
+    same = js_divergence(a, a).first()
+    assert same["js"] == 0.0
+    b = _docs(spark, [(9, "p q r")])
+    disjoint = js_divergence(a, b).first()
+    assert disjoint["js"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_js_symmetric_and_bounded(spark):
+    a = _docs(spark, [(1, "x y z z")])
+    b = _docs(spark, [(2, "x q q z")])
+    ab = js_divergence(a, b).first()["js"]
+    ba = js_divergence(b, a).first()["js"]
+    assert ab == ba
+    assert 0.0 < ab < math.log(2)
+
+
+@pytest.fixture(scope="module")
+def sf_index(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    return build_index(docs, tokenizer=ws_tokens).cache()
+
+
+def test_search_after_pages_tile_the_ranking(sf_index):
+    terms = ["spark", "merge", "batch"]
+    p1 = search_after(sf_index, terms, k=10).collect()
+    last = p1[-1]
+    p2 = search_after(
+        sf_index, terms, k=10, after=(last["score"], last["doc_id"])
+    ).collect()
+    top20 = search_after(sf_index, terms, k=20).collect()
+    assert [(r["doc_id"], r["score"]) for r in p1 + p2] == [
+        (r["doc_id"], r["score"]) for r in top20
+    ]
+    assert {r["doc_id"] for r in p1}.isdisjoint({r["doc_id"] for r in p2})
+
+
+def test_search_after_walk_terminates(spark, sf_index):
+    # paging past the last match returns empty, not an error
+    terms = ["spark"]
+    cursor, seen, pages = None, 0, 0
+    while True:
+        page = search_after(sf_index, terms, k=500, after=cursor).collect()
+        if not page:
+            break
+        seen += len(page)
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+        pages += 1
+        assert pages < 50
+    total = search_after(sf_index, terms, k=1_000_000).count()
+    assert seen == total
