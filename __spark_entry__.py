@@ -1258,6 +1258,40 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms, round(sum(contrib), 6) AS js
 FROM d"""
 
 
+def _collocations_sql(min_count: int = 5, k: int = 50) -> str:
+    """text_analytics.collocations_llr: Dunning LLR over adjacent
+    bigrams, same 2×2 xlogx identity on integer counts."""
+    def xlogx(x: str) -> str:
+        return (f"(CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE)"
+                f" * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END)")
+
+    terms = {
+        "k11": "k11", "k12": "ra - k11", "k21": "rb - k11",
+        "k22": "n - ra - rb + k11",
+        "row1": "ra", "row2": "n - ra", "col1": "rb", "col2": "n - rb",
+        "tot": "n",
+    }
+    llr = (f"2.0 * ({xlogx(terms['k11'])} + {xlogx(terms['k12'])}"
+           f" + {xlogx(terms['k21'])} + {xlogx(terms['k22'])}"
+           f" - {xlogx(terms['row1'])} - {xlogx(terms['row2'])}"
+           f" - {xlogx(terms['col1'])} - {xlogx(terms['col2'])}"
+           f" + {xlogx(terms['tot'])})")
+    return f"""
+WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+big AS (SELECT t[i] AS a, t[i + 1] AS b, count(*) AS k11
+        FROM toks, unnest(range(1, len(t))) r(i)
+        WHERE len(t) >= 2 GROUP BY 1, 2),
+ram AS (SELECT a, sum(k11) AS ra FROM big GROUP BY a),
+rbm AS (SELECT b, sum(k11) AS rb FROM big GROUP BY b),
+nn AS (SELECT sum(k11) AS n FROM big)
+SELECT a, b, CAST(k11 AS BIGINT) AS n_ab, round({llr}, 6) AS llr
+FROM big JOIN ram USING (a) JOIN rbm USING (b), nn
+WHERE k11 >= {min_count}
+ORDER BY round({llr}, 6) DESC, a ASC, b ASC
+LIMIT {k}"""
+
+
 _FUZZY_QUERY_TERMS = ["spork", "qeury"]
 
 
@@ -1556,6 +1590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25_topk": q(_fuzzy_topk),
         "search_after_topk": q(_search_after),
         "index_epoch_diff": q(_index_epoch_diff),
+        "collocations_llr": q(
+            lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
+        ),
         "corpus_divergence": q(_corpus_divergence),
         "js_divergence": q(_js_divergence),
         "vocab_prune": q(_vocab_prune),
@@ -3972,6 +4009,7 @@ SELECT term, CAST(df_old AS BIGINT) AS df_old,
             WHEN df_new < df_old THEN 'shrunk'
             ELSE 'stable' END AS status
 FROM j""",
+        "collocations_llr": _collocations_sql(min_count=5, k=50),
         "corpus_divergence": _divergence_sql(per_term=True),
         "js_divergence": _divergence_sql(per_term=False),
         "search_after_topk": f"""

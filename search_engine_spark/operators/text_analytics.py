@@ -614,6 +614,79 @@ def more_like_this(
     )
 
 
+def _xlogx(c: Column) -> Column:
+    """x·ln(x) with the 0·ln0 = 0 convention (entropy arithmetic)."""
+    d = c.cast("double")
+    return F.when(d > 0, d * F.log(d)).otherwise(F.lit(0.0))
+
+
+def collocations_llr(
+    documents: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(a, b, n_ab, llr): the top-k collocations — ADJACENT bigrams
+    whose co-occurrence beats independence — by Dunning's (1993)
+    log-likelihood ratio, the statistic that stays calibrated for rare
+    words where PMI explodes (term_pmi is the document-co-occurrence
+    complement; this is the sequence-adjacent one). For the 2×2
+    contingency table (k11=count(ab), row a-first, column b-second,
+    N=total bigrams): LLR = 2·[Σ xlogx(k_ij) − Σ xlogx(rows) −
+    Σ xlogx(cols) + xlogx(N)]. Ties (llr DESC, a ASC, b ASC) after
+    `round_dp` rounding, so the cut replays exactly.
+
+    Plan shape: bigrams are formed INSIDE the scan stage by a JVM
+    transform over each doc's token array (no posexplode self-join, no
+    per-row Python), then one hash agg to (a,b) counts — everything
+    after operates on the BIGRAM-VOCABULARY relation: two margin aggs,
+    two vocab-sized joins, and a 1-row broadcast of N. The LLR itself
+    is per-row column code on integer counts, bit-identical in any
+    engine.
+    """
+    toks = documents.select(ws_tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-2),"
+                " i -> struct(t[i] AS a, t[i+1] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("k11"))
+    ra = big.groupBy("a").agg(F.sum("k11").alias("ra"))
+    rb = big.groupBy("b").agg(F.sum("k11").alias("rb"))
+    n = big.agg(F.sum("k11").alias("n"))
+    j = (
+        big.filter(F.col("k11") >= min_count)
+        .join(ra, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(n))
+    )
+    k11 = F.col("k11")
+    k12 = F.col("ra") - k11
+    k21 = F.col("rb") - k11
+    k22 = F.col("n") - F.col("ra") - F.col("rb") + k11
+    llr = 2.0 * (
+        _xlogx(k11) + _xlogx(k12) + _xlogx(k21) + _xlogx(k22)
+        - _xlogx(F.col("ra")) - _xlogx(F.col("n") - F.col("ra"))
+        - _xlogx(F.col("rb")) - _xlogx(F.col("n") - F.col("rb"))
+        + _xlogx(F.col("n"))
+    )
+    return (
+        j.select(
+            "a",
+            "b",
+            k11.cast("long").alias("n_ab"),
+            F.round(llr, round_dp).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )
+
+
 def divergence_contrib(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
     """(term, p_a, p_b, contrib): per-term Jensen-Shannon divergence
     contributions between the unigram (collection-frequency)

@@ -401,3 +401,37 @@ def test_more_like_this_finds_lexical_neighbor(spark):
     assert 1 not in ids
     assert ids[0] in (2, 4)
     assert 3 not in ids or ids.index(3) > ids.index(2)
+
+
+# ---------------------------------------------------------------------------
+# collocations (Dunning LLR over adjacent bigrams)
+# ---------------------------------------------------------------------------
+
+
+def test_llr_flags_true_collocation_over_independent_pair(spark):
+    # 'hong kong' always adjacent; 'x'/'y' co-occur only at chance
+    rows = [(i, "hong kong x y", "en", "s") for i in range(10)]
+    rows += [(100 + i, "y x hong kong", "en", "s") for i in range(10)]
+    out = {
+        (r["a"], r["b"]): r["llr"]
+        for r in ta.collocations_llr(_docs(spark, rows), min_count=2).collect()
+    }
+    assert ("hong", "kong") in out
+    best = max(out, key=out.get)
+    assert best == ("hong", "kong")
+    assert out[("hong", "kong")] > 0
+
+
+def test_llr_min_count_filters_rare_bigrams(spark):
+    rows = [(1, "rare pair", "en", "s"), (2, "hong kong hong kong", "en", "s")]
+    out = ta.collocations_llr(_docs(spark, rows), min_count=2).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert ("rare", "pair") not in pairs  # count 1 < min_count
+
+
+def test_llr_bigrams_do_not_cross_document_boundaries(spark):
+    rows = [(1, "alpha", "en", "s"), (2, "beta gamma", "en", "s")]
+    out = ta.collocations_llr(_docs(spark, rows), min_count=1).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert ("alpha", "beta") not in pairs
+    assert ("beta", "gamma") in pairs
