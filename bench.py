@@ -126,6 +126,16 @@ def main() -> None:
             "wildcard_search",
             lambda: query_ops.wildcard_search(idx, spark, "s*a*", k=10).collect(),
         )
+        # fuzzy serving: one vocabulary scan (prefix/length prefilters,
+        # ≤|q|·max_expansions scalars collected) + one blended-max BM25
+        # OR pass against the persisted index — the misspelled-query
+        # serving cost
+        timed(
+            "fuzzy_search",
+            lambda: query_ops.fuzzy_search(
+                idx, ["hippopotamos", "lader", "seagul"], k=10
+            ).collect(),
+        )
         timed(
             "tfidf_search",
             lambda: search(
@@ -247,6 +257,35 @@ def main() -> None:
                 docs_idx, documents.select("doc_id", "text"),
                 ["spark", "merge", "batch"], tokenizer=ta.ws_tokens,
                 n_candidates=20,
+            ).collect(),
+        )
+        # keyset pagination: page 2 of BM25 = cursor fetch (page 1) +
+        # one filtered top-k — both pages run the page-one plan, which
+        # is the point vs offset paging
+        def _search_after_page2():
+            p1 = query_ops.search_after(
+                docs_idx, ["spark", "merge", "batch"], k=10
+            ).collect()
+            return query_ops.search_after(
+                docs_idx, ["spark", "merge", "batch"], k=10,
+                after=(p1[-1]["score"], p1[-1]["doc_id"]),
+            ).collect()
+
+        timed("search_after_page2", _search_after_page2)
+        # Dunning-LLR collocations: scan-stage bigram transform + one
+        # hash agg to the bigram vocabulary, margins joined vocab-sized
+        timed(
+            "collocations_llr",
+            lambda: ta.collocations_llr(documents, min_count=5, k=50).collect(),
+        )
+        # corpus-drift scalar: two tokenize+agg scans + one vocabulary
+        # full-outer join (the monthly-crawl drift alarm)
+        _src_a = [f"src{i}" for i in range(10)]
+        timed(
+            "js_divergence",
+            lambda: ta.js_divergence(
+                documents.filter(F.col("source").isin(_src_a)),
+                documents.filter(~F.col("source").isin(_src_a)),
             ).collect(),
         )
         # learning-to-rank: feature extraction (one matched pass) +
