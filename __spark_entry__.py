@@ -1295,6 +1295,17 @@ LIMIT {k}"""
 _FUZZY_QUERY_TERMS = ["spork", "qeury"]
 
 
+def _highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import text_analytics as ta
+
+    docs = _documents(spark, sf_dir)
+    top = ta.bm25_topk(docs, QUERY_TERMS, k=10)
+    hl = ta.highlight_snippet(docs, QUERY_TERMS, width=20)
+    return top.join(hl, "doc_id").select(
+        "doc_id", "score", "first_pos", "snippet"
+    )
+
+
 def _fuzzy_index(spark: SparkSession, sf_dir: str):
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.text_analytics import ws_tokens
@@ -1589,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_terms": q(_fuzzy_terms),
         "fuzzy_bm25_topk": q(_fuzzy_topk),
         "search_after_topk": q(_search_after),
+        "highlight_topk": q(_highlight_topk),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -3990,6 +4002,30 @@ SELECT q, term, CAST(dist AS INT) AS dist,
              6) AS boost,
        CAST(df AS BIGINT) AS df
 FROM ranked WHERE rn <= 5""",
+        "highlight_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+top AS (SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10),
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         FROM documents),
+hit AS (SELECT doc_id, t, least(
+    {", ".join("coalesce(list_position(t, '" + t + "'), 2147483647)" for t in QUERY_TERMS)}
+  ) AS fp1 FROM toks),
+win AS (SELECT doc_id, fp1,
+        list_slice(t, greatest(1, fp1 - 5), greatest(1, fp1 - 5) + 19) AS w
+        FROM hit WHERE fp1 < 2147483647)
+SELECT top.doc_id, top.score, CAST(fp1 - 1 AS INT) AS first_pos,
+       array_to_string(list_transform(w, x -> CASE WHEN x IN {_IN_TERMS}
+         THEN '<b>' || x || '</b>' ELSE x END), ' ') AS snippet
+FROM top JOIN win USING (doc_id)""",
         "index_epoch_diff": f"""
 WITH {_TOKENS},
 old_df AS (SELECT term, count(DISTINCT doc_id) AS df_old FROM tokens

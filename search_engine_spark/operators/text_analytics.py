@@ -614,6 +614,57 @@ def more_like_this(
     )
 
 
+def highlight_snippet(
+    documents: DataFrame,
+    terms: list[str],
+    width: int = 20,
+    lead: int = 5,
+    tag_open: str = "<b>",
+    tag_close: str = "</b>",
+) -> DataFrame:
+    """(doc_id, first_pos, snippet): a `width`-token snippet window
+    starting `lead` tokens before the FIRST query-term hit, with every
+    query-term occurrence inside the window wrapped in highlight tags —
+    the result-page presentation step for the pre-tokenized documents
+    table (the HTML pages path has its own reference-quirk snippet
+    generator in functions/presentation.py). Docs with no hit are
+    dropped (serving only highlights hits).
+
+    Plan shape: pure Catalyst array expressions inside the scan stage —
+    first-hit index via filter(sequence)[0] over the token array, the
+    window via slice, tagging via transform — no Python UDF, no
+    shuffle; this composes with a top-k join without adding exchanges.
+    """
+    tarr = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tag_o = tag_open.replace("'", "''")
+    tag_c = tag_close.replace("'", "''")
+    toks = documents.select(
+        "doc_id", ws_tokens(F.col("text")).alias("t")
+    )
+    # get(), not [0]: ANSI mode raises on indexing the empty no-hit array
+    first = F.expr(
+        f"get(filter(sequence(0, size(t) - 1),"
+        f" i -> array_contains(array({tarr}), t[i])), 0)"
+    )
+    hit = toks.select("doc_id", "t", first.alias("first_pos")).filter(
+        F.col("first_pos").isNotNull()
+    )
+    start0 = F.greatest(F.lit(0), F.col("first_pos") - lead)
+    snippet = F.expr(
+        f"array_join(transform(win, x -> CASE WHEN array_contains("
+        f"array({tarr}), x) THEN '{tag_o}' || x || '{tag_c}'"
+        f" ELSE x END), ' ')"
+    )
+    return (
+        hit.withColumn("win", F.slice("t", start0 + 1, width))
+        .select(
+            "doc_id",
+            F.col("first_pos").cast("int").alias("first_pos"),
+            snippet.alias("snippet"),
+        )
+    )
+
+
 def _xlogx(c: Column) -> Column:
     """x·ln(x) with the 0·ln0 = 0 convention (entropy arithmetic)."""
     d = c.cast("double")

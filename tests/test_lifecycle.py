@@ -97,3 +97,33 @@ def test_search_after_walk_terminates(spark, sf_index):
         assert pages < 50
     total = search_after(sf_index, terms, k=1_000_000).count()
     assert seen == total
+
+
+# ---------------------------------------------------------------------------
+# highlight_snippet (serving-side snippet windows)
+# ---------------------------------------------------------------------------
+
+
+def test_highlight_window_tags_and_lead(spark):
+    from search_engine_spark.operators.text_analytics import highlight_snippet
+
+    text = " ".join(f"w{i}" for i in range(10)) + " hit " + " ".join(
+        f"v{i}" for i in range(30)
+    )
+    docs = _docs(spark, [(1, text), (2, "no match here")])
+    out = highlight_snippet(docs, ["hit", "v2"], width=8, lead=2).collect()
+    assert len(out) == 1  # doc 2 dropped: no hit
+    r = out[0]
+    assert r["first_pos"] == 10
+    # window starts lead=2 before the hit, runs width=8 tokens, and tags
+    # EVERY query term inside it
+    assert r["snippet"] == "w8 w9 <b>hit</b> v0 v1 <b>v2</b> v3 v4"
+
+
+def test_highlight_window_clamps_at_doc_start(spark):
+    from search_engine_spark.operators.text_analytics import highlight_snippet
+
+    docs = _docs(spark, [(1, "hit a b c d e f g h")])
+    r = highlight_snippet(docs, ["hit"], width=4, lead=5).first()
+    assert r["first_pos"] == 0
+    assert r["snippet"] == "<b>hit</b> a b c"
