@@ -1295,6 +1295,16 @@ LIMIT {k}"""
 _FUZZY_QUERY_TERMS = ["spork", "qeury"]
 
 
+def _quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.impact import (
+        quantize_impacts,
+        quantized_search,
+    )
+
+    qidx = quantize_impacts(_fuzzy_index(spark, sf_dir), bits=8)
+    return quantized_search(qidx, spark, QUERY_TERMS, k=10)
+
+
 def _highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import text_analytics as ta
 
@@ -1601,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25_topk": q(_fuzzy_topk),
         "search_after_topk": q(_search_after),
         "highlight_topk": q(_highlight_topk),
+        "quantized_bm25_topk": q(_quantized_topk),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4026,6 +4037,32 @@ SELECT top.doc_id, top.score, CAST(fp1 - 1 AS INT) AS first_pos,
        array_to_string(list_transform(w, x -> CASE WHEN x IN {_IN_TERMS}
          THEN '<b>' || x || '</b>' ELSE x END), ' ') AS snippet
 FROM top JOIN win USING (doc_id)""",
+        "quantized_bm25_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+imp AS (SELECT m.term, m.doc_id,
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - alldf.df + 0.5) / (alldf.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+      AS impact
+  FROM tf m JOIN alldf USING (term) JOIN dl USING (doc_id), stats),
+rng AS (SELECT min(impact) AS lo, max(impact) AS hi FROM imp),
+qz AS (SELECT term, doc_id,
+       CASE WHEN rng.hi > rng.lo
+            THEN least(255, CAST(floor((impact - rng.lo)
+                 / ((rng.hi - rng.lo) / 255.0)) AS INT))
+            ELSE 0 END AS q
+       FROM imp, rng),
+agg AS (SELECT doc_id, sum(q) AS sum_q, count(*) AS n_matched
+        FROM qz WHERE term IN {_IN_TERMS} GROUP BY doc_id)
+SELECT 0 AS query_id, doc_id, CAST(sum_q AS BIGINT) AS sum_q,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       round(n_matched * rng.lo
+             + sum_q * ((rng.hi - rng.lo) / 255.0), 6) AS score
+FROM agg, rng
+ORDER BY sum_q DESC, n_matched DESC, doc_id ASC
+LIMIT 10""",
         "index_epoch_diff": f"""
 WITH {_TOKENS},
 old_df AS (SELECT term, count(DISTINCT doc_id) AS df_old FROM tokens

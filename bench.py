@@ -288,6 +288,27 @@ def main() -> None:
                 documents.filter(~F.col("source").isin(_src_a)),
             ).collect(),
         )
+        # impact-quantized serving (Anh-Moffat): build folds idf into a
+        # 1-byte posting impact; the search aggregate is an INTEGER sum
+        from search_engine_spark.operators.impact import (
+            quantize_impacts,
+            quantized_search,
+        )
+
+        def _quant_build():
+            qi = quantize_impacts(docs_idx, bits=8)
+            qi.postings.persist().count()
+            return qi
+
+        q_idx = timed("impact_quantize_build", _quant_build)
+        timed(
+            "quantized_bm25_search",
+            lambda: quantized_search(
+                q_idx, spark, ["spark", "merge", "batch"], k=10
+            ).collect(),
+        )
+        q_idx.postings.unpersist()
+
         # learning-to-rank: feature extraction (one matched pass) +
         # 8 full-batch GD steps (one 6-scalar aggregate each) + re-rank
         def _ltr_bench():
