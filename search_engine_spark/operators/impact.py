@@ -87,6 +87,41 @@ def quantize_impacts(index: InvertedIndex, bits: int = 8) -> QuantizedIndex:
     return QuantizedIndex(postings=postings, lo=lo, step=step, bits=bits)
 
 
+def write_quantized_index(qindex: QuantizedIndex, path: str) -> None:
+    """Materialize the quantized postings in the same pruning-friendly
+    layout as write_index: repartitioned by term, sorted (term, doc_id)
+    within files so parquet min/max stats skip every untouched posting
+    list at probe time, plus a 1-row meta table carrying the
+    dequantization affine. 1-byte q values dictionary/bit-pack further
+    inside parquet — the on-disk serving index is a fraction of the
+    double-scored layout."""
+    from search_engine_spark.catalog import write_table
+
+    spark = qindex.postings.sparkSession
+    p = (
+        qindex.postings.repartition("term")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    write_table(p, f"{path}/postings")
+    meta = spark.createDataFrame(
+        [(qindex.lo, qindex.step, qindex.bits)],
+        "lo double, step double, bits int",
+    )
+    write_table(meta, f"{path}/meta")
+
+
+def read_quantized_index(spark: SparkSession, path: str) -> QuantizedIndex:
+    from search_engine_spark.catalog import read_table
+
+    meta = read_table(spark, f"{path}/meta").collect()[0]
+    return QuantizedIndex(
+        postings=read_table(spark, f"{path}/postings"),
+        lo=float(meta["lo"]),
+        step=float(meta["step"]),
+        bits=int(meta["bits"]),
+    )
+
+
 def quantized_search(
     qindex: QuantizedIndex,
     spark: SparkSession,

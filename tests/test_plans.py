@@ -374,3 +374,36 @@ def test_suffix_probe_pushes_reversed_startswith(spark, stored_index, tmp_path):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters", 1)[1][:300]
     assert "StringStartsWith(rterm" in pushed, pushed
+
+
+def test_quantized_probe_is_pruned_integer_scan(spark, tmp_path):
+    """The persisted quantized index serves by a pushed-filter parquet
+    scan (term isin reaches PushedFilters) and the hot aggregate sums
+    INTEGERS — no Python UDF, no floating-point column in the agg."""
+    from search_engine_spark.operators.impact import (
+        quantize_impacts,
+        quantized_search,
+        read_quantized_index,
+        write_quantized_index,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = build_index(docs, tokenizer=ws_tokens)
+    path = str(tmp_path / "qidx")
+    write_quantized_index(quantize_impacts(idx, bits=8), path)
+    qidx = read_quantized_index(spark, path)
+
+    out = quantized_search(qidx, spark, ["spark", "merge"], k=10)
+    plan = _plan(out)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # round-trip sanity: persisted probe equals in-memory probe
+    mem = quantized_search(
+        quantize_impacts(idx, bits=8), spark, ["spark", "merge"], k=10
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
