@@ -1295,6 +1295,54 @@ LIMIT {k}"""
 _FUZZY_QUERY_TERMS = ["spork", "qeury"]
 
 
+_CMS_PROBE_TERMS = QUERY_TERMS + ["zzznope", "qqqabsent"]
+
+
+def _cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.sketch import cms_build
+
+    return cms_build(_documents(spark, sf_dir), depth=4, width=256)
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.sketch import cms_build, cms_estimate
+
+    cms = cms_build(_documents(spark, sf_dir), depth=4, width=256)
+    return cms_estimate(cms, _CMS_PROBE_TERMS, depth=4, width=256)
+
+
+def _cms_sql(per_grid: bool, depth: int = 4, width: int = 256) -> str:
+    """sketch.cms_build/cms_estimate with the portable hash family."""
+    from search_engine_spark.operators.hashing import h64_py
+
+    parts = []
+    for j in range(depth):
+        hj = _h64_sql(f"'cms{j}|' || term")
+        parts.append(f"SELECT {j} AS j, {hj} % {width} AS bucket FROM tok")
+    sel = " UNION ALL ".join(parts)
+    base = f"""{_TOKENS},
+tok AS (SELECT term FROM tokens WHERE term <> ''),
+stacked AS ({sel}),
+grid AS (SELECT j, bucket, count(*) AS cnt FROM stacked GROUP BY j, bucket)"""
+    if per_grid:
+        return f"""
+WITH {base}
+SELECT CAST(j AS INT) AS j, CAST(bucket AS BIGINT) AS bucket,
+       CAST(cnt AS BIGINT) AS cnt
+FROM grid"""
+    vals = ", ".join(
+        f"('{t}', {j}, {h64_py(f'cms{j}|' + t) % width})"
+        for t in _CMS_PROBE_TERMS
+        for j in range(depth)
+    )
+    return f"""
+WITH {base},
+probe(term, j, bucket) AS (VALUES {vals})
+SELECT term, CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est
+FROM probe p LEFT JOIN grid g USING (j, bucket)
+GROUP BY term"""
+
+
 def _quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.impact import (
         quantize_impacts,
@@ -1612,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_topk": q(_search_after),
         "highlight_topk": q(_highlight_topk),
         "quantized_bm25_topk": q(_quantized_topk),
+        "cms_counters": q(_cms_counters),
+        "cms_heavy_hitters": q(_cms_heavy_hitters),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4037,6 +4087,8 @@ SELECT top.doc_id, top.score, CAST(fp1 - 1 AS INT) AS first_pos,
        array_to_string(list_transform(w, x -> CASE WHEN x IN {_IN_TERMS}
          THEN '<b>' || x || '</b>' ELSE x END), ' ') AS snippet
 FROM top JOIN win USING (doc_id)""",
+        "cms_counters": _cms_sql(per_grid=True),
+        "cms_heavy_hitters": _cms_sql(per_grid=False),
         "quantized_bm25_topk": f"""
 WITH {_TOKENS}, {_TF},
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

@@ -1,0 +1,58 @@
+"""Count-Min sketch (operators/sketch.py): upper-bound guarantee, grid
+bounds, hash-family plumbing. Oracle value parity runs in
+test_entry_oracle.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from search_engine_spark.operators.sketch import cms_build, cms_estimate
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_estimates_upper_bound_true_counts(spark):
+    texts = ["a a a b c", "b c c d", "a d d d e"]
+    true = Counter(" ".join(texts).split())
+    docs = _docs(spark, list(enumerate(texts)))
+    cms = cms_build(docs, depth=4, width=64).cache()
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(cms, list(true), depth=4, width=64).collect()
+    }
+    for t, c in true.items():
+        assert est[t] >= c, (t, est[t], c)
+    # tiny corpus, 64 buckets: collisions are unlikely, estimates exact
+    assert est == dict(true)
+
+
+def test_absent_term_estimates_zero_on_sparse_grid(spark):
+    docs = _docs(spark, [(1, "x y z")])
+    cms = cms_build(docs, depth=4, width=256)
+    est = cms_estimate(cms, ["never-seen"], depth=4, width=256).first()
+    assert est["est"] == 0
+
+
+def test_grid_is_sketch_sized(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    depth, width = 4, 32
+    grid = cms_build(docs, depth=depth, width=width).collect()
+    assert len(grid) <= depth * width
+    assert {r["j"] for r in grid} == set(range(depth))
+    assert all(0 <= r["bucket"] < width for r in grid)
+    # total mass per row j equals the token count
+    per_j = Counter()
+    for r in grid:
+        per_j[r["j"]] += r["cnt"]
+    assert len(set(per_j.values())) == 1
+
+
+def test_xxhash64_family_builds_same_shape(spark):
+    docs = _docs(spark, [(1, "a b c a")])
+    grid = cms_build(docs, depth=2, width=16, family="xxhash64").collect()
+    assert sum(r["cnt"] for r in grid) == 8  # 4 tokens x depth 2
