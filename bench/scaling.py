@@ -554,6 +554,33 @@ the identical per-round plan as the benched pagerank_10it row.
 The round's final scaling window (post all r4 additions) measured
 0.878 raw efficiency at 1 -> 4 (0.984 of that run's hardware ceiling),
 confirming the additions left the index-build scaling path untouched.
+
+### Second late batch (fuzzy/pagination/drift/sketch/quantized serving)
+
+One more full sf0.1 local[32] run after the second round-4 operator
+batch (headline core 39.2 s, pages_index_build 13.8 s = 1,452 docs/s —
+host-swing range of the post-fix level; full_suite 401 s, which now
+times 5 more rows than the run above):
+
+| new row | sec | what it measures |
+|---|---|---|
+| fuzzy_search | 3.34 | misspelled 3-term query: one vocabulary scan (prefix/length prefilters) + blended-max BM25 OR over the expansions |
+| search_after_page2 | 3.23 | keyset pagination: page-1 cursor fetch + page-2 filtered top-k — two page-one-shaped jobs, by design |
+| collocations_llr | 1.73 | Dunning-LLR adjacent bigrams: scan-stage bigram transform + bigram-vocabulary margins |
+| js_divergence | 0.92 | corpus-drift scalar: two tokenize+agg scans + one vocabulary full-outer join |
+| impact_quantize_build | 0.93 | 8-bit impact quantization over the cached docs index (min/max aggregate + one pass) |
+| quantized_bm25_search | 1.40 | integer-sum serving over quantized postings — at or below the warm double-scored row (bm25_search_warm 1.66) |
+
+index_epoch_diff / corpus_divergence / highlight / CMS rows are not
+benched separately: epoch diff is two docs_index_build scans plus a
+vocabulary join; highlight composes scan-stage expressions with the
+benched bm25 top-k; the CMS grid build is one tokenize scan with a
+sketch-sized aggregate (sub-second at sf0.1).
+
+A fresh scaling window on THIS final engine (all second-batch
+operators in the tree) measured 0.826 raw efficiency at 1 -> 4
+against a same-minute hardware ceiling of 0.965 (ceiling-relative
+0.856) — pass, recorded as the last line of BENCH/scaling_runs.jsonl.
 """
         )
 
