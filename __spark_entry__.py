@@ -1343,6 +1343,108 @@ FROM probe p LEFT JOIN grid g USING (j, bucket)
 GROUP BY term"""
 
 
+def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.sketch import bloom_build, bloom_probe
+    from search_engine_spark.operators.text_analytics import tokens_df
+
+    docs = _documents(spark, sf_dir)
+    a_vocab = (
+        tokens_df(docs.filter(F.col("source").isin(_SRC_A)))
+        .select("term").distinct()
+    )
+    vocab = tokens_df(docs).select("term").distinct()
+    bloom = bloom_build(a_vocab, "term", m=1 << 16, k=4)
+    return bloom_probe(bloom, vocab, "term", m=1 << 16, k=4)
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.sketch import hll_registers
+    from search_engine_spark.operators.text_analytics import tokens_df
+
+    return hll_registers(
+        tokens_df(_documents(spark, sf_dir)), "term", b=8
+    )
+
+
+def _hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.sketch import hll_estimate
+    from search_engine_spark.operators.text_analytics import tokens_df
+
+    return hll_estimate(
+        tokens_df(_documents(spark, sf_dir)), "term", b=8
+    )
+
+
+def _bloom_sql(m: int = 1 << 16, k: int = 4) -> str:
+    """sketch.bloom_build/bloom_probe: the src0-9 vocabulary filtered
+    against the full vocabulary, portable hash family."""
+    in_a = "('" + "','".join(_SRC_A) + "')"
+    def stack(src: str) -> str:
+        parts = []
+        for j in range(k):
+            hj = _h64_sql(f"'bf{j}|' || term")
+            parts.append(f"SELECT term, {hj} % {m} AS pos FROM {src}")
+        return " UNION ALL ".join(parts)
+
+    return f"""
+WITH {_TOKENS},
+a AS (SELECT DISTINCT t.term FROM tokens t JOIN documents d USING (doc_id)
+      WHERE d.source IN {in_a} AND term <> ''),
+vocab AS (SELECT DISTINCT term FROM tokens WHERE term <> ''),
+bloom AS (SELECT DISTINCT pos FROM ({stack("a")})),
+pp AS ({stack("vocab")}),
+hits AS (SELECT term, count(*) AS nh FROM pp JOIN bloom USING (pos)
+         GROUP BY term)
+SELECT v.term, coalesce(h.nh, 0) = {k} AS maybe_present
+FROM vocab v LEFT JOIN hits h USING (term)"""
+
+
+def _hll_sql(per_register: bool, b: int = 8) -> str:
+    """sketch.hll_registers/hll_estimate: identical integer bit ops and
+    the exact-integer Σ 2^(53−rho) determinism trick."""
+    from search_engine_spark.operators.sketch import _hll_alpha
+
+    m = 1 << b
+    width = 60 - b
+    h = _h64_sql("term")
+    base = f"""{_TOKENS},
+vocab AS (SELECT DISTINCT term FROM tokens WHERE term <> ''),
+hh AS (SELECT {h} AS h FROM vocab),
+rr AS (SELECT h % {m} AS bucket,
+       CASE WHEN h // {m} > 0
+            THEN {width} - CAST(floor(log2(CAST(h // {m} AS DOUBLE))) AS BIGINT)
+            ELSE {width + 1} END AS rho
+       FROM hh),
+regs AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY bucket)"""
+    if per_register:
+        return f"""
+WITH {base}
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho
+FROM regs"""
+    # CAST every float literal to DOUBLE: DuckDB parses bare decimal
+    # literals as DECIMAL and overflows/diverges from the engine's
+    # float64 arithmetic. The i_total sum stays exact BIGINT and is
+    # cast ONCE, mirroring the engine's single float(i_total) rounding.
+    alpha = f"CAST({_hll_alpha(m)!r} AS DOUBLE)"
+    two53 = "CAST(9007199254740992.0 AS DOUBLE)"
+    return f"""
+WITH {base},
+agg AS (SELECT count(*) AS nreg,
+        sum((CAST(1 AS BIGINT) << CAST(53 - rho AS INT))) AS i FROM regs),
+s AS (SELECT CAST(nreg AS INT) AS n_registers,
+      {m} - nreg AS zeros,
+      (({alpha} * {m}) * {m}) * {two53}
+        / CAST((CAST(i AS BIGINT)
+                + ({m} - nreg) * CAST(9007199254740992 AS BIGINT))
+               AS DOUBLE) AS raw
+      FROM agg)
+SELECT n_registers,
+       round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+             THEN {m} * ln(CAST({m} AS DOUBLE) / CAST(zeros AS DOUBLE))
+             ELSE raw END, 3) AS estimate
+FROM s"""
+
+
 def _quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.impact import (
         quantize_impacts,
@@ -1662,6 +1764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_bm25_topk": q(_quantized_topk),
         "cms_counters": q(_cms_counters),
         "cms_heavy_hitters": q(_cms_heavy_hitters),
+        "bloom_membership": q(_bloom_membership),
+        "hll_registers": q(_hll_registers),
+        "hll_estimate": q(_hll_estimate),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4089,6 +4194,9 @@ SELECT top.doc_id, top.score, CAST(fp1 - 1 AS INT) AS first_pos,
 FROM top JOIN win USING (doc_id)""",
         "cms_counters": _cms_sql(per_grid=True),
         "cms_heavy_hitters": _cms_sql(per_grid=False),
+        "bloom_membership": _bloom_sql(m=1 << 16, k=4),
+        "hll_registers": _hll_sql(per_register=True),
+        "hll_estimate": _hll_sql(per_register=False),
         "quantized_bm25_topk": f"""
 WITH {_TOKENS}, {_TF},
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

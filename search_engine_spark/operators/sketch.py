@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.operators.hashing import h64, h64_py
 
-__all__ = ["cms_build", "cms_estimate"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "bloom_build",
+    "bloom_probe",
+    "hll_registers",
+    "hll_estimate",
+]
 
 
 def _salt(j: int) -> str:
@@ -56,6 +63,139 @@ def cms_build(
     )
     return stacked.groupBy("j", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m: int = 1 << 16,
+    k: int = 4,
+    family: str = "portable",
+) -> DataFrame:
+    """(pos): the distinct set-bit positions of a Bloom filter over
+    `df[col]` — the membership pre-filter the crawl frontier needs at
+    10^9-URL scale ("was this URL ever queued?") without joining the
+    full visited ledger. NO false negatives ever; false-positive rate
+    ≈ (1 − e^(−kn/m))^k (k=4, m/n=16 → ~2.4 %).
+
+    Represented relationally as the ≤ m distinct positions (at most
+    m rows regardless of input size); a deployment packs them into
+    m/64 longs with groupBy(pos div 64) + bit_or — same information,
+    same plan shape. Build is one scan + a sketch-sized distinct."""
+    posexprs = [
+        (h64(F.concat(F.lit(f"bf{j}|"), F.col(col)), family) % m)
+        for j in range(k)
+    ]
+    return (
+        df.select(F.explode(F.array(*posexprs)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    col: str,
+    m: int = 1 << 16,
+    k: int = 4,
+    family: str = "portable",
+) -> DataFrame:
+    """df + maybe_present: true iff ALL k of the value's bit positions
+    are set (semi-join against the positions relation + per-value
+    match count) — false ⇒ DEFINITELY absent, the contract that lets a
+    frontier skip the exact ledger join for the (vast) definite-miss
+    majority. One shuffle of (value, pos) pairs, k rows per value."""
+    posexprs = [
+        (h64(F.concat(F.lit(f"bf{j}|"), F.col(col)), family) % m)
+        for j in range(k)
+    ]
+    probe = df.select(
+        F.col(col).alias("_v"), F.explode(F.array(*posexprs)).alias("pos")
+    )
+    hits = (
+        probe.join(bloom, "pos", "left_semi")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+    )
+    return (
+        df.join(hits, df[col] == hits["_v"], "left")
+        .select(
+            *df.columns,
+            (F.coalesce(F.col("_nhit"), F.lit(0)) == k).alias("maybe_present"),
+        )
+    )
+
+
+#: HLL bias-correction constant for m ≥ 128 buckets (Flajolet et al.
+#: 2007): alpha_m = 0.7213 / (1 + 1.079/m).
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, col: str, b: int = 8, family: str = "portable"
+) -> DataFrame:
+    """(bucket, rho): HyperLogLog registers over df[col] — bucket is
+    the hash's low `b` bits, rho the 1-based position of the highest
+    set bit COUNTED FROM THE TOP of the remaining 60−b hash bits (+1
+    more when they are all zero), register = max rho per bucket. At
+    most 2^b rows whatever the input cardinality — the distinct-count
+    state a 100 TB profile job can afford per group.
+
+    floor(log2(rest)) is exact for rest < 2^53 (the 52 remaining bits
+    are exactly representable doubles), so the same arithmetic replays
+    bit-identically in the SQL oracle."""
+    m = 1 << b
+    h = h64(F.col(col).cast("string"), family)
+    # integer bit ops, NOT h/m: double division would shave bits off a
+    # 60-bit hash (only 53 fit a double mantissa)
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    rest = F.shiftright(h, b)  # the remaining 60-b bits
+    width = 60 - b
+    rho = F.when(
+        rest > 0,
+        F.lit(width) - F.floor(F.log2(rest.cast("double"))).cast("long"),
+    ).otherwise(F.lit(width + 1))
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, col: str, b: int = 8, family: str = "portable"
+) -> DataFrame:
+    """One row (n_registers, estimate): the HLL cardinality estimate
+    with the standard small-range (linear counting) correction.
+
+    Determinism note: Σ 2^−rho is summed as the exact INTEGER
+    Σ 2^(53−rho) (every addend a power of two ≤ 2^53, total < 2^61 —
+    no FP addition order anywhere), then divided once in doubles, so
+    engine and oracle agree to the last bit before the 3dp rounding."""
+    m = 1 << b
+    regs = hll_registers(df, col, b=b, family=family)
+    row = regs.agg(
+        F.count(F.lit(1)).alias("nreg"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))")).alias("i"),
+    ).first()
+    nreg = int(row["nreg"] or 0)
+    i_obs = int(row["i"] or 0)
+    zeros = m - nreg
+    i_total = i_obs + zeros * (1 << 53)
+    raw = _hll_alpha(m) * m * m * float(1 << 53) / float(i_total)
+    if raw <= 2.5 * m and zeros > 0:
+        import math
+
+        est = m * math.log(m / zeros)
+    else:
+        est = raw
+    from search_engine_spark.numerics import round_half_up
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(nreg, round_half_up(est, 3))], "n_registers int, estimate double"
     )
 
 

@@ -56,3 +56,50 @@ def test_xxhash64_family_builds_same_shape(spark):
     docs = _docs(spark, [(1, "a b c a")])
     grid = cms_build(docs, depth=2, width=16, family="xxhash64").collect()
     assert sum(r["cnt"] for r in grid) == 8  # 4 tokens x depth 2
+
+
+def test_bloom_never_false_negative(spark):
+    from search_engine_spark.operators.sketch import bloom_build, bloom_probe
+
+    vals = [(f"url-{i}",) for i in range(500)]
+    df = spark.createDataFrame(vals, "u string")
+    bloom = bloom_build(df, "u", m=1 << 14, k=4).cache()
+    probed = bloom_probe(bloom, df, "u", m=1 << 14, k=4)
+    assert probed.filter("NOT maybe_present").count() == 0
+
+
+def test_bloom_definite_miss_and_fp_rate(spark):
+    from search_engine_spark.operators.sketch import bloom_build, bloom_probe
+
+    member = spark.createDataFrame(
+        [(f"url-{i}",) for i in range(1024)], "u string"
+    )
+    other = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(1024)], "u string"
+    )
+    bloom = bloom_build(member, "u", m=1 << 14, k=4).cache()
+    fp = bloom_probe(bloom, other, "u", m=1 << 14, k=4).filter(
+        "maybe_present"
+    ).count()
+    # m/n = 16, k = 4 -> theoretical fp ~2.4%; allow generous slack
+    assert fp / 1024 < 0.10
+
+
+def test_hll_estimate_tracks_true_cardinality(spark):
+    from search_engine_spark.operators.sketch import hll_estimate
+
+    df = spark.createDataFrame(
+        [(f"item-{i % 3000}",) for i in range(9000)], "v string"
+    )
+    est = hll_estimate(df, "v", b=8).first()["estimate"]
+    # m=256 -> standard error ~6.5%; duplicates must not inflate it
+    assert abs(est - 3000) / 3000 < 0.20
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from search_engine_spark.operators.sketch import hll_estimate
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(20)], "v string")
+    r = hll_estimate(df, "v", b=8).first()
+    assert r["n_registers"] <= 20
+    assert abs(r["estimate"] - 20) < 3  # linear counting is near-exact here
