@@ -1343,6 +1343,81 @@ FROM probe p LEFT JOIN grid g USING (j, bucket)
 GROUP BY term"""
 
 
+_AUTOCOMPLETE_TYPED = "spa"
+
+
+def _autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import autocomplete
+
+    return autocomplete(
+        _fuzzy_index(spark, sf_dir), _AUTOCOMPLETE_TYPED, n=10, max_dist=2
+    )
+
+
+def _autocomplete_sql(n: int = 10, max_dist: int = 2) -> str:
+    """query.autocomplete: prefix hits by df, fuzzy fill behind them,
+    one global rank window."""
+    t = _AUTOCOMPLETE_TYPED
+    return f"""
+WITH {_TOKENS}, {_TF},
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pref AS (SELECT term, df, 0 AS path, 0 AS dist FROM vocab
+         WHERE term LIKE '{t}%'),
+fuzz AS (SELECT term, df, 1 AS path, levenshtein('{t}', term) AS dist
+         FROM vocab
+         WHERE term NOT LIKE '{t}%'
+           AND substr(term, 1, 1) = '{t[:1]}'
+           AND abs(length(term) - {len(t)}) <= {max_dist}
+           AND levenshtein('{t}', term) <= {max_dist}),
+cand AS (SELECT * FROM pref UNION ALL SELECT * FROM fuzz),
+ranked AS (SELECT *, row_number() OVER (
+           ORDER BY path ASC, dist ASC, df DESC, term ASC) AS rn FROM cand)
+SELECT term AS suggestion, CAST(df AS BIGINT) AS df,
+       CASE WHEN path = 0 THEN 'prefix' ELSE 'fuzzy' END AS src
+FROM ranked WHERE rn <= {n}"""
+
+
+def _source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.text_analytics import source_keyness
+
+    return source_keyness(
+        _documents(spark, sf_dir), group_col="source", min_count=10, k=5
+    )
+
+
+def _keyness_sql(min_count: int = 10, k: int = 5) -> str:
+    """text_analytics.source_keyness: one-vs-rest Dunning keyness per
+    source, signed by over/under-representation."""
+    def xlogx(x: str) -> str:
+        return (f"(CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE)"
+                f" * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END)")
+
+    llr = (f"2.0 * ({xlogx('ca')} + {xlogx('ta - ca')}"
+           f" + {xlogx('ct_all - ca')} + {xlogx('n - ta - ct_all + ca')}"
+           f" - {xlogx('ta')} - {xlogx('n - ta')}"
+           f" - {xlogx('ct_all')} - {xlogx('n - ct_all')}"
+           f" + {xlogx('n')})")
+    return f"""
+WITH {_TOKENS},
+tok AS (SELECT d.source AS g, t.term FROM tokens t
+        JOIN documents d USING (doc_id) WHERE term <> ''),
+ct AS (SELECT g, term, count(*) AS ca FROM tok GROUP BY g, term),
+pg AS (SELECT g, sum(ca) AS ta FROM ct GROUP BY g),
+pt AS (SELECT term, sum(ca) AS ct_all FROM ct GROUP BY term),
+nn AS (SELECT sum(ca) AS n FROM ct),
+j AS (SELECT ct.g, ct.term, ct.ca, pg.ta, pt.ct_all, nn.n
+      FROM ct JOIN pg USING (g) JOIN pt USING (term), nn
+      WHERE ct.ca >= {min_count}),
+scored AS (SELECT g, term, ca,
+           round(CASE WHEN ca * n >= ta * ct_all THEN {llr}
+                 ELSE -{llr} END, 6) AS llr
+           FROM j),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY g
+           ORDER BY llr DESC, term ASC) AS rn FROM scored)
+SELECT g AS source, term, CAST(ca AS BIGINT) AS n, llr
+FROM ranked WHERE rn <= {k}"""
+
+
 def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.sketch import bloom_build, bloom_probe
     from search_engine_spark.operators.text_analytics import tokens_df
@@ -1765,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q(_cms_counters),
         "cms_heavy_hitters": q(_cms_heavy_hitters),
         "bloom_membership": q(_bloom_membership),
+        "autocomplete_terms": q(_autocomplete),
+        "source_keyness": q(_source_keyness),
         "hll_registers": q(_hll_registers),
         "hll_estimate": q(_hll_estimate),
         "index_epoch_diff": q(_index_epoch_diff),
@@ -4195,6 +4272,8 @@ FROM top JOIN win USING (doc_id)""",
         "cms_counters": _cms_sql(per_grid=True),
         "cms_heavy_hitters": _cms_sql(per_grid=False),
         "bloom_membership": _bloom_sql(m=1 << 16, k=4),
+        "autocomplete_terms": _autocomplete_sql(n=10, max_dist=2),
+        "source_keyness": _keyness_sql(min_count=10, k=5),
         "hll_registers": _hll_sql(per_register=True),
         "hll_estimate": _hll_sql(per_register=False),
         "quantized_bm25_topk": f"""

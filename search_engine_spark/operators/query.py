@@ -362,6 +362,63 @@ def fuzzy_search(
     return topk(scored, k)
 
 
+def autocomplete(
+    index: InvertedIndex,
+    typed: str,
+    n: int = 10,
+    max_dist: int = 2,
+) -> DataFrame:
+    """(suggestion, df, src): typeahead completion — vocabulary terms
+    starting with the typed string ranked by popularity (df DESC, term
+    ASC), and when fewer than `n` exist, the remainder filled with
+    typo-tolerant candidates within Levenshtein `max_dist` of the typed
+    string (same first character, the fuzzy_expand gate) that don't
+    already prefix-match. src ∈ prefix | fuzzy says which path produced
+    each row. No reference analog (its frontend has no suggest box).
+
+    ONE job, no driver barrier: both candidate sets come from the same
+    narrow term_stats scan (the startswith predicate pushes to the
+    scan for the prefix side), are unioned with a path rank, and a
+    single global window (path, dist, df DESC, term) takes the top n —
+    prefix hits always outrank fuzzy fills, each side keeps its own
+    internal order. At a 10^8-term vocabulary both sides are scan-stage
+    filters; only ≤ a few hundred survivors reach the window.
+    """
+    ts = index.term_stats.select("term", "df")
+    pref = ts.filter(F.col("term").startswith(typed)).select(
+        "term",
+        "df",
+        F.lit(0).alias("path"),
+        F.lit(0).alias("dist"),
+    )
+    fuzz = (
+        ts.filter(
+            ~F.col("term").startswith(typed)
+            & (F.substring("term", 1, 1) == F.lit(typed[:1]))
+            & (F.abs(F.length("term") - F.lit(len(typed))) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein(F.lit(typed), F.col("term")))
+        .filter(F.col("dist") <= max_dist)
+        .select("term", "df", F.lit(1).alias("path"), "dist")
+    )
+    cand = pref.unionByName(fuzz)
+    w = Window.orderBy(
+        F.col("path").asc(),
+        F.col("dist").asc(),
+        F.col("df").desc(),
+        F.col("term").asc(),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("df"),
+            F.when(F.col("path") == 0, "prefix").otherwise("fuzzy").alias("src"),
+        )
+    )
+
+
 def score_lm_dirichlet(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -738,6 +738,75 @@ def collocations_llr(
     )
 
 
+def source_keyness(
+    documents: DataFrame,
+    group_col: str = "source",
+    min_count: int = 10,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(source, term, n, llr): each group's top-k KEY terms — the terms
+    whose frequency in that group beats the rest of the corpus by
+    Dunning log-likelihood (one-vs-rest keyness, the corpus-linguistics
+    standard; Rayson & Garside 2000) — "what characterizes each crawl
+    source/domain/language slice", the per-group complement to the
+    per-document TextRank keywords. Same 2×2 xlogx identity as
+    collocations_llr with rows = (in group, out of group) token masses.
+    Ties (llr DESC, term ASC) after rounding; groups with fewer than
+    k qualifying terms return what they have.
+
+    Plan shape: one tokenize scan → (group, term) hash agg; margins are
+    a GROUPS-sized relation (broadcast) and a vocabulary-sized one
+    (shuffle join on term); the LLR is per-row integer column code and
+    the cut one window over the group-vocabulary relation. Nothing
+    corpus-sized crosses a join.
+    """
+    tok = documents.select(
+        F.col(group_col).alias("g"),
+        F.explode(ws_tokens(F.col("text"))).alias("term"),
+    )
+    ct = tok.groupBy("g", "term").agg(F.count(F.lit(1)).alias("ca"))
+    per_g = ct.groupBy("g").agg(F.sum("ca").alias("ta"))
+    per_t = ct.groupBy("term").agg(F.sum("ca").alias("ct_all"))
+    n = ct.agg(F.sum("ca").alias("n"))
+    j = (
+        ct.filter(F.col("ca") >= min_count)
+        .join(F.broadcast(per_g), "g")
+        .join(per_t, "term")
+        .crossJoin(F.broadcast(n))
+    )
+    k11 = F.col("ca")
+    k12 = F.col("ta") - k11
+    k21 = F.col("ct_all") - k11
+    k22 = F.col("n") - F.col("ta") - F.col("ct_all") + k11
+    llr = 2.0 * (
+        _xlogx(k11) + _xlogx(k12) + _xlogx(k21) + _xlogx(k22)
+        - _xlogx(F.col("ta")) - _xlogx(F.col("n") - F.col("ta"))
+        - _xlogx(F.col("ct_all")) - _xlogx(F.col("n") - F.col("ct_all"))
+        + _xlogx(F.col("n"))
+    )
+    # signed keyness: positive only when the group OVER-represents the
+    # term (LLR itself is two-sided)
+    signed = F.when(
+        k11 * F.col("n") >= F.col("ta") * F.col("ct_all"), llr
+    ).otherwise(-llr)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("llr_r").desc(), F.col("term").asc()
+    )
+    return (
+        j.select(
+            F.col("g").alias(group_col),
+            "term",
+            k11.cast("long").alias("n"),
+            F.round(signed, round_dp).alias("llr_r"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .withColumnRenamed("llr_r", "llr")
+    )
+
+
 def divergence_contrib(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
     """(term, p_a, p_b, contrib): per-term Jensen-Shannon divergence
     contributions between the unigram (collection-frequency)

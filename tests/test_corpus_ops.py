@@ -435,3 +435,19 @@ def test_llr_bigrams_do_not_cross_document_boundaries(spark):
     pairs = {(r["a"], r["b"]) for r in out}
     assert ("alpha", "beta") not in pairs
     assert ("beta", "gamma") in pairs
+
+
+def test_source_keyness_flags_overrepresented_terms(spark):
+    rows = [(i, "common zebra", "en", "srcA") for i in range(20)]
+    rows += [(100 + i, "common yak", "en", "srcB") for i in range(20)]
+    out = ta.source_keyness(
+        _docs(spark, rows), group_col="source", min_count=5, k=2
+    ).collect()
+    best = {r["source"]: r for r in out if r["llr"] == max(
+        x["llr"] for x in out if x["source"] == r["source"]
+    )}
+    assert best["srcA"]["term"] == "zebra" and best["srcA"]["llr"] > 0
+    assert best["srcB"]["term"] == "yak" and best["srcB"]["llr"] > 0
+    # 'common' is evenly spread: keyness ~0, never the top key term
+    common = [r for r in out if r["term"] == "common"]
+    assert all(abs(r["llr"]) < best[r["source"]]["llr"] for r in common)

@@ -97,3 +97,40 @@ def test_no_expansion_returns_empty(index):
     out = fuzzy_search(index, ["zzzzzzzz"], k=10)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "doc_id", "score"]
+
+
+# ---------------------------------------------------------------------------
+# autocomplete (prefix + fuzzy fallback)
+# ---------------------------------------------------------------------------
+
+
+def test_autocomplete_prefix_outranks_fuzzy(index):
+    from search_engine_spark.operators.query import autocomplete
+
+    out = autocomplete(index, "sp", n=10, max_dist=2).collect()
+    srcs = [r["src"] for r in out]
+    # all prefix rows come before any fuzzy row
+    assert srcs == sorted(srcs, key=lambda s: 0 if s == "prefix" else 1)
+    assert out[0]["suggestion"] == "spark" and out[0]["src"] == "prefix"
+
+
+def test_autocomplete_caps_and_orders_by_popularity(spark):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import autocomplete
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aab aab aac"), (2, "aab aad")], "doc_id long, text string"
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    out = [r["suggestion"] for r in autocomplete(idx, "aa", n=2).collect()]
+    # aab has df 2, the others 1 -> popularity first, then lexicographic
+    assert out == ["aab", "aaa"]
+
+
+def test_autocomplete_pure_fuzzy_when_no_prefix_hit(index):
+    from search_engine_spark.operators.query import autocomplete
+
+    out = autocomplete(index, "sprak", n=5, max_dist=2).collect()
+    assert out and all(r["src"] == "fuzzy" for r in out)
+    assert "spark" in {r["suggestion"] for r in out}
