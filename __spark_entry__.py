@@ -1343,6 +1343,114 @@ FROM probe p LEFT JOIN grid g USING (j, bucket)
 GROUP BY term"""
 
 
+def _two_ranker_runs(spark: SparkSession, sf_dir: str):
+    """BM25 vs LM-Dirichlet runs for the same query, scores rounded
+    BEFORE any rank cut (the r3 sub-epsilon-twin rule)."""
+    from search_engine_spark.operators.query import (
+        score_bm25,
+        score_lm_dirichlet,
+    )
+
+    index = _fuzzy_index(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    a = score_bm25(index, qt, k=1_000_000, terms=QUERY_TERMS).withColumn(
+        "score", F.round("score", 6)
+    )
+    b = score_lm_dirichlet(
+        index, qt, mu=2000.0, k=1_000_000, terms=QUERY_TERMS
+    )
+    return a, b
+
+
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.evaluation import interleave_balanced
+
+    a, b = _two_ranker_runs(spark, sf_dir)
+    return interleave_balanced(a, b, k=10, k_out=10)
+
+
+def _rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.evaluation import rbo_depths
+
+    a, b = _two_ranker_runs(spark, sf_dir)
+    return rbo_depths(a, b, depth=10, p=0.9)
+
+
+def _two_runs_ctes(depth: int = 10) -> str:
+    """Shared CTEs: both runs' top-`depth` positions (pa/pb) on the
+    same rounding the engine uses."""
+    nq = len(QUERY_TERMS)
+    return f"""{_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+bms AS (SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id),
+tot AS (SELECT sum(dl) AS c FROM dl),
+cf AS (SELECT term, sum(tf) AS cf FROM matched GROUP BY term),
+lmsum AS (SELECT m.doc_id,
+       sum(ln(1.0e0 + CAST(m.tf AS DOUBLE)
+              / (2000.0e0 * (CAST(cf.cf AS DOUBLE) / tot.c)))) AS s
+       FROM matched m JOIN cf USING (term), tot GROUP BY m.doc_id),
+lms AS (SELECT lmsum.doc_id,
+        round(lmsum.s + {nq} * ln(2000.0e0 / (CAST(dl.dl AS DOUBLE)
+              + 2000.0e0)), 9) AS score
+        FROM lmsum JOIN dl USING (doc_id)),
+ra AS (SELECT doc_id, rank FROM (SELECT doc_id, row_number() OVER (
+       ORDER BY score DESC, doc_id ASC) AS rank FROM bms)
+       WHERE rank <= {depth}),
+rb AS (SELECT doc_id, rank FROM (SELECT doc_id, row_number() OVER (
+       ORDER BY score DESC, doc_id ASC) AS rank FROM lms)
+       WHERE rank <= {depth})"""
+
+
+def _interleave_sql(k_out: int = 10) -> str:
+    """evaluation.interleave_balanced: union-prefix closed form."""
+    inf = 1 << 30
+    return f"""
+WITH {_two_runs_ctes(10)},
+j AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             coalesce(ra.rank, {inf}) AS pa,
+             coalesce(rb.rank, {inf}) AS pb
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+o AS (SELECT doc_id, pa, pb, row_number() OVER (
+      ORDER BY least(pa, pb) ASC,
+               CASE WHEN pa > pb THEN 1 ELSE 0 END ASC,
+               pa ASC, pb ASC, doc_id ASC) AS ipos FROM j)
+SELECT 0 AS query_id, doc_id, CAST(ipos AS INT) AS ipos,
+       CASE WHEN pa <= pb THEN 'A' ELSE 'B' END AS team
+FROM o WHERE ipos <= {k_out}"""
+
+
+def _rbo_sql(depth: int = 10, p: float = 0.9) -> str:
+    """evaluation.rbo_depths: per-depth overlap decomposition; the
+    (1−p)·p^(d−1) weights are inlined as python-computed doubles so
+    both engines multiply identical values (libm pow varies by ulps)."""
+    vals = ", ".join(
+        f"({d}, CAST({(1.0 - p) * (p ** (d - 1))!r} AS DOUBLE))"
+        for d in range(1, depth + 1)
+    )
+    return f"""
+WITH {_two_runs_ctes(depth)},
+m AS (SELECT ra.doc_id, greatest(ra.rank, rb.rank) AS m
+      FROM ra JOIN rb USING (doc_id)),
+wts(d, w) AS (VALUES {vals}),
+ov AS (SELECT wts.d, count(*) AS overlap FROM m JOIN wts ON m.m <= wts.d
+       GROUP BY wts.d)
+SELECT 0 AS query_id, wts.d, CAST(coalesce(ov.overlap, 0) AS BIGINT)
+         AS overlap,
+       round(wts.w * coalesce(ov.overlap, 0) / wts.d, 6) AS contrib
+FROM wts LEFT JOIN ov USING (d)
+ORDER BY d"""
+
+
 _AUTOCOMPLETE_TYPED = "spa"
 
 
@@ -1842,6 +1950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q(_bloom_membership),
         "autocomplete_terms": q(_autocomplete),
         "source_keyness": q(_source_keyness),
+        "interleaved_ranking": q(_interleaved),
+        "rbo_depths": q(_rbo),
         "hll_registers": q(_hll_registers),
         "hll_estimate": q(_hll_estimate),
         "index_epoch_diff": q(_index_epoch_diff),
@@ -4274,6 +4384,8 @@ FROM top JOIN win USING (doc_id)""",
         "bloom_membership": _bloom_sql(m=1 << 16, k=4),
         "autocomplete_terms": _autocomplete_sql(n=10, max_dist=2),
         "source_keyness": _keyness_sql(min_count=10, k=5),
+        "interleaved_ranking": _interleave_sql(k_out=10),
+        "rbo_depths": _rbo_sql(depth=10, p=0.9),
         "hll_registers": _hll_sql(per_register=True),
         "hll_estimate": _hll_sql(per_register=False),
         "quantized_bm25_topk": f"""

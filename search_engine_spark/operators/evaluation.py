@@ -213,3 +213,111 @@ def paired_delta(
         F.round("md", 6).alias("mean_delta"),
         F.round(t, 6).alias("t_stat"),
     )
+
+
+def interleave_balanced(
+    run_a: DataFrame, run_b: DataFrame, k: int = 10, k_out: int = 10
+) -> DataFrame:
+    """(query_id, doc_id, ipos, team): balanced interleaving (Joachims
+    2003) of two rankers' top-k lists — the online-evaluation step
+    before an A/B rollout: users see ONE merged list; clicks credit
+    the `team` whose ranking contributed the doc, and the better
+    ranker wins more credited clicks.
+
+    Deterministic union-prefix formulation (A leads): after 2j picks
+    the interleaved prefix is top-j(A) ∪ top-j(B), so a doc enters at
+    j = min(pos_a, pos_b), A-entrants before B-entrants at equal j,
+    residual ties by (pos_a, pos_b, doc_id) — a closed form with NO
+    sequential picking loop, so the whole merge is two rank windows +
+    one full-outer join + one window per query, the same join-problem
+    shape as rank_eval (and exactly replayable in SQL). team = the
+    list that ranks the doc strictly higher; ties credit A.
+    """
+    inf = 1 << 30
+    a = _ranked(run_a, k).withColumnRenamed("rank", "pa")
+    b = _ranked(run_b, k).withColumnRenamed("rank", "pb")
+    j = (
+        a.join(b, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("pa", F.lit(inf)).alias("pa"),
+            F.coalesce("pb", F.lit(inf)).alias("pb"),
+        )
+    )
+    enter = F.least("pa", "pb")
+    from_b = (F.col("pa") > F.col("pb")).cast("int")
+    w = Window.partitionBy("query_id").orderBy(
+        enter.asc(), from_b.asc(), F.col("pa").asc(), F.col("pb").asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        j.withColumn("ipos", F.row_number().over(w))
+        .filter(F.col("ipos") <= k_out)
+        .select(
+            "query_id",
+            "doc_id",
+            "ipos",
+            F.when(F.col("pa") <= F.col("pb"), "A").otherwise("B").alias("team"),
+        )
+        .orderBy("query_id", "ipos")
+    )
+
+
+def rbo_depths(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    depth: int = 10,
+    p: float = 0.9,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, d, overlap, contrib): per-depth rank-biased-overlap
+    decomposition (Webber et al. 2010) between two rankers — overlap_d
+    = |top-d(A) ∩ top-d(B)| and contrib = (1−p)·p^(d−1)·overlap_d/d,
+    whose sum over d is the truncated RBO score. Emitted as the table
+    (not the scalar) so every row is independently integer-derived and
+    order-free — summing 10 doubles has an addition-order hazard the
+    table sidesteps, and the per-depth view is what a ranking-drift
+    dashboard plots anyway.
+
+    The p^(d−1) weights are computed ONCE driver-side and joined as a
+    depth-literal dimension (d ≤ depth rows): libm pow differs by ulps
+    across engines, so inlining identical doubles in engine and oracle
+    is what makes the 6dp rounding safe.
+
+    Shape: two rank windows, one (query_id, doc_id) inner join, a ≤
+    depth-row broadcast, one (query_id, d) hash agg. Million-query
+    sweeps run it unchanged.
+    """
+    spark = run_a.sparkSession
+    a = _ranked(run_a, depth).withColumnRenamed("rank", "pa")
+    b = _ranked(run_b, depth).withColumnRenamed("rank", "pb")
+    m = a.join(b, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("pa", "pb").alias("m")
+    )
+    weights = spark.createDataFrame(
+        [(d, (1.0 - p) * (p ** (d - 1))) for d in range(1, depth + 1)],
+        "d int, w double",
+    )
+    grid = (
+        run_a.select("query_id").union(run_b.select("query_id")).distinct()
+        .crossJoin(F.broadcast(weights))
+    )
+    ov = (
+        m.join(F.broadcast(weights.select("d")), F.col("m") <= F.col("d"))
+        .groupBy("query_id", "d")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        grid.join(ov, ["query_id", "d"], "left")
+        .select(
+            "query_id",
+            "d",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.col("w") * F.coalesce("overlap", F.lit(0)) / F.col("d"),
+                round_dp,
+            ).alias("contrib"),
+        )
+        .orderBy("query_id", "d")
+    )

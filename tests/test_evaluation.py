@@ -133,3 +133,59 @@ def test_paired_delta_zero_variance_and_identical_runs(spark):
     assert r["mean_delta"] == 0.1 and r["t_stat"] == 0.0
     [r2] = paired_delta(a, a).collect()
     assert r2["mean_delta"] == 0.0 and r2["t_stat"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# balanced interleaving and RBO
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_alternates_disjoint_lists(spark):
+    from search_engine_spark.operators.evaluation import interleave_balanced
+
+    a = _run(spark, [(0, 1, 3.0), (0, 2, 2.0), (0, 3, 1.0)])
+    b = _run(spark, [(0, 11, 3.0), (0, 12, 2.0), (0, 13, 1.0)])
+    out = interleave_balanced(a, b, k=3, k_out=6).collect()
+    assert [(r["doc_id"], r["team"]) for r in out] == [
+        (1, "A"), (11, "B"), (2, "A"), (12, "B"), (3, "A"), (13, "B")
+    ]
+
+
+def test_interleave_identical_lists_credits_a(spark):
+    from search_engine_spark.operators.evaluation import interleave_balanced
+
+    a = _run(spark, [(0, 1, 3.0), (0, 2, 2.0)])
+    out = interleave_balanced(a, a, k=2, k_out=10).collect()
+    assert [(r["doc_id"], r["ipos"], r["team"]) for r in out] == [
+        (1, 1, "A"), (2, 2, "A")
+    ]
+
+
+def test_interleave_union_prefix_property(spark):
+    from search_engine_spark.operators.evaluation import interleave_balanced
+
+    a = _run(spark, [(0, 1, 9.0), (0, 2, 8.0), (0, 3, 7.0), (0, 4, 6.0)])
+    b = _run(spark, [(0, 3, 9.0), (0, 1, 8.0), (0, 5, 7.0), (0, 6, 6.0)])
+    out = interleave_balanced(a, b, k=4, k_out=10).collect()
+    got = [r["doc_id"] for r in out]
+    # after the prefix absorbing rank-j of both lists, the set equals
+    # top-j(A) U top-j(B) for every j
+    ta, tb = [1, 2, 3, 4], [3, 1, 5, 6]
+    for j in range(1, 5):
+        expect = set(ta[:j]) | set(tb[:j])
+        assert set(got[: len(expect)]) == expect
+
+
+def test_rbo_identical_and_disjoint_runs(spark):
+    from search_engine_spark.operators.evaluation import rbo_depths
+
+    a = _run(spark, [(0, d, 10.0 - d) for d in range(1, 6)])
+    same = rbo_depths(a, a, depth=5, p=0.9).collect()
+    for r in same:
+        assert r["overlap"] == r["d"]
+        assert r["contrib"] == pytest.approx(
+            0.1 * 0.9 ** (r["d"] - 1), abs=1e-6
+        )
+    b = _run(spark, [(0, 100 + d, 10.0 - d) for d in range(1, 6)])
+    gone = rbo_depths(a, b, depth=5, p=0.9).collect()
+    assert all(r["overlap"] == 0 and r["contrib"] == 0.0 for r in gone)
