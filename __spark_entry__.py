@@ -1451,6 +1451,55 @@ FROM wts LEFT JOIN ov USING (d)
 ORDER BY d"""
 
 
+_CORRECTED_QUERY = ["sparkk", "merge"]
+
+
+def _next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import next_word_suggest
+
+    return next_word_suggest(_documents(spark, sf_dir), "spark", n=10)
+
+
+def _corrected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import corrected_search
+
+    return corrected_search(
+        _fuzzy_index(spark, sf_dir), _CORRECTED_QUERY, k=10, max_dist=2
+    )
+
+
+def _corrected_sql(k: int = 10, max_dist: int = 2) -> str:
+    """query.corrected_search: did_you_mean substitution replayed in
+    SQL, then plain BM25 over the corrected term set (unfixable terms
+    match no postings either way)."""
+    vals = ", ".join(f"('{t}')" for t in _CORRECTED_QUERY)
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(t) AS (VALUES {vals}),
+missing AS (SELECT t FROM q WHERE t NOT IN (SELECT term FROM vocab)),
+cand AS (SELECT m.t, v.term, v.df, levenshtein(m.t, v.term) AS dist
+         FROM missing m CROSS JOIN vocab v
+         WHERE levenshtein(m.t, v.term) <= {max_dist}),
+best AS (SELECT t, term FROM (SELECT *, row_number() OVER (PARTITION BY t
+         ORDER BY dist ASC, df DESC, term ASC) AS rn FROM cand)
+         WHERE rn = 1),
+fixed AS (SELECT t AS term FROM q WHERE t IN (SELECT term FROM vocab)
+          UNION SELECT term FROM best),
+matched AS (SELECT tf.* FROM tf JOIN fixed USING (term)),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT 0 AS query_id, doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 _AUTOCOMPLETE_TYPED = "spa"
 
 
@@ -1952,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_keyness": q(_source_keyness),
         "interleaved_ranking": q(_interleaved),
         "rbo_depths": q(_rbo),
+        "next_word_terms": q(_next_word),
+        "corrected_bm25_topk": q(_corrected_topk),
         "hll_registers": q(_hll_registers),
         "hll_estimate": q(_hll_estimate),
         "index_epoch_diff": q(_index_epoch_diff),
@@ -4386,6 +4437,17 @@ FROM top JOIN win USING (doc_id)""",
         "source_keyness": _keyness_sql(min_count=10, k=5),
         "interleaved_ranking": _interleave_sql(k_out=10),
         "rbo_depths": _rbo_sql(depth=10, p=0.9),
+        "next_word_terms": f"""
+WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+nx AS (SELECT t[i + 1] AS suggestion
+       FROM toks, unnest(range(1, len(t))) r(i)
+       WHERE len(t) >= 2 AND t[i] = 'spark')
+SELECT suggestion, CAST(count(*) AS BIGINT) AS n_follow
+FROM nx GROUP BY suggestion
+ORDER BY n_follow DESC, suggestion ASC
+LIMIT 10""",
+        "corrected_bm25_topk": _corrected_sql(k=10, max_dist=2),
         "hll_registers": _hll_sql(per_register=True),
         "hll_estimate": _hll_sql(per_register=False),
         "quantized_bm25_topk": f"""

@@ -419,6 +419,90 @@ def autocomplete(
     )
 
 
+def next_word_suggest(
+    documents: "DataFrame",
+    prev: str,
+    prefix: str = "",
+    n: int = 10,
+    tokenizer=None,
+) -> DataFrame:
+    """(suggestion, n_follow): "search as you type", word two — the
+    top continuations of `prev` by adjacent-bigram frequency in the
+    corpus, optionally restricted to a typed `prefix` of the next word
+    (the query-suggestion box every engine ships; the reference has
+    none). Ordered n_follow DESC, suggestion ASC.
+
+    Plan shape: the same scan-stage bigram transform as
+    collocations_llr with the `prev` equality folded INTO the lambda,
+    so only continuations of the one word leave the scan — the shuffle
+    carries at most |vocab| rows, and in practice a handful. A serving
+    deployment materializes the full bigram table once and turns this
+    into a pushed-filter point lookup (the write_index layout applies
+    verbatim with (a) as the sort key)."""
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    tok = tokenizer or ws_tokens
+    p = prev.replace("'", "\\'")
+    toks = documents.select(tok(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    nxt = toks.select(
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(0, size(t)-2),"
+                f" i -> CASE WHEN t[i] = '{p}' THEN t[i+1] END),"
+                f" x -> x IS NOT NULL)"
+            )
+        ).alias("suggestion")
+    )
+    if prefix:
+        nxt = nxt.filter(F.col("suggestion").startswith(prefix))
+    return (
+        nxt.groupBy("suggestion")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+        .orderBy(F.col("n_follow").desc(), F.col("suggestion").asc())
+        .limit(n)
+    )
+
+
+def corrected_search(
+    index: InvertedIndex,
+    query_terms: list[str],
+    k: int = 10,
+    max_dist: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score): BM25 with "did you mean" wired into
+    serving — query terms absent from the vocabulary are REPLACED by
+    their closest suggestion (did_you_mean's ≤ max_dist, higher-df,
+    lexicographic tie rule) before scoring; in-vocabulary terms pass
+    through; unfixable terms drop (OR semantics ignores them anyway).
+    The end-to-end behavior a user sees as "showing results for …".
+
+    The substitution is a ≤|q|-scalar driver barrier (the same class
+    as the RM3/fuzzy expansion collects); the corrected probe is the
+    plain dictionary-seek search plan. Scores rounded before the cut.
+    """
+    spark = index.postings.sparkSession
+    sugg = {
+        r["term"]: r["suggestion"]
+        for r in did_you_mean(index, query_terms, max_dist=max_dist).collect()
+    }
+    fixed = list(
+        dict.fromkeys(sugg.get(t, t) for t in query_terms)
+    )
+    qt = spark.createDataFrame(
+        [(0, t) for t in fixed], "query_id int, term string"
+    )
+    m = _matched(index, qt, terms=fixed)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp
+        ).alias("score")
+    )
+    return topk(scored, k)
+
+
 def score_lm_dirichlet(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -531,3 +531,49 @@ def test_suffix_terms_matches_endswith(spark, index, tmp_path):
         got = suffix_terms(spark, path, suffix).collect()
         assert [r["term"] for r in got] == want
         assert all(r["df"] == vocab[r["term"]] for r in got)
+
+
+def test_next_word_counts_and_prefix_gate(spark):
+    from search_engine_spark.operators.query import next_word_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "big data big deal big data"), (2, "data big dog")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["suggestion"]: r["n_follow"]
+        for r in next_word_suggest(docs, "big").collect()
+    }
+    assert out == {"data": 2, "deal": 1, "dog": 1}
+    pref = next_word_suggest(docs, "big", prefix="d").collect()
+    assert {r["suggestion"] for r in pref} == {"data", "deal", "dog"}
+    only_de = next_word_suggest(docs, "big", prefix="de").collect()
+    assert [r["suggestion"] for r in only_de] == ["deal"]
+
+
+def test_corrected_search_equals_search_on_fixed_query(spark, index):
+    from search_engine_spark.operators.query import (
+        corrected_search,
+        score_bm25,
+    )
+    from pyspark.sql import functions as F
+
+    # misspelled 'sparkk' must retrieve exactly what 'spark' retrieves
+    got = corrected_search(index, ["sparkk"], k=10).collect()
+    qt = spark.createDataFrame([(0, "spark")], "query_id int, term string")
+    want = (
+        score_bm25(index, qt, k=10, terms=["spark"])
+        .withColumn("score", F.round("score", 6))
+        .collect()
+    )
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_corrected_search_passes_known_terms_through(spark, index):
+    from search_engine_spark.operators.query import corrected_search
+
+    # an unfixable garbage term contributes nothing; known term works
+    got = corrected_search(index, ["spark", "qqqqqqqqqqqq"], k=5).collect()
+    assert got and all(r["score"] > 0 for r in got)
