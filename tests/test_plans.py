@@ -407,3 +407,30 @@ def test_quantized_probe_is_pruned_integer_scan(spark, tmp_path):
         quantize_impacts(idx, bits=8), spark, ["spark", "merge"], k=10
     )
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_autocomplete_prefix_side_pushes_startswith(spark, stored_index):
+    """autocomplete's prefix candidates must reach the persisted term
+    dictionary as a pushed StringStartsWith (a range probe of the
+    sorted dictionary), and the whole suggest plan must stay free of
+    Python UDFs."""
+    from search_engine_spark.operators.query import autocomplete
+
+    _, idx = stored_index
+    plan = _plan(autocomplete(idx, "sp", n=10))
+    assert "PushedFilters" in plan
+    assert "StringStartsWith" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_corrected_probe_is_dictionary_seek(spark, stored_index):
+    """corrected_search's probe (after the driver-side substitution)
+    must push the corrected term set into the postings scan as an In
+    filter - the same dictionary-seek shape as plain search."""
+    from search_engine_spark.operators.query import corrected_search
+
+    _, idx = stored_index
+    plan = _plan(corrected_search(idx, ["the", "and"], k=10))
+    assert "PushedFilters" in plan
+    assert "In(term" in plan, plan[:3000]
