@@ -1830,6 +1830,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 None, ["table", "hash"], k=10, pos_index=_pos_index(s, d)
             )
         ),
+        "gap_phrase_topk": q(
+            lambda s, d: ph.gap_phrase_search(
+                None, ["merge", None, "batch"], k=10, pos_index=_pos_index(s, d)
+            )
+        ),
         "engine_bm25_search": _engine_bm25,
         # dedup family
         "exact_dedup": q(lambda s, d: dedup.exact_dedup(_documents(s, d))),
@@ -4209,6 +4214,16 @@ WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 m AS (SELECT doc_id,
       CAST(len(list_filter(generate_series(1, len(l) - 1),
                 i -> l[i] = 'table' AND l[i + 1] = 'hash')) AS BIGINT)
+        AS n_occurrences
+      FROM s)
+SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
+ORDER BY n_occurrences DESC, doc_id ASC
+LIMIT 10""",
+        "gap_phrase_topk": """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+m AS (SELECT doc_id,
+      CAST(len(list_filter(generate_series(1, len(l) - 2),
+                i -> l[i] = 'merge' AND l[i + 2] = 'batch')) AS BIGINT)
         AS n_occurrences
       FROM s)
 SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0

@@ -131,6 +131,111 @@ def phrase_search(
     )
 
 
+def gap_phrase_match(
+    pos_index: DataFrame,
+    slots: list[str | None],
+    doc_lengths: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_occurrences) for the WILDCARD-SLOT phrase — slots
+    like ["big", None, "data"] match "big <anyword> data" (Lucene's
+    "big ? data"; each None is exactly one arbitrary token). Tokens
+    are contiguous, so a None slot needs no positional check at all:
+    the match is pinned entirely by the non-None slots' offsets, and
+    the cost equals a plain phrase over just those terms — a gap
+    CHEAPENS the probe (one fewer posting list read + intersect).
+
+    Same plan as phrase_match: per-term pushed-filter probes of the
+    materialized positional index, array_intersect folds per doc,
+    nothing corpus-sized moves. Start positions clamp at 0 so a
+    leading None cannot match before the document begins.
+    """
+    fixed = [(i, t) for i, t in enumerate(slots) if t is not None]
+    if not fixed:
+        raise ValueError("gap phrase needs at least one concrete term")
+    i0, t0 = fixed[0]
+    cur = pos_index.filter(F.col("term") == t0).select(
+        "doc_id",
+        F.filter(
+            F.transform(F.col("positions"), lambda p: p - F.lit(i0)),
+            lambda s: s >= 0,
+        ).alias("starts"),
+    ).filter(F.size("starts") > 0)
+    for i, t in fixed[1:]:
+        nxt = pos_index.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("p")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform(F.col("starts"), lambda s: s + F.lit(i)),
+                    F.col("p"),
+                ).alias("shifted"),
+            )
+            .select(
+                "doc_id",
+                F.transform(
+                    F.col("shifted"), lambda s: s - F.lit(i)
+                ).alias("starts"),
+            )
+            .filter(F.size("starts") > 0)
+        )
+    # a trailing None requires the doc to extend past the last fixed
+    # slot — the ONE gap shape that needs doc length. Pass
+    # `doc_lengths` (doc_id, dl — the TF index's doc_stats has it) to
+    # keep this a broadcast-join check; without it we fall back to a
+    # full pos_index aggregate, correct but corpus-sized — fine ad-hoc,
+    # not a serving path.
+    trail = len(slots) - 1 - fixed[-1][0]
+    if trail > 0:
+        if doc_lengths is not None:
+            dl = doc_lengths.select(
+                "doc_id", (F.col("dl") - 1).alias("last_pos")
+            )
+        else:
+            dl = pos_index.groupBy("doc_id").agg(
+                (F.max(F.expr("positions[size(positions)-1]"))).alias(
+                    "last_pos"
+                )
+            )
+        cur = (
+            cur.join(dl, "doc_id")
+            .select(
+                "doc_id",
+                F.filter(
+                    F.col("starts"),
+                    lambda s: s + F.lit(len(slots) - 1) <= F.col("last_pos"),
+                ).alias("starts"),
+            )
+            .filter(F.size("starts") > 0)
+        )
+    return cur.select(
+        "doc_id", F.size("starts").cast("long").alias("n_occurrences")
+    )
+
+
+def gap_phrase_search(
+    docs: DataFrame | None,
+    slots: list[str | None],
+    tokenizer=None,
+    k: int = 10,
+    pos_index: DataFrame | None = None,
+    doc_lengths: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k docs by wildcard-slot phrase occurrences (ties doc_id ASC);
+    same serve-from-materialized-index contract as phrase_search."""
+    if pos_index is None:
+        if docs is None or tokenizer is None:
+            raise ValueError("need docs+tokenizer or a pos_index")
+        pos_index = positional_postings(docs, tokenizer)
+    return (
+        gap_phrase_match(pos_index, slots, doc_lengths=doc_lengths)
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def conjunctive_filter(
     scored_with_counts: DataFrame, n_terms_required: Column | int
 ) -> DataFrame:

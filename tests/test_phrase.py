@@ -233,3 +233,82 @@ def test_passage_snippets_slice_exact_tokens(spark):
     assert r["passage_start"] == 32
     assert r["snippet"] == " ".join(f"w{i}" for i in range(32, 40)) + " a b"
     assert r["n_terms"] == 2 and r["n_matches"] == 2
+
+
+# ---------------------------------------------------------------------------
+# wildcard-slot (gap) phrases
+# ---------------------------------------------------------------------------
+
+
+def test_gap_phrase_matches_any_middle_token(spark):
+    from search_engine_spark.operators.phrase import gap_phrase_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big fat data here"),
+            (2, "big slow data there"),
+            (3, "big data direct"),
+            (4, "data big gap big x data"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in gap_phrase_search(
+            docs, ["big", None, "data"], tokenizer=ws_tokens
+        ).collect()
+    }
+    # docs 1, 2 match with different middle tokens; doc 3 has no gap
+    # token; doc 4 matches once via "big x data"
+    assert out == {1: 1, 2: 1, 4: 1}
+
+
+def test_gap_phrase_leading_gap_respects_doc_start(spark):
+    from search_engine_spark.operators.phrase import gap_phrase_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "data first"), (2, "pre data second")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in gap_phrase_search(
+            docs, [None, "data"], tokenizer=ws_tokens
+        ).collect()
+    }
+    # doc 1 starts with 'data': no token can fill the leading gap
+    assert out == {2: 1}
+
+
+def test_gap_phrase_trailing_gap_respects_doc_end(spark):
+    from search_engine_spark.operators.phrase import (
+        gap_phrase_search,
+        positional_postings,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "ends with data"), (2, "has data after")],
+        "doc_id long, text string",
+    )
+    # without doc_lengths: pos_index fallback path
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in gap_phrase_search(
+            docs, ["data", None], tokenizer=ws_tokens
+        ).collect()
+    }
+    assert out == {2: 1}  # doc 1's 'data' is the last token
+    # with doc_lengths: broadcast-join path, same answer
+    dl = spark.createDataFrame([(1, 3), (2, 3)], "doc_id long, dl int")
+    out2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in gap_phrase_search(
+            None, ["data", None],
+            pos_index=positional_postings(docs, ws_tokens),
+            doc_lengths=dl,
+        ).collect()
+    }
+    assert out2 == out
