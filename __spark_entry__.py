@@ -1304,6 +1304,30 @@ def _cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_build(_documents(spark, sf_dir), depth=4, width=256)
 
 
+def _cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability as the externally-gated claim: the engine merges
+    grids built independently over the src0-9 and src10-19 halves; the
+    oracle computes the grid of the WHOLE corpus directly. Equality is
+    the sketch-algebra identity a streaming/epoch pipeline relies on."""
+    from search_engine_spark.operators.sketch import cms_build, cms_merge
+
+    a, b = _div_sides(spark, sf_dir)
+    return cms_merge(
+        cms_build(a, depth=4, width=256), cms_build(b, depth=4, width=256)
+    )
+
+
+def _hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.sketch import hll_merge, hll_registers
+    from search_engine_spark.operators.text_analytics import tokens_df
+
+    a, b = _div_sides(spark, sf_dir)
+    return hll_merge(
+        hll_registers(tokens_df(a), "term", b=8),
+        hll_registers(tokens_df(b), "term", b=8),
+    )
+
+
 def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.sketch import cms_build, cms_estimate
 
@@ -2002,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q(_cms_counters),
         "cms_heavy_hitters": q(_cms_heavy_hitters),
         "bloom_membership": q(_bloom_membership),
+        "cms_merged": q(_cms_merged),
+        "hll_merged": q(_hll_merged),
         "autocomplete_terms": q(_autocomplete),
         "source_keyness": q(_source_keyness),
         "interleaved_ranking": q(_interleaved),
@@ -4448,6 +4474,11 @@ FROM top JOIN win USING (doc_id)""",
         "cms_counters": _cms_sql(per_grid=True),
         "cms_heavy_hitters": _cms_sql(per_grid=False),
         "bloom_membership": _bloom_sql(m=1 << 16, k=4),
+        # the merged-sketch oracles compute the FULL-corpus sketch
+        # directly — equality with the engine's merge of per-slice
+        # sketches is the mergeability identity itself
+        "cms_merged": _cms_sql(per_grid=True),
+        "hll_merged": _hll_sql(per_register=True),
         "autocomplete_terms": _autocomplete_sql(n=10, max_dist=2),
         "source_keyness": _keyness_sql(min_count=10, k=5),
         "interleaved_ranking": _interleave_sql(k_out=10),

@@ -31,10 +31,12 @@ from search_engine_spark.operators.hashing import h64, h64_py
 __all__ = [
     "cms_build",
     "cms_estimate",
+    "cms_merge",
     "bloom_build",
     "bloom_probe",
     "hll_registers",
     "hll_estimate",
+    "hll_merge",
 ]
 
 
@@ -64,6 +66,31 @@ def cms_build(
     return stacked.groupBy("j", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def cms_merge(*grids: DataFrame) -> DataFrame:
+    """Union CMS grids built over disjoint corpus slices into the grid
+    of the union corpus — counters ADD. Mergeability is the whole scale
+    story of a sketch: per-partition / per-epoch / per-datacenter grids
+    combine with a sketch-sized union + sum, never a corpus reread —
+    the same contract as a streaming state update (new epoch's grid +=
+    delta grid). Identity (tested + oracle-gated): merge of slice grids
+    == grid built over the whole corpus."""
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Union HLL register sets into the registers of the union corpus —
+    registers take the MAX per bucket. Same mergeability contract as
+    cms_merge (this is why HLL powers every distributed distinct-count:
+    partial registers from anywhere, one tiny max-union at the end)."""
+    out = register_sets[0]
+    for r in register_sets[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
 
 
 def bloom_build(

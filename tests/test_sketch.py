@@ -103,3 +103,43 @@ def test_hll_small_range_uses_linear_counting(spark):
     r = hll_estimate(df, "v", b=8).first()
     assert r["n_registers"] <= 20
     assert abs(r["estimate"] - 20) < 3  # linear counting is near-exact here
+
+
+def test_sketch_merge_identities(spark):
+    from search_engine_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = _docs(spark, [(1, "x y z z"), (2, "p q")])
+    b = _docs(spark, [(3, "x q r r r")])
+    both = _docs(
+        spark, [(1, "x y z z"), (2, "p q"), (3, "x q r r r")]
+    )
+    merged = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            cms_build(a, depth=3, width=32), cms_build(b, depth=3, width=32)
+        ).collect()
+    }
+    direct = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_build(both, depth=3, width=32).collect()
+    }
+    assert merged == direct
+    hm = {
+        r["bucket"]: r["rho"]
+        for r in hll_merge(
+            hll_registers(a.selectExpr("explode(split(text, ' ')) AS v"), "v"),
+            hll_registers(b.selectExpr("explode(split(text, ' ')) AS v"), "v"),
+        ).collect()
+    }
+    hd = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(
+            both.selectExpr("explode(split(text, ' ')) AS v"), "v"
+        ).collect()
+    }
+    assert hm == hd
