@@ -1802,7 +1802,7 @@ def _js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the dict): list them first so the external CORRECTNESS gate covers
 # the newest work. Internal-only ordering hint — every entry is also
 # locally hash-gated against DuckDB by tests/test_entry_oracle.py.
-_DRIVER_PRIORITY = ['wildcard_terms', 'wildcard_topk', 'rank_eval', 'rank_eval_summary', 'ann_recall_champion', 'paired_ndcg_delta', 'percolate_and', 'percolate_or', 'ltr_weights', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'cached_bm25_topk', 'boolean_topk', 'stemmed_df', 'stemmed_bm25_topk', 'zipf_fit', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pq_adc_topk', 'lsh_cosine_topk_batch', 'bm25_prox_topk', 'facet_counts', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'bpe_segments', 'bpe_token_counts', 'distill_gate_weights', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'index_delete_docs', 'ltr_scores', 'distill_gate_scores', 'dsir_selected', 'dsir_sampled', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'prefix_terms', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'kmeans_clusters', 'pq_codes']
+_DRIVER_PRIORITY = ['wildcard_topk', 'rank_eval_summary', 'ann_recall_champion', 'paired_ndcg_delta', 'percolate_and', 'ltr_topk', 'qpp_predictors', 'corpus_splits', 'dedup_representatives', 'collapse_hosts_topk', 'related_items', 'suffix_terms', 'personalized_pagerank', 'percolate_stream_and', 'cached_bm25_topk', 'boolean_topk', 'stemmed_bm25_topk', 'zipf_fit', 'funnel_counts', 'cohort_retention', 'asof_join', 'range_join', 'did_you_mean', 'vocab_prune', 'term_pmi', 'pq_adc_topk', 'lsh_cosine_topk_batch', 'bm25_prox_topk', 'facet_counts', 'pagerank', 'hits', 'link_components', 'anchor_tf', 'bm25_pagerank_topk', 'lm_dirichlet_topk', 'bm25f_topk', 'block_bm25f_topk', 'block_lm_topk', 'bpe_merges', 'distill_gate_weights', 'bigram_logprob', 'perplexity_gate', 'dsir_weights', 'index_delete_docs', 'fuzzy_bm25_topk', 'search_after_topk', 'quantized_bm25_topk', 'cms_heavy_hitters', 'hll_estimate', 'bloom_membership', 'wildcard_terms', 'rank_eval', 'percolate_or', 'ltr_weights', 'stemmed_df', 'bpe_segments', 'bpe_token_counts', 'ltr_scores', 'distill_gate_scores', 'dsir_selected', 'dsir_sampled', 'textrank_keywords', 'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk', 'rrf_hybrid_topk', 'more_like_this_topk', 'semdedup', 'cluster_sample', 'centroid_classify', 'normalized_dedup', 'vocab_growth', 'df_histogram', 'rm3_terms', 'rm3_topk', 'mmr_topk', 'prefix_terms', 'best_passage_topk', 'passage_snippets', 'block_bm25_prior', 'cosine_topk', 'ivf_cosine_topk', 'lsh_cosine_topk', 'ivf_cosine_topk_batch', 'kmeans_clusters', 'pq_codes']
 
 
 def _prioritize(d):
