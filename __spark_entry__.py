@@ -1328,6 +1328,40 @@ def _hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_stream_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance gate-checked against the batch
+    grid oracle: two /tmp-staged document drops drain through the
+    exactly-once epoch machinery (cached per sf_dir; repeat gate calls
+    are no-op drains) and the folded delta grids must equal the
+    full-corpus cms_build — the sketch-monoid identity, externally
+    verified through the streaming path."""
+    import hashlib
+    import os
+
+    from search_engine_spark.streaming.sketches import cms_stream
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        stamp = sf_dir
+    tag = hashlib.md5(stamp.encode()).hexdigest()[:10]
+    base = f"/tmp/se_spark_cms/{tag}"
+    os.makedirs(base, exist_ok=True)
+    if not os.path.exists(f"{base}/_FED"):
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/drop0")
+        docs.filter(F.col("doc_id") % 2 != 0).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/drop1")
+        open(f"{base}/_FED", "w").close()
+    return cms_stream(
+        spark, f"{base}/in/drop*", f"{base}/state", depth=4, width=256
+    )
+
+
 def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.sketch import cms_build, cms_estimate
 
@@ -2027,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q(_cms_heavy_hitters),
         "bloom_membership": q(_bloom_membership),
         "cms_merged": q(_cms_merged),
+        "cms_stream_counters": q(_cms_stream_counters),
         "hll_merged": q(_hll_merged),
         "autocomplete_terms": q(_autocomplete),
         "source_keyness": q(_source_keyness),
@@ -4478,6 +4513,7 @@ FROM top JOIN win USING (doc_id)""",
         # directly — equality with the engine's merge of per-slice
         # sketches is the mergeability identity itself
         "cms_merged": _cms_sql(per_grid=True),
+        "cms_stream_counters": _cms_sql(per_grid=True),
         "hll_merged": _hll_sql(per_register=True),
         "autocomplete_terms": _autocomplete_sql(n=10, max_dist=2),
         "source_keyness": _keyness_sql(min_count=10, k=5),

@@ -143,3 +143,52 @@ def test_sketch_merge_identities(spark):
         ).collect()
     }
     assert hm == hd
+
+
+def test_cms_stream_incremental_two_drains(spark, tmp_path):
+    from search_engine_spark.operators.sketch import cms_build
+    from search_engine_spark.streaming.sketches import cms_stream, read_cms_state
+
+    base = str(tmp_path)
+    a = _docs(spark, [(1, "x y z z"), (2, "p q")])
+    b = _docs(spark, [(3, "x q r r r")])
+    a.write.parquet(f"{base}/in/drop0")
+    g1 = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_stream(
+            spark, f"{base}/in/drop*", f"{base}/state", depth=3, width=32
+        ).collect()
+    }
+    want1 = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_build(a, depth=3, width=32).collect()
+    }
+    assert g1 == want1
+    # second drop: only the delta is processed, state folds to a+b
+    b.write.parquet(f"{base}/in/drop1")
+    g2 = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_stream(
+            spark, f"{base}/in/drop*", f"{base}/state", depth=3, width=32
+        ).collect()
+    }
+    both = _docs(spark, [(1, "x y z z"), (2, "p q"), (3, "x q r r r")])
+    want2 = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_build(both, depth=3, width=32).collect()
+    }
+    assert g2 == want2
+    # read-only state access agrees without a drain
+    g3 = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in read_cms_state(spark, f"{base}/state").collect()
+    }
+    assert g3 == want2
+
+
+def test_cms_state_empty_before_first_drain(spark, tmp_path):
+    from search_engine_spark.streaming.sketches import read_cms_state
+
+    out = read_cms_state(spark, str(tmp_path / "nope"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["j", "bucket", "cnt"]
