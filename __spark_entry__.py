@@ -1633,6 +1633,55 @@ SELECT g AS source, term, CAST(ca AS BIGINT) AS n, llr
 FROM ranked WHERE rn <= {k}"""
 
 
+def _hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.sketch import hll_group_estimate
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(ws_tokens(F.col("text"))).alias("term")
+    )
+    return hll_group_estimate(tok, "source", "term", b=8)
+
+
+def _hll_group_sql(b: int = 8) -> str:
+    """sketch.hll_group_estimate per source: the same bit ops and
+    exact-integer sum, estimate branch as per-row column code."""
+    from search_engine_spark.operators.sketch import _hll_alpha
+
+    m = 1 << b
+    width = 60 - b
+    h = _h64_sql("term")
+    am = f"CAST({(_hll_alpha(m) * m) * m!r} AS DOUBLE)"
+    two53 = "CAST(9007199254740992.0 AS DOUBLE)"
+    return f"""
+WITH {_TOKENS},
+tok AS (SELECT DISTINCT d.source AS g, t.term FROM tokens t
+        JOIN documents d USING (doc_id) WHERE term <> ''),
+h2 AS (SELECT g, {h} AS h FROM tok),
+rr AS (SELECT g, h % {m} AS bucket,
+       CASE WHEN h // {m} > 0
+            THEN {width} - CAST(floor(log2(CAST(h // {m} AS DOUBLE)))
+                 AS BIGINT)
+            ELSE {width + 1} END AS rho
+       FROM h2),
+regs AS (SELECT g, bucket, max(rho) AS rho FROM rr GROUP BY g, bucket),
+agg AS (SELECT g, count(*) AS nreg,
+        sum((CAST(1 AS BIGINT) << CAST(53 - rho AS INT))) AS i
+        FROM regs GROUP BY g),
+s AS (SELECT g, CAST(nreg AS INT) AS n_registers, {m} - nreg AS zeros,
+      {am} * {two53}
+        / CAST((CAST(i AS BIGINT)
+                + ({m} - nreg) * CAST(9007199254740992 AS BIGINT))
+               AS DOUBLE) AS raw
+      FROM agg)
+SELECT g AS source, n_registers,
+       round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+             THEN {m} * ln(CAST({m} AS DOUBLE) / CAST(zeros AS DOUBLE))
+             ELSE raw END, 3) AS estimate
+FROM s"""
+
+
 def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.sketch import bloom_build, bloom_probe
     from search_engine_spark.operators.text_analytics import tokens_df
@@ -2071,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corrected_bm25_topk": q(_corrected_topk),
         "hll_registers": q(_hll_registers),
         "hll_estimate": q(_hll_estimate),
+        "hll_by_source": q(_hll_by_source),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4532,6 +4582,7 @@ LIMIT 10""",
         "corrected_bm25_topk": _corrected_sql(k=10, max_dist=2),
         "hll_registers": _hll_sql(per_register=True),
         "hll_estimate": _hll_sql(per_register=False),
+        "hll_by_source": _hll_group_sql(b=8),
         "quantized_bm25_topk": f"""
 WITH {_TOKENS}, {_TF},
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

@@ -226,6 +226,65 @@ def hll_estimate(
     )
 
 
+def hll_group_estimate(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    b: int = 8,
+    family: str = "portable",
+) -> DataFrame:
+    """(group, n_registers, estimate): approximate distinct counts PER
+    GROUP — the aggregation shape a 100 TB profile job actually runs
+    ("distinct terms per source", "distinct users per event type")
+    where an exact count-distinct shuffles every (group, value) pair.
+    Here the shuffle carries at most |groups|·2^b register rows, and
+    the whole estimate — including the Σ 2^(53−rho) exact-integer
+    trick and the linear-counting small-range branch — is per-row
+    COLUMN code over the per-group register relation, so there is no
+    driver involvement per group and the plan is two hash aggregates.
+
+    Spark's round() and DuckDB's are both HALF_UP on doubles, so the
+    3dp estimates replay exactly (hll_estimate's driver-side twin uses
+    numerics.round_half_up for the same reason)."""
+    m = 1 << b
+    h = h64(F.col(col).cast("string"), family)
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    rest = F.shiftright(h, b)
+    width = 60 - b
+    rho = F.when(
+        rest > 0,
+        F.lit(width) - F.floor(F.log2(rest.cast("double"))).cast("long"),
+    ).otherwise(F.lit(width + 1))
+    regs = (
+        df.select(F.col(group_col).alias("g"), bucket.alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("nreg"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))")
+        ).alias("i"),
+    )
+    alpha = _hll_alpha(m)
+    two53 = float(1 << 53)
+    zeros = F.lit(m) - F.col("nreg")
+    i_total = F.col("i") + zeros * F.lit(1 << 53)
+    raw = (
+        F.lit((alpha * m) * m) * F.lit(two53) / i_total.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("nreg").cast("int").alias("n_registers"),
+        F.round(est, 3).alias("estimate"),
+    )
+
+
 def cms_estimate(
     cms: DataFrame,
     terms: list[str],

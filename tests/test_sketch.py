@@ -192,3 +192,27 @@ def test_cms_state_empty_before_first_drain(spark, tmp_path):
     out = read_cms_state(spark, str(tmp_path / "nope"))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["j", "bucket", "cnt"]
+
+
+def test_hll_group_estimates_match_per_group_singles(spark):
+    from search_engine_spark.operators.sketch import (
+        hll_estimate,
+        hll_group_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", f"x{i % 40}") for i in range(200)]
+        + [("b", f"y{i % 7}") for i in range(100)],
+        "g string, v string",
+    )
+    grouped = {
+        r["g"]: (r["n_registers"], r["estimate"])
+        for r in hll_group_estimate(df, "g", "v", b=8).collect()
+    }
+    for g in ("a", "b"):
+        single = hll_estimate(df.filter(F.col("g") == g), "v", b=8).first()
+        assert grouped[g] == (single["n_registers"], single["estimate"]), g
+    # linear-counting regime here: estimates near-exact
+    assert abs(grouped["a"][1] - 40) < 5
+    assert abs(grouped["b"][1] - 7) < 2
