@@ -1682,6 +1682,20 @@ SELECT g AS source, n_registers,
 FROM s"""
 
 
+_TERMVEC_DOCS = [1, 2, 3]
+
+
+def _termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.forward import termvectors
+
+    index = _fuzzy_index(spark, sf_dir)
+    return termvectors(
+        index.postings.select("doc_id", "term", "tf"),
+        index.term_stats.select("term", "df", "idf"),
+        _TERMVEC_DOCS,
+    )
+
+
 def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.sketch import bloom_build, bloom_probe
     from search_engine_spark.operators.text_analytics import tokens_df
@@ -2121,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q(_hll_registers),
         "hll_estimate": q(_hll_estimate),
         "hll_by_source": q(_hll_by_source),
+        "termvectors": q(_termvectors),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4583,6 +4598,15 @@ LIMIT 10""",
         "hll_registers": _hll_sql(per_register=True),
         "hll_estimate": _hll_sql(per_register=False),
         "hll_by_source": _hll_group_sql(b=8),
+        "termvectors": f"""
+WITH {_TOKENS}, {_TF},
+n AS (SELECT count(*) AS n FROM documents),
+dfm AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+       CAST(d.df AS BIGINT) AS df,
+       round(log10(CAST(n.n AS DOUBLE) / d.df), 6) AS idf
+FROM tf t JOIN dfm d USING (term), n
+WHERE t.doc_id IN ({", ".join(str(d) for d in _TERMVEC_DOCS)})""",
         "quantized_bm25_topk": f"""
 WITH {_TOKENS}, {_TF},
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

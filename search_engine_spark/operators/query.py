@@ -946,7 +946,9 @@ def rm3_expand(
     come from a doc_id-isin-PRUNED scan of the docs relation (the
     predicate reaches the parquet scan; 10 docs re-tokenized, not the
     corpus — the postings relation is term-partitioned, so probing it
-    by doc_id would scan every posting list instead). No stop-word
+    by doc_id would scan every posting list instead; when a
+    doc-partitioned forward index is materialized, operators/forward.py
+    serves the same read as a pruned probe with no re-tokenize). No stop-word
     gate is applied beyond the index's own: the corpus tables here are
     pre-filtered tokens, and idf inside the pass-2 scorer already
     crushes high-df expansion terms.

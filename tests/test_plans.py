@@ -434,3 +434,39 @@ def test_corrected_probe_is_dictionary_seek(spark, stored_index):
     plan = _plan(corrected_search(idx, ["the", "and"], k=10))
     assert "PushedFilters" in plan
     assert "In(term" in plan, plan[:3000]
+
+
+def test_forward_index_probe_prunes_on_doc_id(spark, tmp_path):
+    """The doc-partitioned forward layout must serve doc_id point
+    lookups as a pushed-filter scan (the orientation the term layout
+    cannot prune), and the probe side must broadcast into the
+    vocabulary join - the big term dimension never shuffles."""
+    from search_engine_spark.operators.forward import (
+        read_forward_index,
+        termvectors,
+        write_forward_index,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = build_index(docs, tokenizer=ws_tokens)
+    path = str(tmp_path / "fwd")
+    write_forward_index(idx, path)
+    fwd = read_forward_index(spark, path)
+
+    out = termvectors(fwd["docterms"], fwd["term_dim"], [1, 2, 3])
+    plan = _plan(out)
+    assert "PushedFilters" in plan
+    assert "In(doc_id" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+    # round-trip: persisted probe equals live-index probe
+    live = termvectors(
+        idx.postings.select("doc_id", "term", "tf"),
+        idx.term_stats.select("term", "df", "idf"),
+        [1, 2, 3],
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, live.collect())
+    )
