@@ -1682,6 +1682,15 @@ SELECT g AS source, n_registers,
 FROM s"""
 
 
+def _tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import tombstone_search
+
+    index = _fuzzy_index(spark, sf_dir)
+    docs = _documents(spark, sf_dir)
+    gone = docs.select("doc_id").filter(F.col("doc_id") % 7 == 0)
+    return tombstone_search(index, gone, QUERY_TERMS, k=10)
+
+
 _TERMVEC_DOCS = [1, 2, 3]
 
 
@@ -2136,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate": q(_hll_estimate),
         "hll_by_source": q(_hll_by_source),
         "termvectors": q(_termvectors),
+        "tombstone_bm25_topk": q(_tombstone_topk),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4607,6 +4617,24 @@ SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
        round(log10(CAST(n.n AS DOUBLE) / d.df), 6) AS idf
 FROM tf t JOIN dfm d USING (term), n
 WHERE t.doc_id IN ({", ".join(str(d) for d in _TERMVEC_DOCS)})""",
+        # STALE-stats delete semantics by design: df/N/avgdl computed
+        # over the FULL corpus, deleted docs excluded only from results
+        "tombstone_bm25_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+scored AS (SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id)
+SELECT 0 AS query_id, doc_id, score
+FROM scored WHERE doc_id % 7 != 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
         "quantized_bm25_topk": f"""
 WITH {_TOKENS}, {_TF},
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

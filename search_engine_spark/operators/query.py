@@ -419,6 +419,45 @@ def autocomplete(
     )
 
 
+def tombstone_search(
+    index: InvertedIndex,
+    deleted_ids: "DataFrame",
+    query_terms: list[str],
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score): BM25 serving with DELETES as a
+    tombstone overlay — deleted docs are excluded from results while
+    the index's global statistics (df, N, avgdl) stay STALE until the
+    next rebuild. This is deliberately the Lucene/Elasticsearch delete
+    semantics: a delete must take effect in results immediately, but
+    recomputing corpus statistics per delete would rebuild the index
+    (that full-recompute path exists as index_build.delete_docs; run
+    it at merge/compaction cadence, serve tombstones in between).
+
+    The tombstone anti-join applies AFTER the per-doc aggregate and is
+    broadcast (a deletion list is ≪ corpus between rebuilds), so the
+    plan is the plain dictionary-seek search plus one map-side
+    anti-join — deletes cost nothing at scan time. Top-k is cut after
+    exclusion, so a page stays full while any matches remain.
+    """
+    spark = index.postings.sparkSession
+    qset = list(dict.fromkeys(query_terms))
+    qt = spark.createDataFrame(
+        [(0, t) for t in qset], "query_id int, term string"
+    )
+    m = _matched(index, qt, terms=qset)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp
+        ).alias("score")
+    )
+    alive = scored.join(
+        F.broadcast(deleted_ids.select("doc_id")), "doc_id", "left_anti"
+    )
+    return topk(alive, k)
+
+
 def next_word_suggest(
     documents: "DataFrame",
     prev: str,

@@ -127,3 +127,38 @@ def test_highlight_window_clamps_at_doc_start(spark):
     r = highlight_snippet(docs, ["hit"], width=4, lead=5).first()
     assert r["first_pos"] == 0
     assert r["snippet"] == "<b>hit</b> a b c"
+
+
+# ---------------------------------------------------------------------------
+# tombstone serving (deletes between rebuilds)
+# ---------------------------------------------------------------------------
+
+
+def test_tombstones_exclude_docs_but_keep_stale_stats(spark, sf_index):
+    from search_engine_spark.operators.query import (
+        score_bm25,
+        tombstone_search,
+    )
+    from pyspark.sql import functions as F
+
+    terms = ["spark", "merge", "batch"]
+    qt = spark.createDataFrame(
+        [(0, t) for t in terms], "query_id int, term string"
+    )
+    base = (
+        score_bm25(sf_index, qt, k=1_000_000, terms=terms)
+        .withColumn("score", F.round("score", 6))
+        .collect()
+    )
+    victims = {base[0]["doc_id"], base[2]["doc_id"]}
+    gone = spark.createDataFrame([(d,) for d in victims], "doc_id long")
+    served = tombstone_search(sf_index, gone, terms, k=10).collect()
+    ids = [r["doc_id"] for r in served]
+    assert victims.isdisjoint(ids)
+    # stale-stats contract: surviving docs keep their ORIGINAL scores
+    # and order, and the page refills to k from below the cut
+    expect = [
+        (r["doc_id"], r["score"]) for r in base if r["doc_id"] not in victims
+    ][:10]
+    assert [(r["doc_id"], r["score"]) for r in served] == expect
+    assert len(served) == 10
