@@ -1682,6 +1682,18 @@ SELECT g AS source, n_registers,
 FROM s"""
 
 
+def _sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter-gather serving gate-checked against the PLAIN BM25
+    oracle: per-shard top-k merge must equal the global top-k under
+    global statistics — the distributed-fan-out exactness identity,
+    externally verified."""
+    from search_engine_spark.operators.query import sharded_search
+
+    return sharded_search(
+        _fuzzy_index(spark, sf_dir), QUERY_TERMS, n_shards=4, k=10
+    )
+
+
 def _tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.query import tombstone_search
 
@@ -2146,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_source": q(_hll_by_source),
         "termvectors": q(_termvectors),
         "tombstone_bm25_topk": q(_tombstone_topk),
+        "sharded_bm25_topk": q(_sharded_topk),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4619,6 +4632,22 @@ FROM tf t JOIN dfm d USING (term), n
 WHERE t.doc_id IN ({", ".join(str(d) for d in _TERMVEC_DOCS)})""",
         # STALE-stats delete semantics by design: df/N/avgdl computed
         # over the FULL corpus, deleted docs excluded only from results
+        # the ORACLE is plain global BM25 — equality IS the
+        # scatter-gather exactness identity
+        "sharded_bm25_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT 0 AS query_id, doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
         "tombstone_bm25_topk": f"""
 WITH {_TOKENS}, {_TF},
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

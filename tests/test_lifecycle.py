@@ -162,3 +162,31 @@ def test_tombstones_exclude_docs_but_keep_stale_stats(spark, sf_index):
     ][:10]
     assert [(r["doc_id"], r["score"]) for r in served] == expect
     assert len(served) == 10
+
+
+# ---------------------------------------------------------------------------
+# scatter-gather sharded serving
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_equals_global_for_any_shard_count(spark, sf_index):
+    from search_engine_spark.operators.query import (
+        score_bm25,
+        sharded_search,
+    )
+    from pyspark.sql import functions as F
+
+    terms = ["spark", "merge", "batch"]
+    qt = spark.createDataFrame(
+        [(0, t) for t in terms], "query_id int, term string"
+    )
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in score_bm25(sf_index, qt, k=10, terms=terms).collect()
+    ]
+    for n in (1, 3, 16):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in sharded_search(sf_index, terms, n_shards=n, k=10).collect()
+        ]
+        assert got == want, n
