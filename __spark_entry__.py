@@ -1682,6 +1682,17 @@ SELECT g AS source, n_registers,
 FROM s"""
 
 
+_QUANTS = [0.5, 0.9, 0.99]
+
+
+def _doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.sketch import histogram_quantiles
+
+    return histogram_quantiles(
+        _documents(spark, sf_dir), "n_chars", _QUANTS, bucket_width=64
+    )
+
+
 def _sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scatter-gather serving gate-checked against the PLAIN BM25
     oracle: per-shard top-k merge must equal the global top-k under
@@ -2159,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "termvectors": q(_termvectors),
         "tombstone_bm25_topk": q(_tombstone_topk),
         "sharded_bm25_topk": q(_sharded_topk),
+        "doclen_quantiles": q(_doclen_quantiles),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4632,6 +4644,19 @@ FROM tf t JOIN dfm d USING (term), n
 WHERE t.doc_id IN ({", ".join(str(d) for d in _TERMVEC_DOCS)})""",
         # STALE-stats delete semantics by design: df/N/avgdl computed
         # over the FULL corpus, deleted docs excluded only from results
+        "doclen_quantiles": f"""
+WITH hist AS (SELECT CAST(n_chars // 64 AS BIGINT) AS b, count(*) AS cnt
+              FROM documents GROUP BY 1),
+cum AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b
+        ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+c2 AS (SELECT *, cum - cnt AS cum_before FROM cum),
+nn AS (SELECT max(cum) AS n FROM c2),
+qd(q) AS (VALUES {", ".join(f"(CAST({q!r} AS DOUBLE))" for q in _QUANTS)})
+SELECT q, round(b * 64 + 64 * (q * nn.n - cum_before) / cnt, 6) AS estimate,
+       CAST(b * 64 AS BIGINT) AS bucket_lo,
+       CAST((b + 1) * 64 AS BIGINT) AS bucket_hi
+FROM c2, nn JOIN qd ON cum >= q * nn.n AND cum_before < q * nn.n
+ORDER BY q""",
         # the ORACLE is plain global BM25 — equality IS the
         # scatter-gather exactness identity
         "sharded_bm25_topk": f"""

@@ -285,6 +285,67 @@ def hll_group_estimate(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    bucket_width: int = 16,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(q, estimate, bucket_lo, bucket_hi): quantiles of a numeric
+    column via a fixed-width histogram — the sketch-path answer to
+    "p99 doc length over 10^12 docs", where an exact quantile needs a
+    full sort and approx_percentile's internal sketch is not
+    replayable outside the JVM. The histogram (value // width counts)
+    is sketch-sized state with map-side combine; the estimate is the
+    standard interpolated form: inside the first bucket whose
+    cumulative count reaches q·N, position linearly by
+    (q·N − cum_before)/bucket_count. Every input is an integer count,
+    the interpolation is one fixed-order double expression, so the
+    3-way (engine, oracle, by-hand) replay is exact at `round_dp`.
+
+    Shape: one hash agg to ≤ range/width buckets, one cumulative
+    window over that sketch-sized relation, one broadcast join of the
+    |qs|-row quantile dimension. Nothing corpus-sized after the scan.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    hist = (
+        df.select((F.col(col) / bucket_width).cast("long").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    total = cum.agg(F.max("cum").alias("n"))
+    qdf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in qs], "q double")
+    )
+    j = (
+        cum.crossJoin(F.broadcast(total))
+        .join(
+            qdf,
+            (F.col("cum") >= F.col("q") * F.col("n"))
+            & (F.col("cum_before") < F.col("q") * F.col("n")),
+        )
+    )
+    est = (
+        F.col("b") * bucket_width
+        + bucket_width
+        * (F.col("q") * F.col("n") - F.col("cum_before"))
+        / F.col("cnt")
+    )
+    return j.select(
+        "q",
+        F.round(est, round_dp).alias("estimate"),
+        (F.col("b") * bucket_width).cast("long").alias("bucket_lo"),
+        ((F.col("b") + 1) * bucket_width).cast("long").alias("bucket_hi"),
+    ).orderBy("q")
+
+
 def cms_estimate(
     cms: DataFrame,
     terms: list[str],

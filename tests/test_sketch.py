@@ -216,3 +216,34 @@ def test_hll_group_estimates_match_per_group_singles(spark):
     # linear-counting regime here: estimates near-exact
     assert abs(grouped["a"][1] - 40) < 5
     assert abs(grouped["b"][1] - 7) < 2
+
+
+def test_histogram_quantiles_interpolate_correctly(spark):
+    from search_engine_spark.operators.sketch import histogram_quantiles
+
+    # 100 values 0..99, width 10: exact quantile of the uniform grid
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    out = {
+        r["q"]: r for r in histogram_quantiles(
+            df, "v", [0.5, 0.95], bucket_width=10
+        ).collect()
+    }
+    # q=0.5: cum reaches 50 in bucket 4 (values 40..49, cum_before 40):
+    # est = 40 + 10*(50-40)/10 = 50
+    assert out[0.5]["estimate"] == 50.0
+    assert (out[0.5]["bucket_lo"], out[0.5]["bucket_hi"]) == (40, 50)
+    # q=0.95: 95 falls in bucket 9 (cum_before 90): 90 + 10*5/10 = 95
+    assert out[0.95]["estimate"] == 95.0
+
+
+def test_histogram_quantiles_monotone_and_bounded(spark):
+    from search_engine_spark.operators.sketch import histogram_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = histogram_quantiles(
+        docs, "n_chars", [0.1, 0.5, 0.9, 0.99], bucket_width=64
+    ).collect()
+    ests = [r["estimate"] for r in rows]
+    assert ests == sorted(ests)
+    for r in rows:
+        assert r["bucket_lo"] <= r["estimate"] <= r["bucket_hi"]
