@@ -1988,6 +1988,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 None, ["merge", None, "batch"], k=10, pos_index=_pos_index(s, d)
             )
         ),
+        "span_near_topk": q(
+            lambda s, d: ph.span_near_search(
+                None, "merge", "batch", slop=3, k=10,
+                pos_index=_pos_index(s, d),
+            )
+        ),
         "engine_bm25_search": _engine_bm25,
         # dedup family
         "exact_dedup": q(lambda s, d: dedup.exact_dedup(_documents(s, d))),
@@ -4389,6 +4395,17 @@ m AS (SELECT doc_id,
       FROM s)
 SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
 ORDER BY n_occurrences DESC, doc_id ASC
+LIMIT 10""",
+        "span_near_topk": """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+m AS (SELECT doc_id,
+      CAST(len(list_filter(generate_series(1, len(l)),
+            i -> l[i] = 'merge' AND len(list_filter(
+                 generate_series(i + 1, least(i + 3, len(l))),
+                 j -> l[j] = 'batch')) > 0)) AS BIGINT) AS n_spans
+      FROM s)
+SELECT doc_id, n_spans FROM m WHERE n_spans > 0
+ORDER BY n_spans DESC, doc_id ASC
 LIMIT 10""",
         "engine_bm25_search": _BM25_SQL.format(
             qid="CAST(0 AS INTEGER) AS query_id, ", qid_group=""

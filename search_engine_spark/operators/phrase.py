@@ -236,6 +236,68 @@ def gap_phrase_search(
     )
 
 
+def span_near_match(
+    pos_index: DataFrame,
+    first: str,
+    second: str,
+    slop: int = 3,
+) -> DataFrame:
+    """(doc_id, n_spans): ORDERED proximity — occurrences where `first`
+    appears before `second` within `slop` positions (gap 1..slop), the
+    Lucene SpanNearQuery(inOrder=true) primitive. Distinct from
+    proximity_bm25 (unordered min-distance boost) and phrase (exact
+    gap 1): "new york" within 3 matches "new … york" but never
+    "york … new". n_spans counts qualifying start positions of
+    `first` (each counted once however many `second`s follow).
+
+    Same probe shape as phrase_match: two pushed-filter term lookups
+    on the materialized positional index, one doc_id join, and the
+    span test is a JVM array `exists` over the two position arrays —
+    nothing corpus-sized, no Python.
+    """
+    a = pos_index.filter(F.col("term") == first).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = pos_index.filter(F.col("term") == second).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    j = a.join(b, "doc_id")
+    spans = F.filter(
+        F.col("pa"),
+        lambda s: F.exists(
+            F.col("pb"),
+            lambda p: (p > s) & (p <= s + F.lit(slop)),
+        ),
+    )
+    return (
+        j.select("doc_id", F.size(spans).alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
+    )
+
+
+def span_near_search(
+    docs: DataFrame | None,
+    first: str,
+    second: str,
+    slop: int = 3,
+    tokenizer=None,
+    k: int = 10,
+    pos_index: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k docs by ordered span count (ties doc_id ASC); same
+    serve-from-materialized-index contract as phrase_search."""
+    if pos_index is None:
+        if docs is None or tokenizer is None:
+            raise ValueError("need docs+tokenizer or a pos_index")
+        pos_index = positional_postings(docs, tokenizer)
+    return (
+        span_near_match(pos_index, first, second, slop=slop)
+        .orderBy(F.col("n_spans").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def conjunctive_filter(
     scored_with_counts: DataFrame, n_terms_required: Column | int
 ) -> DataFrame:

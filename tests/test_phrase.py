@@ -312,3 +312,26 @@ def test_gap_phrase_trailing_gap_respects_doc_end(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_span_near_is_ordered_and_bounded_by_slop(spark):
+    from search_engine_spark.operators.phrase import span_near_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york city"),          # gap 1: in
+            (2, "new big apple york"),     # gap 3: in (slop 3)
+            (3, "new a b c d york"),       # gap 5: out
+            (4, "york comes before new"),  # wrong order: out
+            (5, "new york and new x york"),  # two qualifying starts
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_spans"]
+        for r in span_near_search(
+            docs, "new", "york", slop=3, tokenizer=ws_tokens
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 5: 2}
