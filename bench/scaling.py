@@ -600,12 +600,15 @@ RBO ranker comparison (rank windows + joins), and per-source Dunning
 keyness. None adds a corpus-sized shuffle; every entry is
 DuckDB-oracle hash-gated (157 entries total).
 
-The TRULY final window, run with every round-4 operator in the tree,
-measured 0.827 raw efficiency at 1 -> 4 against a same-minute
-hardware ceiling of 0.978 (ceiling-relative 0.846) — pass at the 0.8
-target, appended as the last line of BENCH/scaling_runs.jsonl. The
-index-build scaling path is untouched by the entire round-4 surface:
-three independent windows this round (0.878, 0.826, 0.827) all pass.
+Further windows as the last operators landed (scatter-gather sharded
+serving with its exactness identity, histogram quantiles, span-near,
+tombstones): 0.827 (ceiling 0.978) and — with every round-4 operator
+in the tree, on a quiet host — **0.939 raw at a measured 4.00/1.00
+ceiling (ceiling-relative 0.939)**. Four independent windows this
+round (0.878, 0.826, 0.827, 0.939) all clear the 0.8 target: the
+index-build scaling path is untouched by the entire round-4 surface,
+and the quiet-host number shows the engine's own efficiency when the
+hardware delivers its nominal cores.
 """
         )
 
