@@ -1693,6 +1693,19 @@ def _doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boolean_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.boolquery import boolean_search
+
+    index = _fuzzy_index(spark, sf_dir)
+    top = boolean_search(
+        index, spark, '"table hash" AND spark', k=10,
+        pos_index=_pos_index(spark, sf_dir),
+    )
+    return top.select(
+        "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 def _sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scatter-gather serving gate-checked against the PLAIN BM25
     oracle: per-shard top-k merge must equal the global top-k under
@@ -2177,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstone_bm25_topk": q(_tombstone_topk),
         "sharded_bm25_topk": q(_sharded_topk),
         "doclen_quantiles": q(_doclen_quantiles),
+        "boolean_phrase_topk": q(_boolean_phrase_topk),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4661,6 +4675,29 @@ FROM tf t JOIN dfm d USING (term), n
 WHERE t.doc_id IN ({", ".join(str(d) for d in _TERMVEC_DOCS)})""",
         # STALE-stats delete semantics by design: df/N/avgdl computed
         # over the FULL corpus, deleted docs excluded only from results
+        "boolean_phrase_topk": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ph AS (SELECT doc_id FROM (SELECT doc_id,
+       len(list_filter(generate_series(1, len(l) - 1),
+           i -> l[i] = 'table' AND l[i + 1] = 'hash')) AS np FROM s)
+       WHERE np > 0),
+tm AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+cand AS (SELECT doc_id FROM ph INTERSECT SELECT doc_id FROM tm),
+matched AS (SELECT * FROM tf WHERE term IN ('hash', 'spark', 'table')),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+sc AS (SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id)
+SELECT 0 AS query_id, c.doc_id, coalesce(sc.score, 0.0) AS score
+FROM cand c LEFT JOIN sc USING (doc_id)
+ORDER BY score DESC, c.doc_id ASC
+LIMIT 10""",
         "doclen_quantiles": f"""
 WITH hist AS (SELECT CAST(n_chars // 64 AS BIGINT) AS b, count(*) AS cnt
               FROM documents GROUP BY 1),

@@ -47,8 +47,14 @@ class Node:
 
 
 def parse_boolean(query: str) -> Node:
-    """Recursive-descent parse; raises ValueError on malformed input."""
-    toks = query.replace("(", " ( ").replace(")", " ) ").split()
+    """Recursive-descent parse; raises ValueError on malformed input.
+    Double-quoted spans parse as PHRASE leaves: '"new york" AND city'
+    — the quoted words must appear consecutively (evaluated against
+    the positional index; see boolean_search's pos_index param)."""
+    import re
+
+    padded = query.replace("(", " ( ").replace(")", " ) ")
+    toks = re.findall(r'"[^"]*"|\S+', padded)
     pos = 0
 
     def peek() -> str | None:
@@ -90,6 +96,13 @@ def parse_boolean(query: str) -> Node:
             return e
         if t == ")" or t.upper() in ("AND", "OR"):
             raise ValueError(f"unexpected token {t!r}")
+        if t.startswith('"'):
+            inner = eat().strip('"').lower().split()
+            if not inner:
+                raise ValueError("empty phrase")
+            if len(inner) == 1:
+                return Node("term", term=inner[0])
+            return Node("phrase", term=" ".join(inner))
         return Node("term", term=eat().lower())
 
     tree = expr()
@@ -101,6 +114,10 @@ def parse_boolean(query: str) -> Node:
 def _positive_terms(node: Node) -> list[str]:
     if node.op == "term":
         return [node.term]
+    if node.op == "phrase":
+        # phrase words rank like plain terms; the phrase node only
+        # CONSTRAINS the candidate set (standard engine behavior)
+        return node.term.split()
     if node.op == "not":
         return []
     out: list[str] = []
@@ -114,10 +131,15 @@ def boolean_search(
     spark: SparkSession,
     query: str,
     k: int = 10,
+    pos_index: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id=0, doc_id, score): docs satisfying the boolean
     expression, ranked by BM25 over the query's positive terms
-    (0.0 for survivors matching none — possible under pure negation)."""
+    (0.0 for survivors matching none — possible under pure negation).
+    Quoted phrases in the query require `pos_index` (a
+    read_positional_index handle); each phrase leaf evaluates to the
+    docs containing the exact consecutive phrase via the same
+    pushed-filter probes as phrase_search."""
     tree = parse_boolean(query)
     universe = index.doc_stats.select("doc_id")
 
@@ -128,6 +150,15 @@ def boolean_search(
                 .select("doc_id")
                 .distinct()
             )
+        if node.op == "phrase":
+            if pos_index is None:
+                raise ValueError(
+                    "quoted phrases need pos_index (a materialized "
+                    "positional index)"
+                )
+            from search_engine_spark.operators.phrase import phrase_match
+
+            return phrase_match(pos_index, node.term.split()).select("doc_id")
         if node.op == "and":
             pos = [k_ for k_ in node.kids if k_.op != "not"]
             neg = [k_.kids[0] for k_ in node.kids if k_.op == "not"]

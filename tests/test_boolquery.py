@@ -76,3 +76,59 @@ def test_ranking_uses_positive_terms_and_zero_for_pure_not(spark, index):
     # doc 3 matches banana? no positive terms in the query → all 0.0
     assert {r["score"] for r in pure_not} == {0.0}
     assert [r["doc_id"] for r in pure_not] == [3, 5]  # doc_id ASC tie-break
+
+
+# ---------------------------------------------------------------------------
+# quoted phrases in the boolean language
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_leaf_parses_and_constrains(spark):
+    from search_engine_spark.operators.boolquery import (
+        boolean_search,
+        parse_boolean,
+    )
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.phrase import positional_postings
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    tree = parse_boolean('"new york" AND pizza')
+    assert tree.op == "and"
+    assert tree.kids[0].op == "phrase" and tree.kids[0].term == "new york"
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york pizza shop"),
+            (2, "york new pizza"),       # words present, phrase absent
+            (3, "new york bagels"),      # phrase present, no pizza
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    pidx = positional_postings(docs, ws_tokens)
+    out = boolean_search(
+        idx, spark, '"new york" AND pizza', k=10, pos_index=pidx
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_quoted_single_word_is_a_plain_term(spark):
+    from search_engine_spark.operators.boolquery import parse_boolean
+
+    t = parse_boolean('"pizza" OR pasta')
+    assert t.op == "or" and t.kids[0].op == "term"
+    assert t.kids[0].term == "pizza"
+
+
+def test_phrase_without_pos_index_raises(spark):
+    from search_engine_spark.operators.boolquery import boolean_search
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.text_analytics import ws_tokens
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [(1, "a b")], "doc_id long, text string"
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    with _pt.raises(ValueError, match="pos_index"):
+        boolean_search(idx, spark, '"a b"', k=5).collect()
