@@ -602,13 +602,13 @@ DuckDB-oracle hash-gated (157 entries total).
 
 Further windows as the last operators landed (scatter-gather sharded
 serving with its exactness identity, histogram quantiles, span-near,
-tombstones): 0.827 (ceiling 0.978) and — with every round-4 operator
-in the tree, on a quiet host — **0.939 raw at a measured 4.00/1.00
-ceiling (ceiling-relative 0.939)**. Four independent windows this
-round (0.878, 0.826, 0.827, 0.939) all clear the 0.8 target: the
-index-build scaling path is untouched by the entire round-4 surface,
-and the quiet-host number shows the engine's own efficiency when the
-hardware delivers its nominal cores.
+tombstones, boolean-language quoted phrases): 0.827 (ceiling 0.978),
+**0.939 raw on a quiet host at a measured 4.00/1.00 ceiling**
+(ceiling-relative 0.939 — the engine's own efficiency when the
+hardware delivers its nominal cores), and a final 0.873 with the
+COMPLETE round-4 tree. Five independent windows this round (0.878,
+0.826, 0.827, 0.939, 0.873) all clear the 0.8 target: the index-build
+scaling path is untouched by the entire round-4 surface.
 """
         )
 
