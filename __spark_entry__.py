@@ -2277,6 +2277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_bm25_prior": q(_block_bm25_prior),
         # similarity search
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embeddings(s, d), 0)),
+        "filtered_cosine_topk": q(
+            lambda s, d: similarity.filtered_cosine_topk(
+                _embeddings(s, d), 0, label=1, k=10
+            )
+        ),
         # served through the MATERIALIZED index tables (build-once +
         # partition-pruned probe); query-time equivalents are covered by
         # tests/test_similarity.py equality asserts
@@ -5035,6 +5040,19 @@ prod AS (SELECT b.vec_id,
                 sum(CAST(b.embedding[pos] AS DOUBLE) * CAST(q.qe[pos] AS DOUBLE)) AS dot,
                 sum(CAST(b.embedding[pos] AS DOUBLE) * CAST(b.embedding[pos] AS DOUBLE)) AS nb
          FROM embeddings b, q, pos WHERE b.vec_id <> 0 GROUP BY b.vec_id),
+qn AS (SELECT sum(CAST(qe[pos] AS DOUBLE) * CAST(qe[pos] AS DOUBLE)) AS nq2 FROM q, pos)
+SELECT vec_id, round(dot / (sqrt(nb) * sqrt(qn.nq2)), 6) AS cos
+FROM prod, qn
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10""",
+        "filtered_cosine_topk": """
+WITH pos AS (SELECT pos FROM generate_series(1, 64) t(pos)),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (SELECT b.vec_id,
+                sum(CAST(b.embedding[pos] AS DOUBLE) * CAST(q.qe[pos] AS DOUBLE)) AS dot,
+                sum(CAST(b.embedding[pos] AS DOUBLE) * CAST(b.embedding[pos] AS DOUBLE)) AS nb
+         FROM embeddings b, q, pos
+         WHERE b.vec_id <> 0 AND b.label = 1 GROUP BY b.vec_id),
 qn AS (SELECT sum(CAST(qe[pos] AS DOUBLE) * CAST(qe[pos] AS DOUBLE)) AS nq2 FROM q, pos)
 SELECT vec_id, round(dot / (sqrt(nb) * sqrt(qn.nq2)), 6) AS cos
 FROM prod, qn

@@ -81,6 +81,40 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFr
     ).limit(k)
 
 
+def filtered_cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    label: int,
+    k: int = 10,
+) -> DataFrame:
+    """(vec_id, cos): exact cosine top-k restricted to vectors whose
+    `label` matches — metadata-FILTERED vector search, the retrieval
+    shape modern vector workloads actually run ("nearest products in
+    THIS category", "nearest passages from THIS source"). This is the
+    PRE-filter strategy: the predicate applies before any distance is
+    computed and reaches the parquet scan (a post-filter over an
+    unfiltered top-k can return < k or even 0 rows when the label is
+    rare — the classic filtered-ANN failure mode). The same predicate
+    composes with the IVF/LSH probes as an extra pushed conjunct;
+    this exact path is their recall oracle.
+    """
+    q = embeddings.filter(col("vec_id") == query_vec_id).select(
+        col("embedding").alias("qe")
+    )
+    rest = embeddings.filter(
+        (col("vec_id") != query_vec_id) & (col("label") == label)
+    )
+    scored = rest.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot(col("embedding"), col("qe"))
+            / (_norm(col("embedding")) * _norm(col("qe"))),
+            6,
+        ).alias("cos"),
+    )
+    return scored.orderBy(col("cos").desc(), col("vec_id").asc()).limit(k)
+
+
 def _py_cos(a, b) -> float:
     """Cosine in plain Python with the SAME left-to-right f64 fold order
     as the engine's F.aggregate, so driver-side probe ranking matches

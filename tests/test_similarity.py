@@ -438,3 +438,39 @@ def test_centroid_classify_separable_labels(spark):
     for r in out:
         assert r["predicted"] == r["label"]
         assert r["d2"] >= 0.0
+
+
+def test_filtered_cosine_prefilters_not_postfilters(spark):
+    from pyspark.sql import functions as F
+    from search_engine_spark.operators.similarity import (
+        cosine_topk,
+        filtered_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    lab = sorted(labels)[0]
+    got = filtered_cosine_topk(emb, 0, label=lab, k=10).collect()
+    # every hit satisfies the predicate
+    hit_labels = {
+        r["label"]
+        for r in emb.join(
+            spark.createDataFrame(
+                [(x["vec_id"],) for x in got], "vec_id long"
+            ),
+            "vec_id",
+        ).collect()
+    }
+    assert hit_labels == {lab}
+    # PRE-filter contract: the page fills to k even when the unfiltered
+    # top-k holds fewer label matches (the post-filter failure mode)
+    n_label = emb.filter(
+        (F.col("label") == lab) & (F.col("vec_id") != 0)
+    ).count()
+    assert len(got) == min(10, n_label)
+    # and scores agree with the unfiltered exact path on shared ids
+    full = {
+        r["vec_id"]: r["cos"] for r in cosine_topk(emb, 0, k=1000).collect()
+    }
+    for r in got:
+        assert full[r["vec_id"]] == r["cos"]
