@@ -2282,6 +2282,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _embeddings(s, d), 0, label=1, k=10
             )
         ),
+        "rocchio_cosine_topk": q(
+            lambda s, d: similarity.rocchio_cosine_topk(
+                _embeddings(s, d), 0, rel_ids=[1, 2], nonrel_ids=[3], k=10
+            )
+        ),
+        "embedding_diversity": q(
+            lambda s, d: similarity.embedding_diversity(_embeddings(s, d))
+        ),
         # served through the MATERIALIZED index tables (build-once +
         # partition-pruned probe); query-time equivalents are covered by
         # tests/test_similarity.py equality asserts
@@ -5058,6 +5066,40 @@ SELECT vec_id, round(dot / (sqrt(nb) * sqrt(qn.nq2)), 6) AS cos
 FROM prod, qn
 ORDER BY cos DESC, vec_id ASC
 LIMIT 10""",
+        "rocchio_cosine_topk": """
+WITH pos AS (SELECT pos FROM generate_series(1, 64) t(pos)),
+vals AS (SELECT pos,
+  max(CASE WHEN vec_id = 0 THEN CAST(embedding[pos] AS DOUBLE) END) AS q,
+  sum(CASE WHEN vec_id IN (1, 2) THEN CAST(embedding[pos] AS DOUBLE) END) AS sr,
+  max(CASE WHEN vec_id = 3 THEN CAST(embedding[pos] AS DOUBLE) END) AS nr
+  FROM embeddings, pos WHERE vec_id IN (0, 1, 2, 3) GROUP BY pos),
+qp AS (SELECT pos, 1.0 * q + 0.75 * (sr / 2.0) - 0.15 * nr AS v FROM vals),
+qn AS (SELECT sum(v * v) AS nq2 FROM qp),
+prod AS (SELECT b.vec_id,
+         sum(CAST(b.embedding[qp.pos] AS DOUBLE) * qp.v) AS dot,
+         sum(CAST(b.embedding[qp.pos] AS DOUBLE)
+             * CAST(b.embedding[qp.pos] AS DOUBLE)) AS nb
+         FROM embeddings b, qp
+         WHERE b.vec_id NOT IN (0, 1, 2, 3) GROUP BY b.vec_id)
+SELECT vec_id, round(dot / (sqrt(nb) * sqrt(qn.nq2)), 6) AS cos
+FROM prod, qn
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10""",
+        "embedding_diversity": """
+WITH pos AS (SELECT pos FROM generate_series(1, 64) t(pos)),
+nrm AS (SELECT vec_id, sqrt(sum(CAST(embedding[pos] AS DOUBLE)
+        * CAST(embedding[pos] AS DOUBLE))) AS nv
+        FROM embeddings, pos GROUP BY vec_id),
+unit AS (SELECT e.vec_id, pos,
+         CAST(e.embedding[pos] AS DOUBLE) / nrm.nv AS u
+         FROM embeddings e JOIN nrm USING (vec_id), pos),
+s AS (SELECT pos, sum(u) AS sv FROM unit GROUP BY pos),
+agg AS (SELECT sum(sv * sv) AS ssq FROM s),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)
+SELECT CAST(nn.n AS BIGINT) AS n,
+       round((agg.ssq - nn.n) / (nn.n * (nn.n - 1.0)), 6)
+         AS mean_pairwise_cos
+FROM agg, nn""",
         # r2: the portable md5 hash family makes the whole LSH/dedup/
         # multimodal/fingerprint surface value-checkable
         "minhash_lsh_pairs": _minhash_lsh_pairs_sql(),

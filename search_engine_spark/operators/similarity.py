@@ -115,6 +115,107 @@ def filtered_cosine_topk(
     return scored.orderBy(col("cos").desc(), col("vec_id").asc()).limit(k)
 
 
+def rocchio_cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    rel_ids: list[int],
+    nonrel_ids: list[int] | None = None,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.15,
+    k: int = 10,
+) -> DataFrame:
+    """(vec_id, cos): relevance-feedback retrieval in VECTOR space —
+    the Rocchio (1971) update q' = α·q + β·mean(rel) − γ·mean(nonrel),
+    the embedding-side complement to the term-space RM3 operator. The
+    adjusted query is built driver-side from ≤ |rel|+|nonrel|+1
+    collected vectors (the same k-scalar barrier class as RM3's
+    feedback collect — feedback sets are user-sized, never
+    corpus-sized), then the probe is the standard broadcast exact
+    scan. Feedback ids are excluded from results (they are the known
+    examples). Fixed left-to-right python folds keep q' bit-identical
+    to any replay.
+    """
+    ids = [int(query_vec_id)] + [int(i) for i in rel_ids] + [
+        int(i) for i in (nonrel_ids or [])
+    ]
+    got = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(col("vec_id").isin(ids)).collect()
+    }
+    qv = got[int(query_vec_id)]
+    dim = len(qv)
+
+    def mean_of(idlist: list[int]) -> list[float]:
+        if not idlist:
+            return [0.0] * dim
+        acc = [0.0] * dim
+        for i in idlist:  # fixed order: caller's list order
+            v = got[int(i)]
+            for d in range(dim):
+                acc[d] = acc[d] + v[d]
+        return [a / len(idlist) for a in acc]
+
+    mr = mean_of(list(rel_ids))
+    mn = mean_of(list(nonrel_ids or []))
+    qprime = [
+        alpha * qv[d] + beta * mr[d] - gamma * mn[d] for d in range(dim)
+    ]
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(qprime,)], "qe array<double>"
+    )
+    rest = embeddings.filter(~col("vec_id").isin(ids))
+    scored = rest.crossJoin(F.broadcast(qdf)).select(
+        "vec_id",
+        F.round(
+            _dot(col("embedding"), col("qe"))
+            / (_norm(col("embedding")) * _norm(col("qe"))),
+            6,
+        ).alias("cos"),
+    )
+    return scored.orderBy(col("cos").desc(), col("vec_id").asc()).limit(k)
+
+
+def embedding_diversity(embeddings: DataFrame, round_dp: int = 6) -> DataFrame:
+    """One row (n, mean_pairwise_cos): the corpus-diversity scalar a
+    training-data pipeline tracks per source/epoch ("are we ingesting
+    near-duplicates?") — the mean cosine over ALL pairs, computed in
+    ONE aggregate pass via the sum-of-vectors identity
+
+        Σ_{i≠j} cos(v_i, v_j) = ‖Σ_i v̂_i‖² − n      (v̂ = v/‖v‖)
+
+    so the O(n²) pairwise definition costs one normalize projection +
+    one 65-scalar aggregate (per-dimension sums + count) at ANY corpus
+    size — the textbook example of an aggregate rewrite beating a
+    self-join. Exact, not an estimate; the brute pair loop is its test
+    oracle.
+    """
+    dim_row = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    norm = _norm(col("embedding"))
+    unit = embeddings.select(
+        *[
+            (col("embedding")[i].cast("double") / norm).alias(f"u{i}")
+            for i in range(dim)
+        ]
+    )
+    agg = unit.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"u{i}").alias(f"s{i}") for i in range(dim)],
+    )
+    ssq = None
+    for i in range(dim):
+        t = col(f"s{i}") * col(f"s{i}")
+        ssq = t if ssq is None else ssq + t
+    n = col("n").cast("double")
+    mean_pair = (ssq - n) / (n * (n - F.lit(1.0)))
+    return agg.select(
+        col("n").cast("long").alias("n"),
+        F.round(mean_pair, round_dp).alias("mean_pairwise_cos"),
+    )
+
+
 def _py_cos(a, b) -> float:
     """Cosine in plain Python with the SAME left-to-right f64 fold order
     as the engine's F.aggregate, so driver-side probe ranking matches

@@ -474,3 +474,51 @@ def test_filtered_cosine_prefilters_not_postfilters(spark):
     }
     for r in got:
         assert full[r["vec_id"]] == r["cos"]
+
+
+def test_rocchio_moves_query_toward_relevant(spark):
+    from search_engine_spark.operators.similarity import rocchio_cosine_topk
+
+    # cluster A around e1, cluster B around e2; query starts ambiguous
+    rows = [
+        (0, [0.5, 0.5, 0.0, 0.0], 0),    # query: between clusters
+        (1, [1.0, 0.05, 0.0, 0.0], 0),   # rel feedback: cluster A
+        (2, [0.95, 0.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),    # nonrel feedback: cluster B
+        (10, [0.9, 0.1, 0.0, 0.0], 0),   # A member
+        (11, [0.1, 0.9, 0.0, 0.0], 1),   # B member
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = rocchio_cosine_topk(
+        emb, 0, rel_ids=[1, 2], nonrel_ids=[3], k=2
+    ).collect()
+    # feedback ids excluded; A-member ranks above B-member post-update
+    ids = [r["vec_id"] for r in out]
+    assert set(ids) <= {10, 11}
+    assert ids[0] == 10
+
+
+def test_embedding_diversity_identity_vs_brute_pairs(spark):
+    import itertools
+    import math
+
+    from search_engine_spark.operators.similarity import (
+        _py_cos,
+        embedding_diversity,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 5) + 1.0 for d in range(4)])
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_diversity(emb).first()
+    vecs = [v for _, v in rows]
+    pairs = [
+        _py_cos(a, b) for a, b in itertools.combinations(vecs, 2)
+    ]
+    want = sum(pairs) * 2 / (len(vecs) * (len(vecs) - 1))
+    assert got["n"] == 6
+    assert math.isclose(got["mean_pairwise_cos"], want, abs_tol=1e-6)
