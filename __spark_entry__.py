@@ -1693,6 +1693,14 @@ def _doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import explain_score
+
+    return explain_score(
+        _fuzzy_index(spark, sf_dir), QUERY_TERMS, _TERMVEC_DOCS
+    )
+
+
 def _boolean_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.boolquery import boolean_search
 
@@ -2191,6 +2199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_bm25_topk": q(_sharded_topk),
         "doclen_quantiles": q(_doclen_quantiles),
         "boolean_phrase_topk": q(_boolean_phrase_topk),
+        "explain_score": q(_explain_score),
+        "diversity_by_label": q(
+            lambda s, d: similarity.diversity_by_group(
+                _embeddings(s, d), group_col="label"
+            )
+        ),
         "index_epoch_diff": q(_index_epoch_diff),
         "collocations_llr": q(
             lambda s, d: ta.collocations_llr(_documents(s, d), min_count=5, k=50)
@@ -4688,6 +4702,42 @@ FROM tf t JOIN dfm d USING (term), n
 WHERE t.doc_id IN ({", ".join(str(d) for d in _TERMVEC_DOCS)})""",
         # STALE-stats delete semantics by design: df/N/avgdl computed
         # over the FULL corpus, deleted docs excluded only from results
+        "explain_score": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+dfq AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT m.doc_id, m.term, CAST(m.tf AS BIGINT) AS tf,
+       CAST(dfq.df AS BIGINT) AS df,
+       round(ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5)
+                / (dfq.df + 0.5)), 6) AS idf,
+       round(m.tf * 2.2 / (m.tf + 1.2
+             * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS tf_norm,
+       round(ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df + 0.5)
+                / (dfq.df + 0.5))
+             * (m.tf * 2.2 / (m.tf + 1.2
+                * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+         AS contribution
+FROM matched m JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+WHERE m.doc_id IN ({", ".join(str(d) for d in _TERMVEC_DOCS)})""",
+        "diversity_by_label": """
+WITH pos AS (SELECT pos FROM generate_series(1, 64) t(pos)),
+nrm AS (SELECT vec_id, sqrt(sum(CAST(embedding[pos] AS DOUBLE)
+        * CAST(embedding[pos] AS DOUBLE))) AS nv
+        FROM embeddings, pos GROUP BY vec_id),
+unit AS (SELECT e.label AS g, e.vec_id, pos,
+         CAST(e.embedding[pos] AS DOUBLE) / nrm.nv AS u
+         FROM embeddings e JOIN nrm USING (vec_id), pos),
+s AS (SELECT g, pos, sum(u) AS sv FROM unit GROUP BY g, pos),
+agg AS (SELECT g, sum(sv * sv) AS ssq FROM s GROUP BY g),
+nn AS (SELECT label AS g, CAST(count(*) AS DOUBLE) AS n
+       FROM embeddings GROUP BY label)
+SELECT nn.g AS label, CAST(nn.n AS BIGINT) AS n,
+       round((agg.ssq - nn.n) / (nn.n * (nn.n - 1.0)), 6)
+         AS mean_pairwise_cos
+FROM agg JOIN nn USING (g)
+WHERE nn.n >= 2""",
         "boolean_phrase_topk": f"""
 WITH {_TOKENS}, {_TF},
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

@@ -419,6 +419,45 @@ def autocomplete(
     )
 
 
+def explain_score(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_ids: list[int],
+    round_dp: int = 6,
+) -> DataFrame:
+    """(doc_id, term, tf, df, idf, tf_norm, contribution): the
+    per-term BM25 breakdown for specific documents — the engine's
+    `explain` API ("why does doc 17 score 4.2 for this query"), the
+    debugging surface every production engine exposes
+    (Elasticsearch _explain, Lucene Explanation). contribution =
+    idf·tf_norm; Σ contribution over a doc's rows = its serving score
+    (up to the final rounding), so a mis-ranked result decomposes into
+    exactly which term and which factor moved it.
+
+    Shape: the standard dictionary-seek probe (term isin pushed to the
+    scan) further restricted by the doc_id isin — a few rows survive;
+    no aggregation at all, pure per-row column math."""
+    spark = index.postings.sparkSession
+    qset = list(dict.fromkeys(query_terms))
+    qt = spark.createDataFrame(
+        [(0, t) for t in qset], "query_id int, term string"
+    )
+    m = _matched(index, qt, terms=qset).filter(
+        F.col("doc_id").isin([int(d) for d in doc_ids])
+    )
+    return m.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("bm25_idf", round_dp).alias("idf"),
+        F.round("tf_norm", round_dp).alias("tf_norm"),
+        F.round(F.col("bm25_idf") * F.col("tf_norm"), round_dp).alias(
+            "contribution"
+        ),
+    )
+
+
 def tombstone_search(
     index: InvertedIndex,
     deleted_ids: "DataFrame",

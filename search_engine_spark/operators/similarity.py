@@ -216,6 +216,45 @@ def embedding_diversity(embeddings: DataFrame, round_dp: int = 6) -> DataFrame:
     )
 
 
+def diversity_by_group(
+    embeddings: DataFrame, group_col: str = "label", round_dp: int = 6
+) -> DataFrame:
+    """(group, n, mean_pairwise_cos): embedding_diversity PER GROUP —
+    "which source is feeding us near-duplicates" — via the same
+    ‖Σv̂‖² − n identity, but with every step per-group column code
+    (one hash agg to per-group per-dimension sums), so 10^4 sources
+    over 10^12 vectors still cost one pass + a groups-sized aggregate.
+    Groups with n < 2 are dropped (no pairs to average)."""
+    dim_row = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    norm = _norm(col("embedding"))
+    unit = embeddings.select(
+        col(group_col).alias("g"),
+        *[
+            (col("embedding")[i].cast("double") / norm).alias(f"u{i}")
+            for i in range(dim)
+        ],
+    )
+    agg = unit.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"u{i}").alias(f"s{i}") for i in range(dim)],
+    )
+    ssq = None
+    for i in range(dim):
+        t = col(f"s{i}") * col(f"s{i}")
+        ssq = t if ssq is None else ssq + t
+    n = col("n").cast("double")
+    mean_pair = (ssq - n) / (n * (n - F.lit(1.0)))
+    return (
+        agg.filter(col("n") >= 2)
+        .select(
+            col("g").alias(group_col),
+            col("n").cast("long").alias("n"),
+            F.round(mean_pair, round_dp).alias("mean_pairwise_cos"),
+        )
+    )
+
+
 def _py_cos(a, b) -> float:
     """Cosine in plain Python with the SAME left-to-right f64 fold order
     as the engine's F.aggregate, so driver-side probe ranking matches

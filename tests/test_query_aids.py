@@ -577,3 +577,22 @@ def test_corrected_search_passes_known_terms_through(spark, index):
     # an unfixable garbage term contributes nothing; known term works
     got = corrected_search(index, ["spark", "qqqqqqqqqqqq"], k=5).collect()
     assert got and all(r["score"] > 0 for r in got)
+
+
+def test_explain_contributions_sum_to_serving_score(spark, index):
+    from pyspark.sql import functions as F
+    from search_engine_spark.operators.query import explain_score, score_bm25
+
+    terms = ["spark", "merge", "batch"]
+    qt = spark.createDataFrame(
+        [(0, t) for t in terms], "query_id int, term string"
+    )
+    top = score_bm25(index, qt, k=3, terms=terms).collect()
+    ids = [r["doc_id"] for r in top]
+    rows = explain_score(index, terms, ids, round_dp=9).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], 0.0)
+        by_doc[r["doc_id"]] += r["contribution"]
+    for r in top:
+        assert abs(by_doc[r["doc_id"]] - r["score"]) < 1e-6

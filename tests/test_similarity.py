@@ -522,3 +522,23 @@ def test_embedding_diversity_identity_vs_brute_pairs(spark):
     want = sum(pairs) * 2 / (len(vecs) * (len(vecs) - 1))
     assert got["n"] == 6
     assert math.isclose(got["mean_pairwise_cos"], want, abs_tol=1e-6)
+
+
+def test_diversity_by_group_matches_per_group_global(spark):
+    from pyspark.sql import functions as F
+    from search_engine_spark.operators.similarity import (
+        diversity_by_group,
+        embedding_diversity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    per = {
+        r["label"]: (r["n"], r["mean_pairwise_cos"])
+        for r in diversity_by_group(emb, "label").collect()
+    }
+    some = sorted(per)[:2]
+    for lab in some:
+        single = embedding_diversity(
+            emb.filter(F.col("label") == lab)
+        ).first()
+        assert per[lab] == (single["n"], single["mean_pairwise_cos"]), lab
