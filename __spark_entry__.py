@@ -1362,6 +1362,68 @@ def _cms_stream_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_stream_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-vocabulary registers gate-checked against the
+    batch register oracle — hll_merge's max-fold is idempotent by
+    algebra, so the stream state equals the whole-corpus registers."""
+    import hashlib
+    import os
+
+    from search_engine_spark.streaming.sketches import hll_stream
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        stamp = sf_dir
+    tag = hashlib.md5(stamp.encode()).hexdigest()[:10]
+    base = f"/tmp/se_spark_hll/{tag}"
+    os.makedirs(base, exist_ok=True)
+    if not os.path.exists(f"{base}/_FED"):
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/drop0")
+        docs.filter(F.col("doc_id") % 2 != 0).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/drop1")
+        open(f"{base}/_FED", "w").close()
+    return hll_stream(spark, f"{base}/in/drop*", f"{base}/state", b=8)
+
+
+def _jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import score_jelinek_mercer
+
+    index = _fuzzy_index(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return score_jelinek_mercer(
+        index, qt, lam=0.7, k=10, terms=QUERY_TERMS
+    )
+
+
+def _jm_sql(lam: float = 0.7, k: int = 10) -> str:
+    """query.score_jelinek_mercer: matched-terms JM decomposition;
+    1−λ inlined as the PYTHON double (1.0−0.7 ≠ the decimal literal
+    0.3 at the last bit)."""
+    one_minus = repr(1.0 - lam)
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT sum(dl) AS c FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+cf AS (SELECT term, sum(tf) AS cf FROM matched GROUP BY term)
+SELECT 0 AS query_id, m.doc_id, round(sum(
+    ln(1.0e0 + {lam!r} * (CAST(m.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+       / (CAST({one_minus} AS DOUBLE) * (CAST(cf.cf AS DOUBLE) / tot.c)))
+  ), 9) AS score
+FROM matched m JOIN cf USING (term) JOIN dl USING (doc_id), tot
+GROUP BY m.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.sketch import cms_build, cms_estimate
 
@@ -2184,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q(_bloom_membership),
         "cms_merged": q(_cms_merged),
         "cms_stream_counters": q(_cms_stream_counters),
+        "hll_stream_registers": q(_hll_stream_registers),
+        "jm_lm_topk": q(_jm_topk),
         "hll_merged": q(_hll_merged),
         "autocomplete_terms": q(_autocomplete),
         "source_keyness": q(_source_keyness),
@@ -4672,6 +4736,8 @@ FROM top JOIN win USING (doc_id)""",
         # sketches is the mergeability identity itself
         "cms_merged": _cms_sql(per_grid=True),
         "cms_stream_counters": _cms_sql(per_grid=True),
+        "hll_stream_registers": _hll_sql(per_register=True),
+        "jm_lm_topk": _jm_sql(lam=0.7, k=10),
         "hll_merged": _hll_sql(per_register=True),
         "autocomplete_terms": _autocomplete_sql(n=10, max_dist=2),
         "source_keyness": _keyness_sql(min_count=10, k=5),

@@ -703,6 +703,65 @@ def score_lm_dirichlet(
     return topk(scored, k)
 
 
+def score_jelinek_mercer(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    lam: float = 0.7,
+    k: int = 10,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Query-likelihood ranking with Jelinek-Mercer (fixed-λ linear)
+    smoothing — the second classic LM smoother next to Dirichlet
+    (Zhai & Lafferty 2001: JM favors verbose queries, Dirichlet short
+    ones; an engine offering LM ranking ships both). Matched-terms
+    rank-equivalent decomposition (the doc-independent
+    Σ_t ln((1−λ)p(t|C)) is dropped):
+
+        score(q,d) = Σ_{t∈q∩d} ln(1 + λ·(tf/dl) / ((1−λ)·p(t|C)))
+
+    Scores are ≥ 0, no length-norm tail term (unlike Dirichlet —
+    that's the λ-vs-μ trade). Same plan as score_lm_dirichlet: the
+    broadcast-join probe, one hash agg, a broadcast of per-term
+    collection probabilities from the isin-pruned postings. Rounded
+    9dp for oracle comparison; ties Q7.
+    """
+    total_tokens = index.doc_stats.agg(F.sum("dl")).first()[0]
+    m = _matched(index, query_terms, terms)
+    cf_src = index.postings
+    if terms:
+        cf_src = cf_src.filter(F.col("term").isin(terms))
+    cf_src = cf_src.join(
+        F.broadcast(query_terms.select("term").distinct()), "term", "left_semi"
+    )
+    cf = (
+        cf_src.select("term", "tf")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .withColumn(
+            "p_c", F.col("cf").cast("double") / F.lit(float(total_tokens))
+        )
+    )
+    scored = (
+        m.join(F.broadcast(cf.select("term", "p_c")), "term")
+        .join(index.doc_stats, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        + F.lit(lam)
+                        * (F.col("tf").cast("double") / F.col("dl").cast("double"))
+                        / (F.lit(1.0 - lam) * F.col("p_c"))
+                    )
+                ),
+                9,
+            ).alias("score")
+        )
+    )
+    return topk(scored, k)
+
+
 def score_bm25f(
     index: InvertedIndex,
     anchor_tf: DataFrame,

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.operators.sketch import cms_build, cms_merge
 
-__all__ = ["cms_stream", "read_cms_state"]
+__all__ = ["cms_stream", "read_cms_state", "hll_stream", "read_hll_state"]
 
 
 def cms_stream(
@@ -62,6 +62,65 @@ def cms_stream(
         .awaitTermination()
     )
     return read_cms_state(spark, state_path)
+
+
+def hll_stream(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    b: int = 8,
+    family: str = "portable",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming distinct-vocabulary tracking: drain new document
+    files, write each micro-batch's HLL register DELTA per epoch, and
+    return the max-folded registers — identical (oracle-gated) to
+    hll_registers over every token ever drained. Same exactly-once
+    epoch machinery as cms_stream; the fold is hll_merge's per-bucket
+    max, so replayed epochs are idempotent BY ALGEBRA (max is
+    idempotent) on top of the overwrite-by-epoch guarantee."""
+    from search_engine_spark.operators.sketch import hll_registers
+    from search_engine_spark.operators.text_analytics import tokens_df
+
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        delta = hll_registers(tokens_df(batch), "term", b=b, family=family)
+        (
+            delta.write.mode("overwrite")
+            .parquet(f"{state_path}/registers/batch={epoch_id}")
+        )
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{state_path}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_hll_state(spark, state_path)
+
+
+def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The max-folded registers over all drained epochs; empty (right
+    schema) before the first drain."""
+    from pyspark.errors import AnalysisException
+
+    from search_engine_spark.operators.sketch import hll_merge
+
+    spark.catalog.refreshByPath(f"{state_path}/registers")
+    try:
+        deltas = (
+            spark.read.option("basePath", f"{state_path}/registers")
+            .parquet(f"{state_path}/registers")
+            .select("bucket", "rho")
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], "bucket long, rho long")
+    return hll_merge(deltas)
 
 
 def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:

@@ -247,3 +247,31 @@ def test_histogram_quantiles_monotone_and_bounded(spark):
     assert ests == sorted(ests)
     for r in rows:
         assert r["bucket_lo"] <= r["estimate"] <= r["bucket_hi"]
+
+
+def test_hll_stream_incremental_two_drains(spark, tmp_path):
+    from search_engine_spark.operators.sketch import hll_registers
+    from search_engine_spark.streaming.sketches import hll_stream
+
+    base = str(tmp_path)
+    a = _docs(spark, [(1, "x y z z"), (2, "p q")])
+    b = _docs(spark, [(3, "x q r r r")])
+    a.write.parquet(f"{base}/in/drop0")
+    hll_stream(spark, f"{base}/in/drop*", f"{base}/state", b=4)
+    b.write.parquet(f"{base}/in/drop1")
+    g = {
+        r["bucket"]: r["rho"]
+        for r in hll_stream(
+            spark, f"{base}/in/drop*", f"{base}/state", b=4
+        ).collect()
+    }
+    both = _docs(
+        spark, [(1, "x y z z"), (2, "p q"), (3, "x q r r r")]
+    )
+    want = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(
+            both.selectExpr("explode(split(text, ' ')) AS term"), "term", b=4
+        ).collect()
+    }
+    assert g == want
