@@ -1424,6 +1424,73 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def _bloom_stream_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from search_engine_spark.streaming.sketches import bloom_stream
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        stamp = sf_dir
+    tag = hashlib.md5(stamp.encode()).hexdigest()[:10]
+    base = f"/tmp/se_spark_bloom/{tag}"
+    os.makedirs(base, exist_ok=True)
+    if not os.path.exists(f"{base}/_FED"):
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/drop0")
+        docs.filter(F.col("doc_id") % 2 != 0).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/drop1")
+        open(f"{base}/_FED", "w").close()
+    return bloom_stream(
+        spark, f"{base}/in/drop*", f"{base}/state", m=1 << 16, k=4
+    )
+
+
+def _ad_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.query import score_absolute_discount
+
+    index = _fuzzy_index(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return score_absolute_discount(
+        index, qt, delta=0.7, k=10, terms=QUERY_TERMS
+    )
+
+
+def _ad_sql(delta: float = 0.7, k: int = 10) -> str:
+    """query.score_absolute_discount: matched-terms decomposition +
+    the |q|·ln(δ·|d|_u/dl) tail; δ CAST from the python repr so the
+    DECIMAL-literal trap can't skew the doubles."""
+    d = f"CAST({delta!r} AS DOUBLE)"
+    nq = len(QUERY_TERMS)
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT sum(dl) AS c FROM dl),
+du AS (SELECT doc_id, count(*) AS du FROM tf GROUP BY doc_id),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+cf AS (SELECT term, sum(tf) AS cf FROM matched GROUP BY term),
+sm AS (SELECT m.doc_id, sum(
+       ln(1.0e0 + greatest(CAST(m.tf AS DOUBLE) - {d}, 0.0e0)
+          / ({d} * CAST(du.du AS DOUBLE)
+             * (CAST(cf.cf AS DOUBLE) / tot.c)))) AS s
+       FROM matched m JOIN cf USING (term) JOIN du USING (doc_id), tot
+       GROUP BY m.doc_id)
+SELECT 0 AS query_id, sm.doc_id,
+       round(sm.s + {nq} * ln({d} * CAST(du.du AS DOUBLE)
+             / CAST(dl.dl AS DOUBLE)), 9) AS score
+FROM sm JOIN du USING (doc_id) JOIN dl USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.sketch import cms_build, cms_estimate
 
@@ -2247,7 +2314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_merged": q(_cms_merged),
         "cms_stream_counters": q(_cms_stream_counters),
         "hll_stream_registers": q(_hll_stream_registers),
+        "bloom_stream_positions": q(_bloom_stream_positions),
         "jm_lm_topk": q(_jm_topk),
+        "ad_lm_topk": q(_ad_topk),
         "hll_merged": q(_hll_merged),
         "autocomplete_terms": q(_autocomplete),
         "source_keyness": q(_source_keyness),
@@ -4737,7 +4806,14 @@ FROM top JOIN win USING (doc_id)""",
         "cms_merged": _cms_sql(per_grid=True),
         "cms_stream_counters": _cms_sql(per_grid=True),
         "hll_stream_registers": _hll_sql(per_register=True),
+        "bloom_stream_positions": f"""
+WITH {_TOKENS},
+vocab AS (SELECT DISTINCT term FROM tokens WHERE term <> '')
+SELECT DISTINCT pos FROM (
+  {" UNION ALL ".join(f"SELECT {_h64_sql(chr(39) + 'bf' + str(j) + '|' + chr(39) + ' || term')} % {1 << 16} AS pos FROM vocab" for j in range(4))}
+)""",
         "jm_lm_topk": _jm_sql(lam=0.7, k=10),
+        "ad_lm_topk": _ad_sql(delta=0.7, k=10),
         "hll_merged": _hll_sql(per_register=True),
         "autocomplete_terms": _autocomplete_sql(n=10, max_dist=2),
         "source_keyness": _keyness_sql(min_count=10, k=5),

@@ -762,6 +762,91 @@ def score_jelinek_mercer(
     return topk(scored, k)
 
 
+def score_absolute_discount(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    delta: float = 0.7,
+    k: int = 10,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Query-likelihood with ABSOLUTE DISCOUNT smoothing — the third
+    of Zhai & Lafferty's classic smoothers (δ subtracted from every
+    seen count, mass redistributed via the doc's distinct-term count):
+
+        p_δ(t|d) = max(tf−δ,0)/dl + (δ·|d|_u/dl)·p(t|C)
+
+    Matched-terms rank-equivalent decomposition (dropping the
+    doc-independent Σ_t ln p(t|C)):
+
+        score = Σ_{t∈q∩d} ln(1 + max(tf−δ,0)/(δ·|d|_u·p(t|C)))
+                + |q|·ln(δ·|d|_u/dl)
+
+    where |d|_u is the number of DISTINCT terms in d (computed at
+    probe time by one extra doc-grouped aggregate over the postings —
+    at build time it would live in doc_stats). Same probe plan as the
+    other two LM scorers; rounded 9dp; ties Q7.
+    """
+    total_tokens = index.doc_stats.agg(F.sum("dl")).first()[0]
+    m = _matched(index, query_terms, terms)
+    cf_src = index.postings
+    if terms:
+        cf_src = cf_src.filter(F.col("term").isin(terms))
+    cf_src = cf_src.join(
+        F.broadcast(query_terms.select("term").distinct()), "term", "left_semi"
+    )
+    cf = (
+        cf_src.select("term", "tf")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .withColumn(
+            "p_c", F.col("cf").cast("double") / F.lit(float(total_tokens))
+        )
+    )
+    # |d|_u: distinct terms per doc — real postings only (tf > 0)
+    du = (
+        index.postings.filter(F.col("tf") > 0)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("du"))
+    )
+    nq = query_terms.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    matched_part = (
+        m.join(F.broadcast(cf.select("term", "p_c")), "term")
+        .join(du, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + F.greatest(
+                        F.col("tf").cast("double") - F.lit(delta), F.lit(0.0)
+                    )
+                    / (F.lit(delta) * F.col("du").cast("double") * F.col("p_c"))
+                )
+            ).alias("s_matched")
+        )
+    )
+    scored = (
+        matched_part.join(index.doc_stats, "doc_id")
+        .join(du, "doc_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("s_matched")
+                + F.col("nq").cast("double")
+                * F.log(
+                    F.lit(delta)
+                    * F.col("du").cast("double")
+                    / F.col("dl").cast("double")
+                ),
+                9,
+            ).alias("score"),
+        )
+    )
+    return topk(scored, k)
+
+
 def score_bm25f(
     index: InvertedIndex,
     anchor_tf: DataFrame,

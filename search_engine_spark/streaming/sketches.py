@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.operators.sketch import cms_build, cms_merge
 
-__all__ = ["cms_stream", "read_cms_state", "hll_stream", "read_hll_state"]
+__all__ = [
+    "cms_stream",
+    "read_cms_state",
+    "hll_stream",
+    "read_hll_state",
+    "bloom_stream",
+    "read_bloom_state",
+]
 
 
 def cms_stream(
@@ -121,6 +128,64 @@ def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
     except AnalysisException:
         return spark.createDataFrame([], "bucket long, rho long")
     return hll_merge(deltas)
+
+
+def bloom_stream(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    m: int = 1 << 16,
+    k: int = 4,
+    family: str = "portable",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming Bloom membership over the token stream — the crawl
+    frontier's "ever seen?" filter maintained incrementally: each
+    micro-batch writes its DELTA of set-bit positions, the state is
+    the distinct union (set union is idempotent, so replays are
+    doubly safe), and the folded positions equal bloom_build over
+    every token ever drained. Completes the streaming sketch trio:
+    counters add (CMS), registers max (HLL), bits or (Bloom)."""
+    from search_engine_spark.operators.sketch import bloom_build
+    from search_engine_spark.operators.text_analytics import tokens_df
+
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        vocab = tokens_df(batch).select("term").distinct()
+        delta = bloom_build(vocab, "term", m=m, k=k, family=family)
+        (
+            delta.write.mode("overwrite")
+            .parquet(f"{state_path}/bits/batch={epoch_id}")
+        )
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{state_path}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_bloom_state(spark, state_path)
+
+
+def read_bloom_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The distinct-union of set positions over all drained epochs."""
+    from pyspark.errors import AnalysisException
+
+    spark.catalog.refreshByPath(f"{state_path}/bits")
+    try:
+        deltas = (
+            spark.read.option("basePath", f"{state_path}/bits")
+            .parquet(f"{state_path}/bits")
+            .select("pos")
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], "pos long")
+    return deltas.distinct()
 
 
 def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:

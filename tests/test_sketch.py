@@ -275,3 +275,29 @@ def test_hll_stream_incremental_two_drains(spark, tmp_path):
         ).collect()
     }
     assert g == want
+
+
+def test_bloom_stream_union_equals_batch_build(spark, tmp_path):
+    from search_engine_spark.operators.sketch import bloom_build
+    from search_engine_spark.streaming.sketches import bloom_stream
+
+    base = str(tmp_path)
+    a = _docs(spark, [(1, "x y z"), (2, "p q")])
+    b = _docs(spark, [(3, "x q r")])
+    a.write.parquet(f"{base}/in/drop0")
+    bloom_stream(spark, f"{base}/in/drop*", f"{base}/state", m=1 << 10, k=3)
+    b.write.parquet(f"{base}/in/drop1")
+    got = {
+        r["pos"]
+        for r in bloom_stream(
+            spark, f"{base}/in/drop*", f"{base}/state", m=1 << 10, k=3
+        ).collect()
+    }
+    both_vocab = spark.createDataFrame(
+        [(t,) for t in ["x", "y", "z", "p", "q", "r"]], "term string"
+    )
+    want = {
+        r["pos"]
+        for r in bloom_build(both_vocab, "term", m=1 << 10, k=3).collect()
+    }
+    assert got == want
