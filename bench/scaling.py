@@ -602,13 +602,16 @@ DuckDB-oracle hash-gated (157 entries total).
 
 Further windows as the last operators landed (scatter-gather sharded
 serving with its exactness identity, histogram quantiles, span-near,
-tombstones, boolean-language quoted phrases): 0.827 (ceiling 0.978),
-**0.939 raw on a quiet host at a measured 4.00/1.00 ceiling**
-(ceiling-relative 0.939 — the engine's own efficiency when the
-hardware delivers its nominal cores), and a final 0.873 with the
-COMPLETE round-4 tree. Five independent windows this round (0.878,
-0.826, 0.827, 0.939, 0.873) all clear the 0.8 target: the index-build
-scaling path is untouched by the entire round-4 surface.
+tombstones, boolean-language quoted phrases, filtered/Rocchio vector
+search, the explain API, the JM/absolute-discount LM smoothers, and
+the streaming sketch trio): 0.827 (ceiling 0.978), **0.939 raw on a
+quiet host at a measured 4.00/1.00 ceiling** (ceiling-relative 0.939 —
+the engine's own efficiency when the hardware delivers its nominal
+cores), 0.873, and a final 0.879 (ceiling 1.00) on the EXACT final
+tree (170 oracle-gated entries). Six independent windows this round
+(0.878, 0.826, 0.827, 0.939, 0.873, 0.879) all clear the 0.8 target:
+the index-build scaling path is untouched by the entire round-4
+surface.
 """
         )
 
