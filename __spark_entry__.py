@@ -144,6 +144,15 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import similarity
+
+    idx = _ann_index(spark, sf_dir, "ivf")
+    return similarity.ivf_index_topk(
+        spark, idx, _query_vec(spark, sf_dir, 0), query_vec_id=0, label=1
+    )
+
+
 # batched serving path: one Spark job answers _BATCH_NQ queries against
 # the materialized index (union-of-buckets pruned scan + broadcast
 # routing join) — oracled by generalizing the single-query SQL over
@@ -2441,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partition-pruned probe); query-time equivalents are covered by
         # tests/test_similarity.py equality asserts
         "ivf_cosine_topk": q(_ivf_topk),
+        "ivf_filtered_topk": q(_ivf_filtered_topk),
         "lsh_cosine_topk": q(_lsh_topk),
         "ivf_cosine_topk_batch": q(_ivf_topk_batch),
         "lsh_cosine_topk_batch": q(_lsh_topk_batch),
@@ -2940,11 +2950,18 @@ def _ivf_cosine_topk_sql(
     n_cells: int = 16,
     n_probe: int = 4,
     dim: int = 64,
+    label: int | None = None,
 ) -> str:
     """IVF-flat twin of similarity.ivf_cosine_topk: same portable-hash
     seed sample, same 9dp-rounded cell assignment/probing, same exact
-    re-rank."""
+    re-rank. `label` adds the filtered-ANN candidate conjunct."""
     seed_rank = _h64_sql("'ivf|' || vec_id")
+    label_pred = (
+        ""
+        if label is None
+        else (" AND a.vec_id IN (SELECT vec_id FROM embeddings"
+              f" WHERE label = {label})")
+    )
     return f"""
 WITH e AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
            FROM embeddings, (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
@@ -2964,7 +2981,7 @@ assign AS (SELECT vec_id, cell FROM (
 qcells AS (SELECT cell FROM ac WHERE vec_id = {query_vec_id}
            ORDER BY c DESC, cell ASC LIMIT {n_probe}),
 cands AS (SELECT a.vec_id FROM assign a JOIN qcells USING (cell)
-          WHERE a.vec_id <> {query_vec_id}),
+          WHERE a.vec_id <> {query_vec_id}{label_pred}),
 qe AS (SELECT i, v FROM e WHERE vec_id = {query_vec_id}),
 d AS (SELECT x.vec_id, sum(x.v * qe.v) AS dot FROM e x JOIN qe USING (i)
       WHERE x.vec_id IN (SELECT vec_id FROM cands) GROUP BY x.vec_id)
@@ -5349,6 +5366,7 @@ FROM agg""",
         "embedding_neardup_pairs": _embedding_neardup_sql(threshold=0.4),
         "lsh_cosine_topk": _lsh_cosine_topk_sql(),
         "ivf_cosine_topk": _ivf_cosine_topk_sql(),
+        "ivf_filtered_topk": _ivf_cosine_topk_sql(label=1),
         "lsh_cosine_topk_batch": _lsh_cosine_batch_sql(),
         "ivf_cosine_topk_batch": _ivf_cosine_batch_sql(),
         "media_features": _media_features_sql(),

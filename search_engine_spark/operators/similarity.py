@@ -650,12 +650,19 @@ def ivf_index_topk(
     query_vec_id: int | None = None,
     k: int = 10,
     n_probe: int = 4,
+    label: int | None = None,
 ) -> DataFrame:
     """Probe a build_ivf_index table: rank the persisted seeds driver-
     side (same rounded f64 cosine as the build), then scan ONLY the
     n_probe winning cells — `cell` is a partition column, so the filter
     prunes directories at planning time. Identical results to the
     query-time ivf_cosine_topk.
+
+    `label` adds a metadata PRE-filter as an extra pushed conjunct on
+    the pruned cell scan (the assignment table carries every source
+    column) — filtered ANN with the same cell routing, scoring only
+    matching candidates; the exact filtered_cosine_topk is its recall
+    oracle.
 
     `index` is a path or a load_ivf_index handle; serving loops load
     once and probe many (see lsh_index_topk docstring)."""
@@ -668,6 +675,8 @@ def ivf_index_topk(
     )
     probe_cells = [cid for _, cid in ranked[:n_probe]]
     cands = assign.filter(col("cell").isin(probe_cells))
+    if label is not None:
+        cands = cands.filter(col("label") == label)
     if query_vec_id is not None:
         cands = cands.filter(col("vec_id") != query_vec_id)
     qe_col = F.array(*[lit(float(x)) for x in query_vec])

@@ -542,3 +542,36 @@ def test_diversity_by_group_matches_per_group_global(spark):
             emb.filter(F.col("label") == lab)
         ).first()
         assert per[lab] == (single["n"], single["mean_pairwise_cos"]), lab
+
+
+def test_ivf_filtered_probe_respects_label_and_recall(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        filtered_cosine_topk,
+        ivf_index_topk,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    idx = load_ivf_index(spark, path)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = ivf_index_topk(spark, idx, q, query_vec_id=0, label=1, k=10).collect()
+    labels = {
+        r["label"]
+        for r in emb.join(
+            spark.createDataFrame([(x["vec_id"],) for x in got], "vec_id long"),
+            "vec_id",
+        ).collect()
+    }
+    assert labels == {1}
+    # recall vs the exact filtered path: every ANN hit that IS in the
+    # probed cells scores identically to the exact oracle
+    exact = {
+        r["vec_id"]: r["cos"]
+        for r in filtered_cosine_topk(emb, 0, label=1, k=1000).collect()
+    }
+    for r in got:
+        assert exact[r["vec_id"]] == r["cos"]
