@@ -4975,19 +4975,18 @@ imp AS (SELECT m.term, m.doc_id,
     * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
       AS impact
   FROM tf m JOIN alldf USING (term) JOIN dl USING (doc_id), stats),
-rng AS (SELECT min(impact) AS lo, max(impact) AS hi FROM imp),
+rng AS (SELECT max(impact) AS hi FROM imp),
 qz AS (SELECT term, doc_id,
-       CASE WHEN rng.hi > rng.lo
-            THEN least(255, CAST(floor((impact - rng.lo)
-                 / ((rng.hi - rng.lo) / 255.0)) AS INT))
+       CASE WHEN rng.hi > 0
+            THEN least(255, CAST(floor(impact
+                 / (rng.hi / 255.0)) AS INT))
             ELSE 0 END AS q
        FROM imp, rng),
 agg AS (SELECT doc_id, sum(q) AS sum_q, count(*) AS n_matched
         FROM qz WHERE term IN {_IN_TERMS} GROUP BY doc_id)
 SELECT 0 AS query_id, doc_id, CAST(sum_q AS BIGINT) AS sum_q,
        CAST(n_matched AS BIGINT) AS n_matched,
-       round(n_matched * rng.lo
-             + sum_q * ((rng.hi - rng.lo) / 255.0), 6) AS score
+       round(sum_q * (rng.hi / 255.0), 6) AS score
 FROM agg, rng
 ORDER BY sum_q DESC, n_matched DESC, doc_id ASC
 LIMIT 10""",

@@ -53,7 +53,15 @@ def parse_boolean(query: str) -> Node:
     the positional index; see boolean_search's pos_index param)."""
     import re
 
-    padded = query.replace("(", " ( ").replace(")", " ) ")
+    if query.count('"') % 2:
+        raise ValueError(f"unbalanced quotes in query: {query!r}")
+    # pad parens ONLY outside quoted spans — '"a (b)" AND c' keeps the
+    # parens as phrase characters; even split-chunks are outside quotes
+    chunks = query.split('"')
+    padded = '"'.join(
+        c.replace("(", " ( ").replace(")", " ) ") if i % 2 == 0 else c
+        for i, c in enumerate(chunks)
+    )
     toks = re.findall(r'"[^"]*"|\S+', padded)
     pos = 0
 

@@ -43,7 +43,9 @@ __all__ = ["QuantizedIndex", "quantize_impacts", "quantized_search"]
 @dataclass(frozen=True)
 class QuantizedIndex:
     """postings: (term, doc_id, q) with q ∈ [0, 2^bits − 1];
-    lo/step: the dequantization affine (impact ≈ lo + q·step)."""
+    lo/step: the dequantization affine (impact ≈ lo + q·step). The
+    quantizer anchors lo = 0 so the integer sum ORDER equals the
+    dequantized-score order (see quantize_impacts)."""
 
     postings: DataFrame
     lo: float
@@ -54,12 +56,20 @@ class QuantizedIndex:
 def quantize_impacts(index: InvertedIndex, bits: int = 8) -> QuantizedIndex:
     """Quantize every posting's BM25 impact to `bits` bits.
 
-    q = min(2^bits − 1, floor((impact − lo) / step)) with lo/hi the
-    global impact extrema and step = (hi − lo)/(2^bits − 1); a
-    degenerate single-impact corpus (hi == lo) maps everything to 0.
+    q = min(2^bits − 1, floor(impact / step)) with step =
+    hi/(2^bits − 1), hi the global max impact. The grid is anchored at
+    ZERO, not at the min impact: with a nonzero anchor the dequantized
+    score n_matched·lo + Σq·step is NOT a monotone function of Σq
+    alone (a doc matching fewer terms could outrank one whose true
+    BM25 score is higher by up to n·lo), so ranking by the integer sum
+    would silently disagree with the scores it reports. Anchoring at 0
+    makes score = Σq·step, so the integer order IS the score order and
+    the per-term error stays ≤ step (floor) — the step is at most
+    hi/(hi−lo) ≈ a few % wider than the min-anchored grid.
     floor + clamp (not round) so the boundary value hi cannot escape
     the top bucket through FP jitter, and the same double arithmetic
-    replays in any engine.
+    replays in any engine. An empty postings relation yields an empty
+    QuantizedIndex (step = 0) rather than a driver TypeError.
     """
     levels = (1 << bits) - 1
     imp = index.postings.join(
@@ -69,22 +79,20 @@ def quantize_impacts(index: InvertedIndex, bits: int = 8) -> QuantizedIndex:
         "doc_id",
         (F.col("bm25_idf") * F.col("tf_norm")).alias("impact"),
     )
-    row = imp.agg(
-        F.min("impact").alias("lo"), F.max("impact").alias("hi")
-    ).first()
-    lo, hi = float(row["lo"]), float(row["hi"])
-    step = (hi - lo) / levels if hi > lo else 0.0
+    row = imp.agg(F.max("impact").alias("hi")).first()
+    hi = float(row["hi"]) if row["hi"] is not None else 0.0
+    step = hi / levels if hi > 0 else 0.0
     if step == 0.0:
         q = F.lit(0)
     else:
         q = F.least(
             F.lit(levels),
-            F.floor((F.col("impact") - F.lit(lo)) / F.lit(step)),
+            F.floor(F.col("impact") / F.lit(step)),
         )
     postings = imp.select(
         "term", "doc_id", q.cast("int").alias("q")
     )
-    return QuantizedIndex(postings=postings, lo=lo, step=step, bits=bits)
+    return QuantizedIndex(postings=postings, lo=0.0, step=step, bits=bits)
 
 
 def write_quantized_index(qindex: QuantizedIndex, path: str) -> None:
@@ -130,8 +138,9 @@ def quantized_search(
 ) -> DataFrame:
     """(query_id, doc_id, sum_q, n_matched, score): top-k by the
     integer impact sum (ties: more matched terms, then doc_id ASC —
-    sum_q already folds idf, so the integer order IS the rank order).
-    `score` dequantizes for display: n·lo + sum_q·step.
+    sum_q already folds idf, and with the zero-anchored grid
+    score = n·lo + Σq·step = Σq·step, so the integer order IS the
+    dequantized-score order, not merely an approximation of it).
     """
     terms = list(dict.fromkeys(query_terms))
     qt = spark.createDataFrame(

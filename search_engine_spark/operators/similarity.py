@@ -192,6 +192,8 @@ def embedding_diversity(embeddings: DataFrame, round_dp: int = 6) -> DataFrame:
     oracle.
     """
     dim_row = embeddings.select(F.size("embedding").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("embedding_diversity: empty embeddings input")
     dim = int(dim_row["d"])
     norm = _norm(col("embedding"))
     unit = embeddings.select(
@@ -226,6 +228,8 @@ def diversity_by_group(
     over 10^12 vectors still cost one pass + a groups-sized aggregate.
     Groups with n < 2 are dropped (no pairs to average)."""
     dim_row = embeddings.select(F.size("embedding").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("diversity_by_group: empty embeddings input")
     dim = int(dim_row["d"])
     norm = _norm(col("embedding"))
     unit = embeddings.select(

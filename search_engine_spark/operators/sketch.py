@@ -172,7 +172,11 @@ def hll_registers(
 
     floor(log2(rest)) is exact for rest < 2^53 (the 52 remaining bits
     are exactly representable doubles), so the same arithmetic replays
-    bit-identically in the SQL oracle."""
+    bit-identically in the SQL oracle.
+
+    Any b is accepted HERE (registers are well-defined for small b and
+    streaming state uses tiny grids in tests); the ESTIMATORS restrict
+    b to [8, 16] — see hll_estimate."""
     m = 1 << b
     h = h64(F.col(col).cast("string"), family)
     # integer bit ops, NOT h/m: double division would shave bits off a
@@ -200,7 +204,15 @@ def hll_estimate(
     Determinism note: Σ 2^−rho is summed as the exact INTEGER
     Σ 2^(53−rho) (every addend a power of two ≤ 2^53, total < 2^61 —
     no FP addition order anywhere), then divided once in doubles, so
-    engine and oracle agree to the last bit before the 3dp rounding."""
+    engine and oracle agree to the last bit before the 3dp rounding.
+
+    b is restricted to [8, 16]: below 8 the max rho (60−b+1) exceeds
+    53, so Σ 2^(53−rho) would need a negative shift count — which the
+    JVM masks mod 64 into 2^63 (Long.MIN_VALUE), corrupting the sum —
+    and the hll_alpha constant is only valid for m ≥ 128 anyway; above
+    16 the register relation stops being sketch-sized."""
+    if not 8 <= b <= 16:
+        raise ValueError(f"hll: b must be in [8, 16], got {b}")
     m = 1 << b
     regs = hll_registers(df, col, b=b, family=family)
     row = regs.agg(
@@ -245,7 +257,10 @@ def hll_group_estimate(
 
     Spark's round() and DuckDB's are both HALF_UP on doubles, so the
     3dp estimates replay exactly (hll_estimate's driver-side twin uses
-    numerics.round_half_up for the same reason)."""
+    numerics.round_half_up for the same reason). Same b ∈ [8, 16]
+    restriction as hll_registers (negative-shift hazard below 8)."""
+    if not 8 <= b <= 16:
+        raise ValueError(f"hll: b must be in [8, 16], got {b}")
     m = 1 << b
     h = h64(F.col(col).cast("string"), family)
     bucket = h.bitwiseAND(F.lit(m - 1))
@@ -324,12 +339,20 @@ def histogram_quantiles(
     qdf = F.broadcast(
         spark.createDataFrame([(float(q),) for q in qs], "q double")
     )
+    # cum_before < q·n alone never matches when q·n == 0 (q = 0.0
+    # would silently vanish from the output); the extra disjunct pins
+    # q ≤ 0 to the first bucket, where the interpolation below
+    # degenerates to its lower edge.
+    target = F.col("q") * F.col("n")
     j = (
         cum.crossJoin(F.broadcast(total))
         .join(
             qdf,
-            (F.col("cum") >= F.col("q") * F.col("n"))
-            & (F.col("cum_before") < F.col("q") * F.col("n")),
+            (F.col("cum") >= target)
+            & (
+                (F.col("cum_before") < target)
+                | ((target <= 0) & (F.col("cum_before") == 0))
+            ),
         )
     )
     est = (

@@ -132,3 +132,22 @@ def test_phrase_without_pos_index_raises(spark):
     idx = build_index(docs, tokenizer=ws_tokens)
     with _pt.raises(ValueError, match="pos_index"):
         boolean_search(idx, spark, '"a b"', k=5).collect()
+
+
+def test_unbalanced_quote_raises_not_silently_mislexes():
+    # '"new york AND city' used to tokenize '"new' as a lone token and
+    # strip the quote into the plain term 'new', silently dropping the
+    # phrase intent
+    with pytest.raises(ValueError, match="unbalanced quotes"):
+        parse_boolean('"new york AND city')
+    with pytest.raises(ValueError, match="unbalanced quotes"):
+        parse_boolean('a AND b"')
+
+
+def test_parens_inside_quotes_stay_phrase_characters():
+    t = parse_boolean('"a (b)" AND c')
+    assert t.op == "and"
+    assert t.kids[0].op == "phrase" and t.kids[0].term == "a (b)"
+    # and grouping parens outside quotes still work alongside a phrase
+    t2 = parse_boolean('("new york" OR boston) AND city')
+    assert t2.op == "and" and t2.kids[0].op == "or"

@@ -27,8 +27,11 @@ def test_q_stays_in_bit_range_and_covers_extremes(index):
     row = qidx.postings.agg(
         F.min("q").alias("mn"), F.max("q").alias("mx")
     ).first()
-    assert row["mn"] == 0 and row["mx"] == 255
+    # zero-anchored grid: the max impact lands exactly in the top
+    # bucket; the min is wherever min_impact/step falls (>= 0)
+    assert row["mn"] >= 0 and row["mx"] == 255
     assert qidx.step > 0
+    assert qidx.lo == 0.0
 
 
 def test_quantization_is_monotone_in_impact(spark):
@@ -46,13 +49,38 @@ def test_quantization_is_monotone_in_impact(spark):
     assert all(0 <= v <= 15 for v in q.values())
 
 
-def test_degenerate_uniform_corpus_maps_to_zero(spark):
+def test_degenerate_uniform_corpus_maps_to_top_bucket(spark):
+    # every impact equal: with the zero-anchored grid they all land in
+    # the TOP bucket (impact == hi), and ranks are trivially preserved
     docs = spark.createDataFrame(
         [(1, "same"), (2, "same")], "doc_id long, text string"
     )
     qidx = quantize_impacts(build_index(docs, tokenizer=ws_tokens))
-    assert qidx.step == 0.0
-    assert {r["q"] for r in qidx.postings.collect()} == {0}
+    assert qidx.step > 0.0
+    assert {r["q"] for r in qidx.postings.collect()} == {255}
+
+
+def test_empty_postings_yield_empty_index_not_typeerror(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    qidx = quantize_impacts(build_index(docs, tokenizer=ws_tokens))
+    assert qidx.step == 0.0 and qidx.lo == 0.0
+    assert qidx.postings.count() == 0
+
+
+def test_integer_rank_order_equals_dequantized_score_order(spark, index):
+    # the ADVICE defect: with a min-anchored grid, ranking by sum_q
+    # dropped the n_matched*lo term — a doc matching fewer terms could
+    # outrank a doc with the higher dequantized score. Zero-anchored,
+    # score is a positive multiple of sum_q, so the orders must agree.
+    qidx = quantize_impacts(index, bits=8)
+    rows = quantized_search(
+        qidx, spark, ["spark", "merge", "batch"], k=50
+    ).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # score is rounded to 6dp in quantized_search
+        assert abs(r["score"] - r["sum_q"] * qidx.step) <= 5e-7
 
 
 def test_rank_fidelity_vs_exact_bm25(spark, index):

@@ -575,3 +575,19 @@ def test_ivf_filtered_probe_respects_label_and_recall(spark, tmp_path):
     }
     for r in got:
         assert exact[r["vec_id"]] == r["cos"]
+
+
+def test_diversity_empty_input_raises_clear_error(spark):
+    import pytest
+    from search_engine_spark.operators.similarity import (
+        diversity_by_group,
+        embedding_diversity,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty embeddings"):
+        embedding_diversity(empty)
+    with pytest.raises(ValueError, match="empty embeddings"):
+        diversity_by_group(empty)

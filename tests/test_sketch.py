@@ -301,3 +301,44 @@ def test_bloom_stream_union_equals_batch_build(spark, tmp_path):
         for r in bloom_build(both_vocab, "term", m=1 << 10, k=3).collect()
     }
     assert got == want
+
+
+def test_histogram_quantile_zero_returns_first_bucket_edge(spark):
+    from search_engine_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([(i,) for i in range(20, 100)], "v long")
+    out = {
+        r["q"]: r
+        for r in histogram_quantiles(
+            df, "v", [0.0, 0.5], bucket_width=10
+        ).collect()
+    }
+    # q=0.0 used to vanish (cum_before < 0 never true); it must pin to
+    # the FIRST bucket's lower edge
+    assert 0.0 in out
+    assert out[0.0]["estimate"] == out[0.0]["bucket_lo"] == 20
+    assert 0.5 in out
+
+
+def test_hll_rejects_register_widths_below_eight(spark):
+    import pytest
+
+    from search_engine_spark.operators.sketch import (
+        hll_estimate,
+        hll_group_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    # b <= 7: rho can reach (60-b)+1 > 53, making shiftleft(1, 53-rho)
+    # negative -> JVM masks mod 64 into Long.MIN_VALUE. Registers
+    # themselves are fine at any b (streaming state uses tiny grids);
+    # only the ESTIMATORS must reject.
+    for b in (4, 7):
+        with pytest.raises(ValueError, match="must be in"):
+            hll_estimate(df, "v", b=b)
+        with pytest.raises(ValueError, match="must be in"):
+            hll_group_estimate(df, "v", "v", b=b)
+    with pytest.raises(ValueError, match="must be in"):
+        hll_estimate(df, "v", b=17)
+    assert hll_registers(df, "v", b=4).count() >= 1
