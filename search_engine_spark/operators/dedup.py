@@ -157,25 +157,55 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     family: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified with true token Jaccard.
 
     Docs sharing any (band, bh) bucket become candidates; rows/band =
-    num_hashes/bands tunes the S-curve. The candidate groupBy is the
-    only shuffle that touches all docs; verification joins only
+    num_hashes/bands tunes the S-curve. Verification joins only
     candidate pairs.
+
+    Candidate enumeration is MEMBERSHIP-DEDUPED, not a per-band bucket
+    self-join: buckets are first aggregated to their sorted member
+    lists and buckets with IDENTICAL membership collapse to one before
+    any pair is emitted. This is exact (the distinct pair set over
+    "share ≥ 1 bucket" is unchanged) and removes the dominant
+    degenerate cost: a c-doc exact-duplicate clique lands the same c
+    members in all `bands` buckets, so the naive self-join shuffled
+    bands·c²/2 candidate rows into a distinct — ~200M rows for one
+    5,000-doc clique at 16 bands — where this plan shuffles c member
+    rows per band into the membership agg, collapses the identical
+    groups to one, and emits the c²/2 pairs once. Near-dup cliques
+    whose per-band membership differs slightly don't collapse fully
+    but still emit from far fewer distinct groups than band-rows.
+
+    max_bucket (None = exact): when set, bucket groups with more than
+    max_bucket members are EXCLUDED from pair enumeration — the
+    100 TB guard for pathological buckets. The recall argument: a true
+    near-dup pair at Jaccard s collides per band with prob s^r, so it
+    almost surely also co-occurs in buckets that stay small unless it
+    belongs to a giant near-dup clique — and for a clique of size
+    c > max_bucket the PAIR enumeration itself is the wrong product
+    (O(c²) output rows); route those through dedup_labels /
+    dedup_groups (label propagation, linear output) instead. Capped
+    runs therefore under-enumerate exactly the outputs that should be
+    group-labeled, never the isolated pairs.
     """
     buckets = minhash_buckets(documents, num_hashes, bands, family)
-    l = buckets.alias("l")
-    r = buckets.alias("r")
+    # one shuffle: bucket -> sorted member list; identical memberships
+    # (the exact-dup clique case: all bands) collapse in the distinct
+    members = (
+        buckets.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    if max_bucket is not None:
+        members = members.filter(F.size("mem") <= max_bucket)
+    groups = members.select("mem").distinct()
+    a = groups.select(F.explode("mem").alias("doc_a"), "mem")
     cands = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        a.select("doc_a", F.explode("mem").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     return verify_jaccard(cands, documents, threshold)

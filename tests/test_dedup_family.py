@@ -128,3 +128,67 @@ def test_select_representatives_keeps_best_not_first(spark):
     }
     # group 1: docs 2 and 3 tie on score → doc_id ASC wins (2), NOT min-id 1
     assert out == {1: 2, 2: 2, 3: 2, 9: 9}
+
+
+def _naive_lsh_pairs(spark, docs, threshold=0.9):
+    """The pre-r5 per-band bucket self-join, kept as the parity oracle
+    for the membership-deduped enumeration."""
+    buckets = dedup.minhash_buckets(docs)
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return dedup.verify_jaccard(cands, docs, threshold)
+
+
+def test_membership_dedup_enumeration_is_exact(spark):
+    # the r5 plan (bucket -> member list -> distinct memberships ->
+    # pairs) must produce the IDENTICAL pair set as the naive per-band
+    # bucket self-join it replaced
+    docs = _docs(spark)
+    new = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    old = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _naive_lsh_pairs(spark, docs, threshold=0.9).collect()
+    }
+    assert new == old
+    assert len(new) > 0
+
+
+def test_max_bucket_cap_drops_only_giant_groups(spark):
+    # plant a 6-doc exact-dup clique plus one isolated near-dup pair;
+    # cap=4 must drop the clique's pairs (its buckets all have 6
+    # members) while keeping the isolated pair intact
+    clique_text = "alpha beta gamma delta epsilon zeta eta theta"
+    pair_a = "iota kappa lamda mu nu xi omicron pi rho sigma"
+    pair_b = "iota kappa lamda mu nu xi omicron pi rho tau"
+    rows = [(i, clique_text) for i in range(6)] + [
+        (10, pair_a), (11, pair_b)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket=4
+        ).collect()
+    }
+    clique_pairs = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert clique_pairs <= full
+    assert capped & clique_pairs == set()
+    if (10, 11) in full:  # the isolated pair rides small buckets
+        assert (10, 11) in capped
