@@ -327,14 +327,31 @@ def link_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     nodes = nodes.select("doc_id")
     # bucket id = the edge itself (src, dst are both < 2^32 at any
     # driver sf; a real web graph would mint bh = xxhash64(src, dst))
+    # Persist eb FIRST so building the two partitioned copies pays the
+    # upstream edge computation once, not twice — semdedup's edges are
+    # a within-cell quadratic cosine join, the expensive thing here.
     eb = edges.select(
         F.lit(0).alias("band"),
         (F.col("src") * F.lit(4294967296) + F.col("dst")).alias("bh"),
         F.explode(F.array("src", "dst")).alias("doc_id"),
-    )
+    ).persist()
     by_doc = eb.repartition("doc_id").persist()
     by_bucket = eb.repartition("band", "bh").persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("keep_id")).persist()
+    by_doc.count()
+    by_bucket.count()
+    eb.unpersist()
+    # seed with round 1 directly (label(d) = min doc over d's buckets'
+    # minima — valid because link_components always seeds identity),
+    # the same one-round head start as dedup_labels_from_buckets
+    bucket_min = by_bucket.groupBy("band", "bh").agg(
+        F.min("doc_id").alias("rep")
+    )
+    labels = (
+        by_doc.join(bucket_min, ["band", "bh"])
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("keep_id"))
+        .localCheckpoint()
+    )
     out = _propagate_min_labels(by_doc, by_bucket, labels)
     merged = (
         nodes.join(out.withColumnRenamed("keep_id", "comp_id"), "doc_id", "left")

@@ -1126,37 +1126,10 @@ def pq_topk_rerank(
     )
 
 
-def semdedup(
-    embeddings: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    threshold: float = 0.95,
-) -> DataFrame:
-    """(vec_id, keep_id): SemDeDup (Abbas et al. 2023) — semantic
-    near-duplicate groups via embedding clustering, keep_id = the
-    minimum vec_id of each group; singletons keep themselves.
-
-    The method's point is the COST SHAPE: exact pairwise cosine is
-    O(n²) over the corpus, but clustering first (the deterministic
-    fixed-point Lloyd pass, kmeans_clusters) bounds the quadratic to
-    within-cluster pairs — O(Σ_c |c|²), tunable by k. At 10^9 docs and
-    k sized so clusters are ~10^5, that is 10^5× less pair work than
-    the naive join, and each cluster's pair block is an independent
-    task. Pairs at cosine ≥ threshold then collapse to groups by the
-    shared min-label component fixpoint (graph.link_components — the
-    same machinery as MinHash dedup), so transitive near-dup chains
-    dedup to one representative, not pairwise-greedily.
-
-    Caveat (inherent to SemDeDup, not this implementation): near-dups
-    that k-means splits across cluster boundaries are missed; the
-    paper accepts this, and raising k trades recall for pair cost.
-    Cosines are 6dp-rounded before thresholding so the grouping
-    replays exactly outside Spark.
-    """
-    cells = kmeans_clusters(embeddings, k=k, iters=iters).select(
-        "vec_id", "cell"
-    )
-    emb = embeddings.join(cells, "vec_id")
+def _within_cell_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """(src, dst) pairs with 6dp-rounded cosine ≥ threshold among rows
+    sharing a `cell` — the quadratic block semdedup bounds by
+    clustering first."""
     a = emb.select(
         "cell", col("vec_id").alias("src"), col("embedding").alias("ea")
     )
@@ -1175,7 +1148,7 @@ def semdedup(
             lambda acc, x: acc + x,
         )
     )
-    pairs = (
+    return (
         a.join(b, "cell")
         .filter(col("src") < col("dst"))
         .select(
@@ -1186,14 +1159,200 @@ def semdedup(
         .filter(col("cos") >= threshold)
         .select("src", "dst")
     )
+
+
+def _cell_tightness(emb: DataFrame) -> DataFrame:
+    """(cell, n, min_cos): per-cell member count and the minimum cosine
+    between any member and the cell's NORMALIZED MEAN direction — the
+    scalar that certifies a cell as an all-pairs near-dup ball (see
+    semdedup's guard). Two hash aggs over (cell, dim) sums; nothing
+    quadratic."""
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    nrm = _norm(col("embedding"))
+    u = emb.select(
+        "cell",
+        "vec_id",
+        *[
+            (col("embedding")[i].cast("double") / nrm).alias(f"u{i}")
+            for i in range(dim)
+        ],
+    )
+    cent = u.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"u{i}").alias(f"c{i}") for i in range(dim)],
+    )
+    cn = F.sqrt(sum(col(f"c{i}") * col(f"c{i}") for i in range(dim)))
+    centn = cent.select(
+        "cell", "n", *[(col(f"c{i}") / cn).alias(f"c{i}") for i in range(dim)]
+    )
+    cosc = sum(col(f"u{i}") * col(f"c{i}") for i in range(dim))
+    return (
+        u.join(centn, "cell")
+        .select("cell", centn["n"].alias("n"), cosc.alias("cos"))
+        .groupBy("cell", "n")
+        .agg(F.min("cos").alias("min_cos"))
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    max_cell: int | None = 4096,
+    _depth: int = 0,
+) -> DataFrame:
+    """(vec_id, keep_id): SemDeDup (Abbas et al. 2023) — semantic
+    near-duplicate groups via embedding clustering, keep_id = the
+    minimum vec_id of each group; singletons keep themselves.
+
+    The method's point is the COST SHAPE: exact pairwise cosine is
+    O(n²) over the corpus, but clustering first (the deterministic
+    fixed-point Lloyd pass, kmeans_clusters) bounds the quadratic to
+    within-cluster pairs — O(Σ_c |c|²), tunable by k. At 10^9 docs and
+    k sized so clusters are ~10^5, that is 10^5× less pair work than
+    the naive join, and each cluster's pair block is an independent
+    task. Pairs at cosine ≥ threshold then collapse to groups by the
+    shared min-label component fixpoint (graph.link_components — the
+    same machinery as MinHash dedup), so transitive near-dup chains
+    dedup to one representative, not pairwise-greedily.
+
+    Giant-cell guard (max_cell, None disables): nothing in plain
+    SemDeDup stops one cell from swallowing the corpus's dominant
+    near-dup ball, turning the within-cell block back into O(n²) —
+    the degenerate case dedup EXISTS for. Cells over max_cell are
+    routed around the quadratic block:
+
+    - TIGHT oversized cells — every member within θ/2 of the cell's
+      mean direction, θ = arccos(threshold), checked with a 1e-9
+      margin on cos(θ/2) — are certified all-pairs duplicates by the
+      spherical triangle inequality (any two members subtend ≤ θ, so
+      every pairwise cosine ≥ threshold). They skip pair enumeration
+      entirely: star edges (min member → others) produce the identical
+      single component for O(c) instead of O(c²) rows. This is EXACT,
+      and it is precisely the giant-near-dup-ball case.
+    - LOOSE oversized cells recurse: re-cluster the subset (same
+      deterministic Lloyd, salt via depth is unnecessary — the seeds
+      hash only vec_ids present) and re-apply the guard, up to 3
+      levels. A level that fails to split (all members to one seed)
+      or exhausts the depth budget falls back to the quadratic block
+      for that subset — correct, and by then the subset has resisted
+      three k-way splits, so it is either genuinely tight-ish or
+      small.
+
+    Recall caveat vs unguarded: recursion adds k-means boundaries
+    inside oversized loose cells, and near-dups straddling a NEW
+    boundary are missed exactly as they are at the top level — the
+    trade SemDeDup already accepts (raising k does the same thing).
+    Guarded and unguarded outputs are identical whenever no cell
+    exceeds max_cell (the normal case — parity-tested), and for
+    oversized TIGHT cells (certified-exact shortcut).
+
+    Cosines are 6dp-rounded before thresholding so the grouping
+    replays exactly outside Spark.
+    """
     from search_engine_spark.operators.graph import link_components
 
+    # one materialization feeds every downstream consumer (seed scan,
+    # Lloyd iterations, size/tightness collects, both sides of the
+    # pair join, the nodes relation) instead of re-scanning parquet
+    # per job; the cell assignment is checkpointed for the same reason
+    # (its lineage — scan + k distance expressions — would otherwise
+    # replay in each of those jobs)
+    embeddings = embeddings.persist()
+    cells = (
+        kmeans_clusters(embeddings, k=k, iters=iters)
+        .select("vec_id", "cell")
+        .localCheckpoint()
+    )
+    emb = embeddings.join(cells, "vec_id")
+    edge_parts: list[DataFrame] = []
+    if max_cell is not None:
+        import math
+
+        sizes_by_cell = {
+            int(r["cell"]): int(r["count"])
+            for r in cells.groupBy("cell").count().collect()
+        }
+        over = {c for c, n in sizes_by_cell.items() if n > max_cell}
+        if over:
+            # tightness certificate only for the oversized cells — the
+            # k-row size collect above is the only extra driver work in
+            # the normal (no giant cell) case
+            tightness = {
+                int(r["cell"]): float(r["min_cos"])
+                for r in _cell_tightness(
+                    emb.filter(col("cell").isin([int(c) for c in over]))
+                ).collect()
+            }
+            cos_half = math.cos(math.acos(threshold) / 2.0)
+            tight = {c for c in over if tightness[c] >= cos_half + 1e-9}
+            loose = sorted(over - tight)
+            small = emb.filter(~col("cell").isin([int(c) for c in over]))
+            edge_parts.append(_within_cell_pairs(small, threshold))
+            if tight:
+                # star edges: min member to every other member
+                t = emb.filter(col("cell").isin([int(c) for c in tight]))
+                anchor = t.groupBy("cell").agg(F.min("vec_id").alias("src"))
+                edge_parts.append(
+                    t.join(anchor, "cell")
+                    .filter(col("vec_id") != col("src"))
+                    .select("src", col("vec_id").alias("dst"))
+                )
+            for c in loose:
+                sub = embeddings.join(
+                    cells.filter(col("cell") == int(c)).select("vec_id"),
+                    "vec_id",
+                )
+                subcells = kmeans_clusters(sub, k=k, iters=iters).select(
+                    "vec_id", "cell"
+                )
+                sizes = [
+                    int(r["count"])
+                    for r in subcells.groupBy("cell").count().collect()
+                ]
+                if _depth >= 2 or len(sizes) <= 1 or max(sizes) == sizes_by_cell[c]:
+                    # split failed or depth exhausted: quadratic block
+                    edge_parts.append(
+                        _within_cell_pairs(sub.join(subcells, "vec_id"), threshold)
+                    )
+                else:
+                    # recurse: the sub-problem's own semdedup labels ARE
+                    # component edges (vec -> its sub-representative)
+                    sublab = semdedup(
+                        sub,
+                        k=k,
+                        iters=iters,
+                        threshold=threshold,
+                        max_cell=max_cell,
+                        _depth=_depth + 1,
+                    )
+                    edge_parts.append(
+                        sublab.filter(col("vec_id") != col("keep_id")).select(
+                            col("keep_id").alias("src"),
+                            col("vec_id").alias("dst"),
+                        )
+                    )
+        else:
+            edge_parts.append(_within_cell_pairs(emb, threshold))
+    else:
+        edge_parts.append(_within_cell_pairs(emb, threshold))
+
+    pairs = edge_parts[0]
+    for p in edge_parts[1:]:
+        pairs = pairs.unionByName(p)
+    # materialize the (possibly quadratic) edge relation once: the
+    # components fixpoint derives two partitioned copies from it
+    pairs = pairs.persist()
     comp = link_components(
         embeddings.select(col("vec_id").alias("doc_id")), pairs
     )
-    return comp.select(
+    out = comp.select(
         col("doc_id").alias("vec_id"), col("comp_id").alias("keep_id")
     )
+    pairs.unpersist()  # safe: the fixpoint checkpoints its labels
+    embeddings.unpersist()
+    return out
 
 
 def cluster_balanced_sample(

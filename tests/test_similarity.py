@@ -591,3 +591,102 @@ def test_diversity_empty_input_raises_clear_error(spark):
         embedding_diversity(empty)
     with pytest.raises(ValueError, match="empty embeddings"):
         diversity_by_group(empty)
+
+
+def _ball(base, n, start_id, eps=0.0005):
+    """n near-identical unit-ish vectors around `base` (tiny per-id
+    perturbation in one coordinate keeps them distinct but >0.999
+    cosine apart)."""
+    rows = []
+    for i in range(n):
+        v = list(base)
+        v[0] = v[0] + eps * (i % 7)
+        rows.append((start_id + i, [float(x) for x in v]))
+    return rows
+
+
+def test_semdedup_guard_noop_matches_unguarded(spark):
+    # normal data: no cell exceeds max_cell, guarded output must be
+    # byte-identical to the unguarded path
+    from search_engine_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    guarded = {
+        (r.vec_id, r.keep_id)
+        for r in semdedup(emb, k=4, iters=1, threshold=0.4).collect()
+    }
+    unguarded = {
+        (r.vec_id, r.keep_id)
+        for r in semdedup(
+            emb, k=4, iters=1, threshold=0.4, max_cell=None
+        ).collect()
+    }
+    assert guarded == unguarded
+
+
+def test_semdedup_tight_giant_cell_shortcut_is_exact(spark):
+    # one giant near-dup ball (all pairwise cosines ~1 >> threshold):
+    # the guard's star-edge shortcut must produce the same single
+    # group as the unguarded quadratic enumeration
+    from search_engine_spark.operators.similarity import semdedup
+
+    dim = 8
+    rows = _ball([1.0] + [0.1] * (dim - 1), 30, 0)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(k=1, iters=1, threshold=0.95)
+    guarded = {
+        (r.vec_id, r.keep_id)
+        for r in semdedup(emb, max_cell=10, **kw).collect()
+    }
+    unguarded = {
+        (r.vec_id, r.keep_id)
+        for r in semdedup(emb, max_cell=None, **kw).collect()
+    }
+    assert guarded == unguarded
+    assert {kid for _, kid in guarded} == {0}
+
+
+def test_semdedup_loose_giant_cell_recursion_matches(spark):
+    # two well-separated near-dup balls forced into ONE oversized cell
+    # (k=1): the cell is loose, so the guard recurses; with k=1 the
+    # subset cannot split, so it falls back to the exact quadratic
+    # block -- output must equal unguarded
+    from search_engine_spark.operators.similarity import semdedup
+
+    dim = 8
+    rows = _ball([1.0] + [0.0] * (dim - 1), 12, 0) + _ball(
+        [0.0, 1.0] + [0.0] * (dim - 2), 12, 100
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(k=1, iters=1, threshold=0.95)
+    guarded = {
+        (r.vec_id, r.keep_id)
+        for r in semdedup(emb, max_cell=10, **kw).collect()
+    }
+    unguarded = {
+        (r.vec_id, r.keep_id)
+        for r in semdedup(emb, max_cell=None, **kw).collect()
+    }
+    assert guarded == unguarded
+    assert {kid for _, kid in guarded} == {0, 100}
+
+
+def test_semdedup_loose_giant_cell_recursive_split(spark):
+    # k=2 top level: if the two balls land in one oversized loose
+    # cell the recursion re-clusters and finds both groups; either
+    # way the groups must be the two balls
+    from search_engine_spark.operators.similarity import semdedup
+
+    dim = 8
+    rows = _ball([1.0] + [0.0] * (dim - 1), 15, 0) + _ball(
+        [0.0, 1.0] + [0.0] * (dim - 2), 15, 100
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r.vec_id, r.keep_id)
+        for r in semdedup(
+            emb, k=2, iters=1, threshold=0.95, max_cell=10
+        ).collect()
+    }
+    assert {kid for _, kid in out} == {0, 100}
+    assert all(kid == (0 if vid < 100 else 100) for vid, kid in out)
