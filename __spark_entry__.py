@@ -109,13 +109,38 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
             emb = _embeddings(spark, sf_dir)
             if kind == "lsh":
                 similarity.build_lsh_index(emb, path)
-            else:
+            elif kind == "ivf":
                 similarity.build_ivf_index(emb, path)
+            elif kind == "lsh_incr":
+                # the maintenance lifecycle under external verification:
+                # build half, epoch-append the other half, tombstone a
+                # slice — probes must equal a fresh build over the live
+                # set (similarity.lsh_index_add/_delete parity contract)
+                similarity.build_lsh_index(
+                    emb.filter(F.col("vec_id") % 2 == 0), path
+                )
+                similarity.lsh_index_add(
+                    emb.filter(F.col("vec_id") % 2 == 1), path
+                )
+                similarity.lsh_index_delete(
+                    spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+                )
+            else:  # ivf_incr: frozen codebook from the build half
+                similarity.build_ivf_index(
+                    emb.filter(F.col("vec_id") % 2 == 0), path
+                )
+                similarity.ivf_index_add(
+                    emb.filter(F.col("vec_id") % 2 == 1), path
+                )
+                similarity.ivf_index_delete(
+                    spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+                )
             open(done, "w").close()
         # hold the LOADED handle, not the path: probes must not re-list
-        # the partition directories per query (similarity docstrings)
-        if kind == "lsh":
-            _ANN_CACHE[key] = spark.read.parquet(path)
+        # the partition directories per query (similarity docstrings);
+        # load_* also resolves the incremental layouts' tombstones
+        if kind.startswith("lsh"):
+            _ANN_CACHE[key] = similarity.load_lsh_index(spark, path)
         else:
             _ANN_CACHE[key] = similarity.load_ivf_index(spark, path)
     return _ANN_CACHE[key]
@@ -141,6 +166,31 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ann_index(spark, sf_dir, "ivf")
     return similarity.ivf_index_topk(
         spark, idx, _query_vec(spark, sf_dir, 0), query_vec_id=0
+    )
+
+
+def _lsh_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the incrementally-maintained LSH layout (build even ids →
+    lsh_index_add odd ids → lsh_index_delete ids % 7 == 0): the oracle
+    is the plain LSH top-k SQL over the LIVE set, so the gate verifies
+    the epoch-append + tombstone lifecycle equals a fresh build."""
+    from search_engine_spark.operators import similarity
+
+    idx = _ann_index(spark, sf_dir, "lsh_incr")
+    return similarity.lsh_index_topk(
+        spark, idx, _query_vec(spark, sf_dir, 1), query_vec_id=1
+    )
+
+
+def _ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of _lsh_incremental_topk: codebook frozen from the
+    build half (standard IVF — lists grow, quantizer doesn't), so the
+    oracle samples its seeds from vec_id % 2 = 0 only."""
+    from search_engine_spark.operators import similarity
+
+    idx = _ann_index(spark, sf_dir, "ivf_incr")
+    return similarity.ivf_index_topk(
+        spark, idx, _query_vec(spark, sf_dir, 1), query_vec_id=1
     )
 
 
@@ -2489,6 +2539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partition-pruned probe); query-time equivalents are covered by
         # tests/test_similarity.py equality asserts
         "ivf_cosine_topk": q(_ivf_topk),
+        # incremental ANN maintenance: build + epoch-append + tombstone
+        # delete, probed against a fresh-build-over-live-set oracle
+        "lsh_incremental_topk": q(_lsh_incremental_topk),
+        "ivf_incremental_topk": q(_ivf_incremental_topk),
         "ivf_filtered_topk": q(_ivf_filtered_topk),
         "lsh_cosine_topk": q(_lsh_topk),
         "ivf_cosine_topk_batch": q(_ivf_topk_batch),
@@ -2873,17 +2927,21 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= {threshold}"""
 
 
 def _lsh_cosine_topk_sql(
-    query_vec_id: int = 0, k: int = 10, probe_hamming: int = 2
+    query_vec_id: int = 0,
+    k: int = 10,
+    probe_hamming: int = 2,
+    extra_cand_pred: str = "",
 ) -> str:
     """Multi-probe candidates (hamming ≤ probe to the query signature in
     any table — set-identical to the engine's enumerated probe buckets)
-    + exact cosine re-rank."""
+    + exact cosine re-rank. `extra_cand_pred` restricts the candidate
+    set (the incremental entry's live-rows predicate)."""
     return f"""
 WITH {_hyperplane_ctes()},
 qs AS (SELECT t, sig FROM sigs WHERE vec_id = {query_vec_id}),
 cands AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN qs ON s.t = qs.t
           WHERE s.vec_id <> {query_vec_id}
-            AND bit_count(xor(s.sig, qs.sig)) <= {probe_hamming}),
+            AND bit_count(xor(s.sig, qs.sig)) <= {probe_hamming}{extra_cand_pred}),
 qe AS (SELECT i, v FROM e WHERE vec_id = {query_vec_id}),
 dots2 AS (SELECT x.vec_id, sum(x.v * qe.v) AS dot
           FROM e x JOIN qe ON qe.i = x.i
@@ -2990,10 +3048,15 @@ def _ivf_cosine_topk_sql(
     n_probe: int = 4,
     dim: int = 64,
     label: int | None = None,
+    seed_where: str = "",
+    extra_cand_pred: str = "",
 ) -> str:
     """IVF-flat twin of similarity.ivf_cosine_topk: same portable-hash
     seed sample, same 9dp-rounded cell assignment/probing, same exact
-    re-rank. `label` adds the filtered-ANN candidate conjunct."""
+    re-rank. `label` adds the filtered-ANN candidate conjunct;
+    `seed_where` restricts the seed sample population (the incremental
+    entry freezes its codebook to the build half) and `extra_cand_pred`
+    the candidate set (live-rows predicate)."""
     seed_rank = _h64_sql("'ivf|' || vec_id")
     label_pred = (
         ""
@@ -3005,7 +3068,7 @@ def _ivf_cosine_topk_sql(
 WITH e AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
            FROM embeddings, (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
 nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id),
-seeds AS (SELECT vec_id AS cell FROM embeddings
+seeds AS (SELECT vec_id AS cell FROM embeddings {seed_where}
           ORDER BY {seed_rank}, vec_id LIMIT {n_cells}),
 se AS (SELECT s.cell, e.i, e.v FROM seeds s JOIN e ON e.vec_id = s.cell),
 ac AS (SELECT e.vec_id, se.cell, round(sum(e.v * se.v) / (nv.n * ns.n), 9) AS c
@@ -3020,7 +3083,7 @@ assign AS (SELECT vec_id, cell FROM (
 qcells AS (SELECT cell FROM ac WHERE vec_id = {query_vec_id}
            ORDER BY c DESC, cell ASC LIMIT {n_probe}),
 cands AS (SELECT a.vec_id FROM assign a JOIN qcells USING (cell)
-          WHERE a.vec_id <> {query_vec_id}{label_pred}),
+          WHERE a.vec_id <> {query_vec_id}{label_pred}{extra_cand_pred}),
 qe AS (SELECT i, v FROM e WHERE vec_id = {query_vec_id}),
 d AS (SELECT x.vec_id, sum(x.v * qe.v) AS dot FROM e x JOIN qe USING (i)
       WHERE x.vec_id IN (SELECT vec_id FROM cands) GROUP BY x.vec_id)
@@ -5404,6 +5467,14 @@ FROM agg""",
         "embedding_neardup_pairs": _embedding_neardup_sql(threshold=0.4),
         "lsh_cosine_topk": _lsh_cosine_topk_sql(),
         "ivf_cosine_topk": _ivf_cosine_topk_sql(),
+        "lsh_incremental_topk": _lsh_cosine_topk_sql(
+            query_vec_id=1, extra_cand_pred=" AND s.vec_id % 7 != 0"
+        ),
+        "ivf_incremental_topk": _ivf_cosine_topk_sql(
+            query_vec_id=1,
+            seed_where="WHERE vec_id % 2 = 0",
+            extra_cand_pred=" AND a.vec_id % 7 != 0",
+        ),
         "ivf_filtered_topk": _ivf_cosine_topk_sql(label=1),
         "lsh_cosine_topk_batch": _lsh_cosine_batch_sql(),
         "ivf_cosine_topk_batch": _ivf_cosine_batch_sql(),

@@ -129,10 +129,10 @@ def test_ivf_assignment_is_narrow(spark):
 
 
 def test_lsh_index_probe_is_partition_pruned(spark, tmp_path):
-    """The ANN serving path must be an index PROBE: the (t, sig) probe
-    predicates appear as PartitionFilters on the index scan (directory
-    pruning at planning time), and the scan reads only the probed
-    buckets' files — not the whole index."""
+    """The ANN serving path must be an index PROBE. layout="partitioned":
+    the (t, sig) probe predicates appear as PartitionFilters on the
+    index scan (directory pruning at planning time), and the scan reads
+    only the probed buckets' files — not the whole index."""
     from search_engine_spark.operators.similarity import (
         build_lsh_index,
         lsh_index_topk,
@@ -140,7 +140,7 @@ def test_lsh_index_probe_is_partition_pruned(spark, tmp_path):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     path = str(tmp_path / "lsh")
-    build_lsh_index(emb, path)
+    build_lsh_index(emb, path, layout="partitioned")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     probe = lsh_index_topk(spark, path, qvec, query_vec_id=0)
     plan = _plan(probe)
@@ -161,6 +161,33 @@ def test_lsh_index_probe_is_partition_pruned(spark, tmp_path):
     m = re.search(r"number of files read: (\d+)", exec_plan)
     if m:  # metric name is version-dependent; the filter assert above is primary
         assert int(m.group(1)) < total_parts
+
+
+def test_lsh_sorted_default_probe_pushes_sig_to_scan(spark, tmp_path):
+    """layout="sorted" (the default build): t is a PartitionFilter and
+    the sig predicate is PUSHED to the parquet scan, where the
+    sig-sorted row groups make min/max skipping effective — the pruning
+    mechanism the default layout relies on."""
+    from search_engine_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lsh_sorted")
+    build_lsh_index(emb, path)  # default layout == sorted
+    import pathlib
+
+    assert [d for d in pathlib.Path(path).glob("t=*") if d.is_dir()]
+    assert not [d for d in pathlib.Path(path).glob("t=*/sig=*") if d.is_dir()]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probe = lsh_index_topk(spark, path, qvec, query_vec_id=0)
+    plan = _plan(probe)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "t" in part_lines[0], plan[:3000]
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan[:3000]
+    assert "sig" in pushed[0] and ("In(" in pushed[0] or "IN" in pushed[0]), pushed[0]
 
 
 def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):

@@ -690,3 +690,77 @@ def test_semdedup_loose_giant_cell_recursive_split(spark):
     }
     assert {kid for _, kid in out} == {0, 100}
     assert all(kid == (0 if vid < 100 else 100) for vid, kid in out)
+
+
+def test_lsh_incremental_add_delete_equals_fresh_build(spark, tmp_path):
+    # build over half the corpus, epoch-append the other half, then
+    # tombstone a slice: every probe must equal a fresh full build
+    # over exactly the live set
+    from search_engine_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    incr = str(tmp_path / "incr")
+    sim.build_lsh_index(base, incr)
+    sim.lsh_index_add(batch, incr)
+
+    fresh = str(tmp_path / "fresh")
+    sim.build_lsh_index(emb, fresh)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    a = sim.lsh_index_topk(spark, incr, qvec, query_vec_id=1).collect()
+    b = sim.lsh_index_topk(spark, fresh, qvec, query_vec_id=1).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # delete: tombstoned ids vanish from probes; equals a fresh build
+    # over the live subset
+    dead = [int(r["vec_id"]) for r in emb.filter(F.col("vec_id") % 7 == 0).collect()]
+    sim.lsh_index_delete(spark, incr, dead)
+    live = emb.filter(F.col("vec_id") % 7 != 0)
+    fresh2 = str(tmp_path / "fresh2")
+    sim.build_lsh_index(live, fresh2)
+    a2 = sim.lsh_index_topk(spark, incr, qvec, query_vec_id=1).collect()
+    b2 = sim.lsh_index_topk(spark, fresh2, qvec, query_vec_id=1).collect()
+    assert [tuple(r) for r in a2] == [tuple(r) for r in b2]
+    assert not {r["vec_id"] for r in a2} & set(dead)
+
+    # compact: drops tombstones physically, probes unchanged
+    sim.lsh_index_compact(spark, incr)
+    import os
+
+    assert not os.path.exists(f"{incr}/_tombstones")
+    a3 = sim.lsh_index_topk(spark, incr, qvec, query_vec_id=1).collect()
+    assert [tuple(r) for r in a3] == [tuple(r) for r in a2]
+
+
+def test_ivf_incremental_add_delete_equals_frozen_seed_build(spark, tmp_path):
+    from search_engine_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    incr = str(tmp_path / "incr")
+    sim.build_ivf_index(base, incr)
+    frozen = [
+        (int(r["cell"]), [float(x) for x in r["seed"]])
+        for r in spark.read.parquet(f"{incr}/seeds").collect()
+    ]
+    sim.ivf_index_add(batch, incr)
+
+    fresh = str(tmp_path / "fresh")
+    sim.build_ivf_index(emb, fresh, seeds=frozen)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    a = sim.ivf_index_topk(spark, incr, qvec, query_vec_id=1).collect()
+    b = sim.ivf_index_topk(spark, fresh, qvec, query_vec_id=1).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    dead = [int(r["vec_id"]) for r in emb.filter(F.col("vec_id") % 7 == 0).collect()]
+    sim.ivf_index_delete(spark, incr, dead)
+    fresh2 = str(tmp_path / "fresh2")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") % 7 != 0), fresh2, seeds=frozen)
+    a2 = sim.ivf_index_topk(spark, incr, qvec, query_vec_id=1).collect()
+    b2 = sim.ivf_index_topk(spark, fresh2, qvec, query_vec_id=1).collect()
+    assert [tuple(r) for r in a2] == [tuple(r) for r in b2]
+    assert not {r["vec_id"] for r in a2} & set(dead)
