@@ -723,6 +723,21 @@ def main() -> None:
                 idx, spark, SEARCH_QUERIES, k=10, scorer="lm_dirichlet"
             ).collect(),
         )
+        # the other two classic LM smoothers (Zhai & Lafferty 2001) —
+        # same broadcast-probe plan as Dirichlet, so these rows pin
+        # the whole LM family to the one-shuffle serving shape
+        timed(
+            "jm_lm_search",
+            lambda: search(
+                idx, spark, SEARCH_QUERIES, k=10, scorer="jm"
+            ).collect(),
+        )
+        timed(
+            "ad_lm_search",
+            lambda: search(
+                idx, spark, SEARCH_QUERIES, k=10, scorer="absolute_discount"
+            ).collect(),
+        )
         from search_engine_spark.operators import bpe
 
         timed(

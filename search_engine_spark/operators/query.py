@@ -161,6 +161,10 @@ def search(
         return score_tfidf_compat(index, qt, k, terms=terms)
     if scorer == "lm_dirichlet":
         return score_lm_dirichlet(index, qt, k=k, terms=terms)
+    if scorer == "jm":
+        return score_jelinek_mercer(index, qt, k=k, terms=terms)
+    if scorer == "absolute_discount":
+        return score_absolute_discount(index, qt, k=k, terms=terms)
     raise ValueError(scorer)
 
 
