@@ -497,9 +497,16 @@ def verify_jaccard(
     b = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
     union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
+    # SHUFFLE_HASH, not broadcast, for the pair↔token-set joins: both
+    # sides are unbounded at 100 TB (candidate pairs scale with corpus
+    # dupiness, token sets with the doc count), and in local mode the
+    # broadcast build shares the single JVM heap with execution — AQE's
+    # "measured small" broadcast of the pair relation OOM'd the r5
+    # bench under suite cache pressure. Hash join on the equi key with
+    # both sides key-partitioned is the plan that survives both.
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        cands.join(a.hint("shuffle_hash"), "doc_a")
+        .join(b.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
