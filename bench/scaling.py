@@ -612,6 +612,74 @@ tree (170 oracle-gated entries). Six independent windows this round
 (0.878, 0.826, 0.827, 0.939, 0.873, 0.879) all clear the 0.8 target:
 the index-build scaling path is untouched by the entire round-4
 surface.
+
+## Round-5: pagerank_10it A/B (judge item 2) — no tree effect
+
+The r4 bench recorded pagerank_10it at 11.52 s vs r3's 5.13 s with
+graph.py's pagerank byte-unchanged. Warm-twin protocol, fresh JVM per
+tree, same sf0.1 documents + persisted synthetic_links, interleaved on
+a quiet host:
+
+| tree | cold (s) | warm twin (s) |
+|---|---|---|
+| r3 (60c7cd8) | 7.61 | 4.31 |
+| r4 (e476349) | 7.71 | 4.68 |
+| r5 (current) | 7.61 | 4.93 |
+
+Identical across trees — the 2.24x was NOT a code regression. Cause:
+suite-context + host noise in the r4 recording window (the same cloud
+that inflated ~20 rows 15-25% that round). Corroboration: the r5 full
+suite records pagerank_10it at 4.05 s, UNDER r3's 5.13, after the one
+real hygiene change — semdedup (which runs just before it) now
+unpersists its cached embeddings/pairs instead of leaving them to
+pressure the shared local-mode heap.
+
+## Round-5 full run (sf0.1, local[32]): drift cloud collapsed
+
+Headline 35.4 s (r4 42.4, r3 42.35 — now faster than both with ~80
+more operators than r3). The r4 verdict's flagged rows, r4 -> r5:
+
+| row | r4 | r5 | why |
+|---|---|---|---|
+| pagerank_10it | 11.52 | 4.05 | A/B above: noise + unpersist hygiene |
+| minhash_lsh_pairs | 83.45 | 44.11 | membership-deduped enumeration (identical bucket member sets collapse before pairs are emitted; pair set parity-tested equal); also below r3's 61 s target |
+| semdedup | 24.41 | 12.87 | giant-cell guard + localCheckpoint fixpoint (flat per-round cost) + persist hygiene; under the 15 s target |
+| lsh_index_build | 20.55 | 8.48 | sorted layout is now the DEFAULT build (judge item 7); the per-bucket-dir layout moved to lsh_index_build_partitioned (19.73) for the 10^12-row point-probe regime |
+| bpe_train_8merges | 8.27 | 3.81 | no code change - r4 drift cloud |
+| block_bm25_100q | 3.58 | 2.71 | ditto |
+| query_p50 / p95 | 0.97 / 1.06 | 0.88 / 0.94 | ditto |
+
+Row renames: lsh_index_build_sorted / lsh_sorted_probe_batch10 are
+gone — sorted IS the default, tracked by lsh_index_build /
+lsh_index_probe_batch10 (2.96 s); the partitioned twins keep the old
+layout honest (lsh_partitioned_probe_batch10 4.68 s).
+
+New rows this round:
+
+| new row | sec | what it measures |
+|---|---|---|
+| lsh_index_add_10pct | 4.54 | epoch-append of a 10% embedding batch into the live LSH layout — O(batch), vs 8.48 s full rebuild |
+| lsh_index_delete_5pct | 0.20 | tombstone write (id list under _tombstones) — deletes are metadata, not a rewrite |
+| lsh_incr_probe_batch10 | 2.27 | batch probe THROUGH the add+tombstone state (anti-join above the pruned scan) — at parity with the fresh-build probe row |
+| ivf_index_add_10pct | 2.42 | assign batch to the frozen persisted codebook + append into cell dirs |
+| jm_lm_search | 1.93 | Jelinek-Mercer LM over 5 queries — same broadcast-probe plan as Dirichlet (2.10) |
+| ad_lm_search | 2.37 | absolute-discount LM (one extra distinct-terms-per-doc aggregate, visible in the delta vs JM) |
+
+Honest regressions in the same run, all code-unchanged
+(git-diff-verified vs the r4 tree) and re-measured isolated:
+crawl_2rounds 16.2 -> 53.9 in-suite but 28.0 s in a fresh JVM
+(mapInPandas + per-round job constants; 2-3x host swings documented
+above); kmeans_clusters 2.99 -> 7.87 in-suite, isolated 8.0 cold /
+3.37 warm — the r4 number was a warm-plan read; cluster_sample /
+dsir_weights / dedup_index_build at 1.26-1.40x sit in the same
+variance band. No round-5 change touches those plans.
+
+Round-5 scaling windows on the final engine (this round's changes
+touch dedup/ANN/serving, not the index build — windows confirm the
+build path is still clean): 0.948 raw at a 4.11 ceiling (0.923
+ceiling-relative), 0.873 (ceiling 3.94, relative 0.886), 0.835
+(ceiling 3.87, relative 0.863) — three independent fresh-JVM windows,
+all over the 0.8 target, recorded in BENCH/scaling_runs.jsonl.
 """
         )
 
