@@ -125,6 +125,20 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
                 similarity.lsh_index_delete(
                     spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
                 )
+            elif kind == "lsh_stream":
+                # streaming maintenance: the index is the fold of
+                # AvailableNow epoch drains (two drops so the state
+                # genuinely has >1 epoch), probed like any LSH layout
+                from search_engine_spark.streaming.ann import lsh_index_stream
+
+                emb.filter(F.col("vec_id") % 2 == 0).write.mode(
+                    "overwrite"
+                ).parquet(f"{path}/in/drop0")
+                lsh_index_stream(spark, f"{path}/in/drop*", f"{path}/state")
+                emb.filter(F.col("vec_id") % 2 == 1).write.mode(
+                    "overwrite"
+                ).parquet(f"{path}/in/drop1")
+                lsh_index_stream(spark, f"{path}/in/drop*", f"{path}/state")
             else:  # ivf_incr: frozen codebook from the build half
                 similarity.build_ivf_index(
                     emb.filter(F.col("vec_id") % 2 == 0), path
@@ -139,7 +153,11 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
         # hold the LOADED handle, not the path: probes must not re-list
         # the partition directories per query (similarity docstrings);
         # load_* also resolves the incremental layouts' tombstones
-        if kind.startswith("lsh"):
+        if kind == "lsh_stream":
+            from search_engine_spark.streaming.ann import read_lsh_stream_index
+
+            _ANN_CACHE[key] = read_lsh_stream_index(spark, f"{path}/state")
+        elif kind.startswith("lsh"):
             _ANN_CACHE[key] = similarity.load_lsh_index(spark, path)
         else:
             _ANN_CACHE[key] = similarity.load_ivf_index(spark, path)
@@ -191,6 +209,19 @@ def _ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ann_index(spark, sf_dir, "ivf_incr")
     return similarity.ivf_index_topk(
         spark, idx, _query_vec(spark, sf_dir, 1), query_vec_id=1
+    )
+
+
+def _lsh_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the STREAM-maintained LSH state (two AvailableNow epoch
+    drains over the corpus halves): bucket rows are a bag, so the
+    fold of epochs probes identically to one fresh build — the oracle
+    is the plain LSH top-k SQL over all embeddings."""
+    from search_engine_spark.operators import similarity
+
+    idx = _ann_index(spark, sf_dir, "lsh_stream")
+    return similarity.lsh_index_topk(
+        spark, idx, _query_vec(spark, sf_dir, 0), query_vec_id=0
     )
 
 
@@ -2166,13 +2197,14 @@ _DRIVER_PRIORITY = [
     'filtered_cosine_topk', 'ivf_filtered_topk', 'pq_codes',
     'kmeans_clusters',
     # new round-5 operators (filled in as they land)
-    'lsh_incremental_topk', 'ivf_incremental_topk',
-    # remaining never-sampled picks (10)
+    'lsh_incremental_topk', 'ivf_incremental_topk', 'lsh_stream_topk',
+    # remaining never-sampled picks (9)
     'semdedup', 'doclen_quantiles', 'boolean_phrase_topk',
     'normalized_dedup', 'rm3_topk', 'mmr_topk', 'best_passage_topk',
-    'textrank_keywords', 'interleaved_ranking', 'rbo_depths',
+    'textrank_keywords', 'interleaved_ranking',
     # --- window boundary (~50) — below here: the rest of the
     # never-sampled set, then previously-green entries
+    'rbo_depths',
     'wildcard_terms', 'rank_eval', 'percolate_or', 'ltr_weights',
     'stemmed_df', 'bpe_segments', 'bpe_token_counts', 'ltr_scores',
     'distill_gate_scores', 'dsir_selected', 'dsir_sampled',
@@ -2543,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # delete, probed against a fresh-build-over-live-set oracle
         "lsh_incremental_topk": q(_lsh_incremental_topk),
         "ivf_incremental_topk": q(_ivf_incremental_topk),
+        "lsh_stream_topk": q(_lsh_stream_topk),
         "ivf_filtered_topk": q(_ivf_filtered_topk),
         "lsh_cosine_topk": q(_lsh_topk),
         "ivf_cosine_topk_batch": q(_ivf_topk_batch),
@@ -5475,6 +5508,9 @@ FROM agg""",
             seed_where="WHERE vec_id % 2 = 0",
             extra_cand_pred=" AND a.vec_id % 7 != 0",
         ),
+        # the stream-maintained state is a bag-equal fold of epochs, so
+        # the plain full-corpus LSH oracle is exactly its contract
+        "lsh_stream_topk": _lsh_cosine_topk_sql(),
         "ivf_filtered_topk": _ivf_cosine_topk_sql(label=1),
         "lsh_cosine_topk_batch": _lsh_cosine_batch_sql(),
         "ivf_cosine_topk_batch": _ivf_cosine_batch_sql(),
