@@ -77,6 +77,54 @@ def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: query string whose tokenize_query() output is exactly QUERY_TERMS
+_QUERY_STRING = " ".join(QUERY_TERMS)
+#: query-time thesaurus for synonym_bm25_topk (all words in the
+#: synthetic vocabulary; weights: originals 1.0, synonyms 0.5)
+_SYNONYMS = {"spark": ["stream"], "merge": ["join"]}
+_RECENCY_HALF_LIFE = 45.0
+
+
+def _msm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import msm_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return msm_search(
+        index, spark, {0: _QUERY_STRING}, k=10, min_should_match=2
+    )
+
+
+def _synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import synonym_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return synonym_search(
+        index, spark, {0: _QUERY_STRING}, _SYNONYMS, k=10, syn_weight=0.5
+    )
+
+
+def _recency_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import decay_search
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    # deterministic synthetic freshness: age_days = doc_id % 365
+    ages = docs.select(
+        "doc_id", (F.col("doc_id") % 365).cast("double").alias("age_days")
+    )
+    return decay_search(
+        index, spark, {0: _QUERY_STRING}, ages, k=10,
+        half_life=_RECENCY_HALF_LIFE,
+    )
+
 
 # materialized ANN indexes (similarity.build_lsh_index/build_ivf_index):
 # built once per sf_dir into a /tmp cache, then every query is a
@@ -2513,6 +2561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MMR diversified re-ranking (Carbonell & Goldstein 1998)
         "mmr_topk": q(_mmr_topk),
         "facet_counts": q(_facet_counts),
+        # serving extras: m-of-n retrieval, query-time thesaurus
+        # expansion, recency-decayed ranking (function_score analog)
+        "msm_bm25_topk": q(_msm_bm25),
+        "synonym_bm25_topk": q(_synonym_bm25),
+        "recency_bm25_topk": q(_recency_bm25),
         "prefix_terms": q(_prefix_terms),
         "wildcard_terms": q(_wildcard_terms),
         "wildcard_topk": q(_wildcard_topk),
@@ -2623,6 +2676,83 @@ SELECT {{qid}}doc_id, round(sum(
 FROM matched m
 JOIN df USING (term) JOIN dl USING (doc_id), stats
 GROUP BY doc_id{{qid_group}}
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+#: query.msm_search — the _BM25_SQL aggregate gated on matching >= 2
+#: distinct query terms (one row per (doc, term) in `matched`, so
+#: count(*) IS the distinct matched-term count).
+_MSM_SQL = f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT CAST(0 AS INTEGER) AS query_id, doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+), 6) AS score
+FROM matched m
+JOIN df USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+HAVING count(*) >= 2
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def _synonym_sql() -> str:
+    """query.synonym_search: weighted-term BM25 — originals at 1.0,
+    _SYNONYMS expansions at 0.5 (max weight on collision, none here)."""
+    weights: dict[str, float] = {t: 1.0 for t in QUERY_TERMS}
+    for t in QUERY_TERMS:
+        for s in _SYNONYMS.get(t, []):
+            weights[s] = max(weights.get(s, 0.0), 0.5)
+    vals = ", ".join(f"('{t}', {repr(w)})" for t, w in sorted(weights.items()))
+    in_set = "('" + "','".join(sorted(weights)) + "')"
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qw(term, w) AS (VALUES {vals}),
+matched AS (SELECT * FROM tf WHERE term IN {in_set}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term)
+SELECT CAST(0 AS INTEGER) AS query_id, doc_id, round(sum(
+    qw.w
+    * ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+), 6) AS score
+FROM matched m
+JOIN qw USING (term) JOIN df USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+_SYNONYM_SQL = _synonym_sql()
+
+#: query.decay_search — per-doc BM25 sum scaled by the exponential
+#: freshness prior 0.5^(age/half_life), age synthesized as doc_id % 365
+#: (same deterministic rule as the engine entry), decay applied BEFORE
+#: the top-k cut.
+_RECENCY_SQL = f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+rel AS (SELECT doc_id, sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ) AS relevance
+  FROM matched m
+  JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id)
+SELECT CAST(0 AS INTEGER) AS query_id, doc_id,
+       round(relevance * power(0.5, CAST(doc_id % 365 AS DOUBLE) / {repr(_RECENCY_HALF_LIFE)}), 6) AS score
+FROM rel
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
@@ -5255,6 +5385,9 @@ hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS})
 SELECT 0 AS query_id, d.{_FACET_COL} AS facet, count(*) AS n_docs
 FROM hits h JOIN documents d USING (doc_id)
 GROUP BY d.{_FACET_COL}""",
+        "msm_bm25_topk": _MSM_SQL,
+        "synonym_bm25_topk": _SYNONYM_SQL,
+        "recency_bm25_topk": _RECENCY_SQL,
         "prefix_terms": f"""
 WITH {_TOKENS}, {_TF}
 SELECT term, count(*) AS df FROM tf

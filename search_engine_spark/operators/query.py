@@ -1502,3 +1502,135 @@ def tiered_search(
     return kept_df.unionByName(tier2).orderBy(
         "query_id", F.col("score").desc(), F.col("doc_id").asc()
     )
+
+
+def msm_search(
+    index: InvertedIndex,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    k: int = 10,
+    min_should_match: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """minimum_should_match serving: BM25 OR-retrieval, but a doc only
+    qualifies when it matches >= `min_should_match` DISTINCT query
+    terms — the middle ground between the reference's OR-only serving
+    (app/main.py:67, quirk Q9) and the AND mode of `score_bm25`.
+
+    Plan: identical to `score_bm25` (broadcast dictionary seek, one
+    hash agg); the m-of-n constraint is a post-aggregation filter on
+    the per-doc matched-term count, so it adds ZERO shuffles and
+    shrinks the top-k window input — at 100 TB the filter drops the
+    long tail of 1-term matches before the per-query rank window.
+    """
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    terms = sorted({t for q in queries.values() for t in tokenize_query(q)})
+    qt = queries_to_terms(spark, queries)
+    if not terms:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    m = _matched(index, qt, terms)
+    scored = (
+        m.groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp).alias(
+                "score"
+            ),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .filter(F.col("n_matched") >= min_should_match)
+        .drop("n_matched")
+    )
+    return topk(scored, k)
+
+
+def synonym_search(
+    index: InvertedIndex,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    syn_weight: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Query-time synonym expansion: each query term contributes at
+    weight 1.0 and its thesaurus synonyms at `syn_weight`; per-doc
+    score = Σ_t w_t · idf_t · tf_norm_t. When an expansion collides
+    with an original term (or two originals share a synonym) the MAX
+    weight wins, so expansion can never down-weight a user term.
+
+    The expansion happens driver-side (queries and thesaurus rows are
+    tiny); the scoring plan is the same broadcast-join + single hash
+    agg as `score_bm25` — the weighted term table is just a 3-column
+    broadcast instead of 2. The synonym table itself never touches an
+    executor, which is what you want when the thesaurus lives in a
+    config store rather than the cluster.
+    """
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    rows: list[tuple[int, str, float]] = []
+    for qid, q in queries.items():
+        weights: dict[str, float] = {}
+        originals = list(dict.fromkeys(tokenize_query(q)))
+        for t in originals:
+            weights[t] = 1.0
+        for t in originals:
+            for s in synonyms.get(t, []):
+                weights[s] = max(weights.get(s, 0.0), syn_weight)
+        for term, w in weights.items():
+            rows.append((qid, term, w))
+    if not rows:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    qt = spark.createDataFrame(rows, "query_id int, term string, weight double")
+    terms = sorted({r[1] for r in rows})
+    m = _matched(index, qt, terms)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("weight") * F.col("bm25_idf") * F.col("tf_norm")), round_dp
+        ).alias("score")
+    )
+    return topk(scored, k)
+
+
+def decay_search(
+    index: InvertedIndex,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    doc_ages: DataFrame,
+    k: int = 10,
+    half_life: float = 30.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Recency-boosted serving (the function_score exponential-decay
+    analog): score = bm25 · 0.5^(age_days / half_life), applied BEFORE
+    the top-k cut so fresh documents can displace stale high-BM25 ones.
+
+    `doc_ages` is (doc_id, age_days) — corpus-sized, so it is NOT
+    broadcast: the multiply joins it against the per-doc aggregate
+    (already restricted to matching docs) on doc_id. At serving scale
+    the better layout is to fold the decay multiplier into `doc_stats`
+    as a doc-prior column at build/refresh time — the same score×prior
+    fusion `graph.fused_bm25_pagerank` uses — and this operator is the
+    query-time form for priors that change faster than the index
+    (freshness does; PageRank doesn't).
+    """
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    terms = sorted({t for q in queries.values() for t in tokenize_query(q)})
+    qt = queries_to_terms(spark, queries)
+    if not terms:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    m = _matched(index, qt, terms)
+    relevance = m.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("bm25_idf") * F.col("tf_norm")).alias("relevance")
+    )
+    decayed = relevance.join(doc_ages, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.col("relevance")
+            * F.pow(F.lit(0.5), F.col("age_days") / F.lit(float(half_life))),
+            round_dp,
+        ).alias("score"),
+    )
+    return topk(decayed, k)

@@ -1,0 +1,110 @@
+"""Serving extras: minimum_should_match retrieval, query-time synonym
+expansion, and recency-decay ranking (operators/query.py::msm_search /
+synonym_search / decay_search). Oracle value parity runs in
+test_entry_oracle.py; here: semantics the SQL comparison can't pin —
+the m-of-n gate actually gates, synonym weights boost without ever
+down-weighting originals, and the decay reorders BEFORE the k-cut.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.query import (
+    decay_search,
+    msm_search,
+    search,
+    synonym_search,
+)
+from search_engine_spark.operators.text_analytics import ws_tokens
+
+#: doc 1 matches both query terms, 2/3 one each, 4 only a synonym
+DOCS = [
+    (1, "spark merge spark line"),
+    (2, "spark line line line"),
+    (3, "merge line line line"),
+    (4, "stream stream line line"),
+    (5, "line line line line"),
+]
+QUERY = {0: "spark merge"}
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return build_index(docs, tokenizer=ws_tokens).cache()
+
+
+def test_msm_gates_on_distinct_matched_terms(spark, index):
+    both = msm_search(index, spark, QUERY, k=10, min_should_match=2).collect()
+    assert [r["doc_id"] for r in both] == [1]
+
+    any_ = msm_search(index, spark, QUERY, k=10, min_should_match=1)
+    assert {r["doc_id"] for r in any_.collect()} == {1, 2, 3}
+
+    none = msm_search(index, spark, QUERY, k=10, min_should_match=3)
+    assert none.count() == 0
+
+
+def test_msm_1_equals_or_retrieval(spark, index):
+    msm = msm_search(index, spark, QUERY, k=10, min_should_match=1).collect()
+    base = search(index, spark, QUERY, k=10).collect()
+    got = {(r["query_id"], r["doc_id"]): round(r["score"], 6) for r in msm}
+    want = {(r["query_id"], r["doc_id"]): round(r["score"], 6) for r in base}
+    assert got == want
+
+
+def test_synonym_expansion_recalls_and_boosts(spark, index):
+    plain = {r["doc_id"] for r in search(index, spark, QUERY, k=10).collect()}
+    assert 4 not in plain  # doc 4 has no original term
+
+    exp = synonym_search(
+        index, spark, QUERY, {"spark": ["stream"]}, k=10, syn_weight=0.5
+    ).collect()
+    by_doc = {r["doc_id"]: r["score"] for r in exp}
+    assert 4 in by_doc and by_doc[4] > 0
+
+    # weight 0 keeps the ranking of the original terms intact
+    zero = synonym_search(
+        index, spark, QUERY, {"spark": ["stream"]}, k=10, syn_weight=0.0
+    ).collect()
+    zd = {r["doc_id"]: r["score"] for r in zero if r["doc_id"] != 4}
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in search(index, spark, QUERY, k=10).collect()
+    }
+    assert zd == base
+
+
+def test_synonym_collision_keeps_original_weight(spark, index):
+    # a synonym that IS an original term must stay at weight 1.0
+    exp = synonym_search(
+        index, spark, QUERY, {"spark": ["merge"]}, k=10, syn_weight=0.25
+    ).collect()
+    base = search(index, spark, QUERY, k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in exp}
+    want = {r["doc_id"]: round(r["score"], 6) for r in base}
+    assert got == want
+
+
+def test_decay_reorders_before_topk(spark, index):
+    # doc 2 and 3 are symmetric one-term matches; age doc 2 heavily
+    ages = spark.createDataFrame(
+        [(1, 0.0), (2, 300.0), (3, 0.0), (4, 0.0), (5, 0.0)],
+        "doc_id long, age_days double",
+    )
+    out = decay_search(index, spark, QUERY, ages, k=2, half_life=30.0).collect()
+    assert [r["doc_id"] for r in out][0] == 1  # two-term match still wins
+    assert 2 not in {r["doc_id"] for r in out}  # stale doc displaced at k=2
+
+    # age 0 everywhere == plain bm25 scores
+    fresh = spark.createDataFrame(
+        [(d, 0.0) for d, _ in DOCS], "doc_id long, age_days double"
+    )
+    dec = decay_search(index, spark, QUERY, fresh, k=10, half_life=30.0).collect()
+    base = search(index, spark, QUERY, k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in dec}
+    want = {r["doc_id"]: round(r["score"], 6) for r in base}
+    assert got == want
