@@ -187,6 +187,18 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
                     "overwrite"
                 ).parquet(f"{path}/in/drop1")
                 lsh_index_stream(spark, f"{path}/in/drop*", f"{path}/state")
+            elif kind == "pq_incr":
+                # frozen codebooks from the build half (re-training
+                # would silently re-code every existing vector)
+                similarity.build_pq_index(
+                    emb.filter(F.col("vec_id") % 2 == 0), path, m=8, ks=16, iters=2
+                )
+                similarity.pq_index_add(
+                    emb.filter(F.col("vec_id") % 2 == 1), path
+                )
+                similarity.pq_index_delete(
+                    spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+                )
             else:  # ivf_incr: frozen codebook from the build half
                 similarity.build_ivf_index(
                     emb.filter(F.col("vec_id") % 2 == 0), path
@@ -207,6 +219,8 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
             _ANN_CACHE[key] = read_lsh_stream_index(spark, f"{path}/state")
         elif kind.startswith("lsh"):
             _ANN_CACHE[key] = similarity.load_lsh_index(spark, path)
+        elif kind.startswith("pq"):
+            _ANN_CACHE[key] = similarity.load_pq_index(spark, path)
         else:
             _ANN_CACHE[key] = similarity.load_ivf_index(spark, path)
     return _ANN_CACHE[key]
@@ -244,6 +258,19 @@ def _lsh_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ann_index(spark, sf_dir, "lsh_incr")
     return similarity.lsh_index_topk(
+        spark, idx, _query_vec(spark, sf_dir, 1), query_vec_id=1
+    )
+
+
+def _pq_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ twin of _lsh_incremental_topk: codebooks frozen from the
+    build half (standard PQ — codes append, the quantizer doesn't
+    move), so the oracle trains its Lloyd trajectory on vec_id % 2 = 0
+    and encodes the live set with the result."""
+    from search_engine_spark.operators import similarity
+
+    idx = _ann_index(spark, sf_dir, "pq_incr")
+    return similarity.pq_index_topk(
         spark, idx, _query_vec(spark, sf_dir, 1), query_vec_id=1
     )
 
@@ -2628,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # delete, probed against a fresh-build-over-live-set oracle
         "lsh_incremental_topk": q(_lsh_incremental_topk),
         "ivf_incremental_topk": q(_ivf_incremental_topk),
+        "pq_incremental_topk": q(_pq_incremental_topk),
         "lsh_stream_topk": q(_lsh_stream_topk),
         "ivf_filtered_topk": q(_ivf_filtered_topk),
         "lsh_cosine_topk": q(_lsh_topk),
@@ -4599,19 +4627,31 @@ SELECT km.vec_id, km.cell FROM km JOIN thr USING (cell)
 WHERE {h} % 1000000 < thr.thr"""
 
 
-def _pq_ctes(m: int = 8, ks: int = 16, iters: int = 2, dim: int = 64) -> tuple[str, str, str]:
+def _pq_ctes(
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    train_where: str = "",
+    live_where: str | None = None,
+) -> tuple[str, str, str]:
     """CTE chain replaying similarity.pq_train + pq_assign: per-subspace
     Lloyd on the fixed-point grid (same salt, rounding, tie rules as
     _kmeans_sql, with the subspace id joined through every step).
-    Returns (ctes, final_assign_cte, final_codebook_cte)."""
+    Returns (ctes, final_assign_cte, final_codebook_cte).
+
+    `train_where` restricts the Lloyd training set (the incremental
+    contract: codebooks frozen from the build half); `live_where`, when
+    set, makes the FINAL assignment run over that subset instead of the
+    training set (encode-with-frozen-codebooks over the live corpus)."""
     h = _h64_sql("'pq|' || CAST(vec_id AS VARCHAR)")
     dsub = dim // m
 
-    def assign(cents: str, d: str, a: str) -> str:
+    def assign(cents: str, d: str, a: str, src: str = "e") -> str:
         return f"""
 {d} AS MATERIALIZED (SELECT x.vec_id, x.s, c.cell,
         round(sum((x.v - c.m)*(x.v - c.m)), 9) AS d2
-        FROM e x JOIN {cents} c ON c.s = x.s AND c.j = x.j
+        FROM {src} x JOIN {cents} c ON c.s = x.s AND c.j = x.j
         GROUP BY x.vec_id, x.s, c.cell),
 {a} AS MATERIALIZED (SELECT vec_id, s, cell, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, s
@@ -4631,9 +4671,9 @@ def _pq_ctes(m: int = 8, ks: int = 16, iters: int = 2, dim: int = 64) -> tuple[s
   SELECT vec_id, g.i // {dsub} AS s, g.i % {dsub} AS j,
          CAST(embedding[g.i + 1] AS DOUBLE) AS v
   FROM embeddings,
-       (SELECT unnest(generate_series(0, {dim - 1})) AS i) g),
+       (SELECT unnest(generate_series(0, {dim - 1})) AS i) g {train_where}),
 rk AS (SELECT vec_id, row_number() OVER (ORDER BY {h} ASC, vec_id ASC) - 1 AS cell
-       FROM embeddings ORDER BY {h} ASC, vec_id ASC LIMIT {ks}),
+       FROM embeddings {train_where} ORDER BY {h} ASC, vec_id ASC LIMIT {ks}),
 c0 AS MATERIALIZED (SELECT x.s, r.cell, x.j, round(x.v, 6) AS m
       FROM rk r JOIN e x ON x.vec_id = r.vec_id)"""
     cur = "c0"
@@ -4641,7 +4681,16 @@ c0 AS MATERIALIZED (SELECT x.s, r.cell, x.j, round(x.v, 6) AS m
         sql += "," + assign(cur, f"pd{it}", f"pa{it}")
         sql += "," + update(cur, f"pa{it}", f"c{it + 1}")
         cur = f"c{it + 1}"
-    sql += "," + assign(cur, "pdF", "paF")
+    if live_where is not None:
+        sql += f""",
+el AS MATERIALIZED (
+  SELECT vec_id, g.i // {dsub} AS s, g.i % {dsub} AS j,
+         CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings,
+       (SELECT unnest(generate_series(0, {dim - 1})) AS i) g {live_where})"""
+        sql += "," + assign(cur, "pdF", "paF", src="el")
+    else:
+        sql += "," + assign(cur, "pdF", "paF")
     return sql, "paF", cur
 
 
@@ -4661,6 +4710,27 @@ lut AS (SELECT c.s, c.cell, sum((q.v - c.m)*(q.v - c.m)) AS qd2
 adc AS (SELECT a.vec_id, sum(l.qd2) AS adc
         FROM {final} a JOIN lut l ON l.s = a.s AND l.cell = a.cell
         WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+SELECT vec_id, round(adc, 6) AS adc FROM adc
+ORDER BY adc ASC, vec_id ASC LIMIT {k}"""
+
+
+def _pq_incr_adc_sql(k: int = 10) -> str:
+    """similarity build_pq_index(even) → pq_index_add(odd) →
+    pq_index_delete(%7==0) → pq_index_topk(qvec 1): codebooks trained
+    on the build half only, codes encoded over the LIVE set with those
+    frozen codebooks, ADC against query vector 1."""
+    ctes, final, cents = _pq_ctes(
+        train_where="WHERE vec_id % 2 = 0",
+        live_where="WHERE vec_id % 7 <> 0",
+    )
+    return f"""WITH {ctes},
+q AS (SELECT s, j, v FROM el WHERE vec_id = 1),
+lut AS (SELECT c.s, c.cell, sum((q.v - c.m)*(q.v - c.m)) AS qd2
+        FROM {cents} c JOIN q ON q.s = c.s AND q.j = c.j
+        GROUP BY c.s, c.cell),
+adc AS (SELECT a.vec_id, sum(l.qd2) AS adc
+        FROM {final} a JOIN lut l ON l.s = a.s AND l.cell = a.cell
+        WHERE a.vec_id <> 1 GROUP BY a.vec_id)
 SELECT vec_id, round(adc, 6) AS adc FROM adc
 ORDER BY adc ASC, vec_id ASC LIMIT {k}"""
 
@@ -5672,5 +5742,6 @@ WHERE rep.n_tokens BETWEEN 20 AND 100000
         "textrank_keywords": _textrank_sql(k=3, window=2, iters=5),
         "pq_codes": _pq_codes_sql(),
         "pq_adc_topk": _pq_adc_sql(),
+        "pq_incremental_topk": _pq_incr_adc_sql(),
     }
     return _prioritize(all_o)

@@ -1613,3 +1613,133 @@ def centroid_classify(
         label_arr[col("cell").cast("int")].alias("predicted"),
         F.round(col("d2"), 6).alias("d2"),
     )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Materialize the PQ serving index: the trained codebooks (tiny —
+    m·ks·(d/m) = ks·d doubles) persisted under {path}/books plus the
+    packed codes table under {path}/codes, so the ADC serving loop
+    reads n·m small ints and never touches the raw vectors (the same
+    build-once/probe-many split as build_lsh_index / build_ivf_index).
+
+    `codebooks` (optional) freezes the quantizer instead of training it
+    from `embeddings` — the incremental contract: pq_index_add encodes
+    new batches against the PERSISTED codebooks (standard PQ practice —
+    re-training would silently re-code every existing vector), so
+    (build(A) then add(B)) equals build(A∪B, codebooks=train(A))
+    exactly (parity-tested). Deletes tombstone under {path}/_tombstones
+    like the LSH/IVF layouts; pq_index_compact rewrites without them.
+    """
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, ks=ks, iters=iters)
+    spark = embeddings.sparkSession
+    rows = [
+        (s, cell, j, float(v))
+        for s, book in enumerate(codebooks)
+        for cell, cent in enumerate(book)
+        for j, v in enumerate(cent)
+    ]
+    spark.createDataFrame(
+        rows, "s long, cell long, j long, m double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    pq_encode(embeddings, codebooks).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def _read_pq_books(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(int(r["s"]) for r in rows)
+    ks = 1 + max(int(r["cell"]) for r in rows)
+    dsub = 1 + max(int(r["j"]) for r in rows)
+    books = [[[0.0] * dsub for _ in range(ks)] for _ in range(m)]
+    for r in rows:
+        books[int(r["s"])][int(r["cell"])][int(r["j"])] = float(r["m"])
+    return books
+
+
+def pq_index_add(new_embeddings: DataFrame, path: str) -> None:
+    """Epoch-append a new embedding batch into a build_pq_index layout:
+    encode the batch with the index's PERSISTED codebooks (read back,
+    never re-trained) and parquet-append into the codes table —
+    O(batch) narrow work, one pass, no touch of existing codes. Probe
+    results equal a frozen-codebook full rebuild over the union
+    (parity-tested); mirrors lsh_index_add / ivf_index_add."""
+    spark = new_embeddings.sparkSession
+    books = _read_pq_books(spark, path)
+    pq_encode(new_embeddings, books).write.mode("append").parquet(
+        f"{path}/codes"
+    )
+
+
+def pq_index_delete(spark, path: str, vec_ids) -> None:
+    """Tombstone vec_ids in a build_pq_index layout (append-only id
+    list under {path}/_tombstones; resolved by load_pq_index's
+    anti-join) — see lsh_index_delete."""
+    if isinstance(vec_ids, DataFrame):
+        tomb = vec_ids.select(col(vec_ids.columns[0]).cast("long").alias("vec_id"))
+    else:
+        tomb = spark.createDataFrame([(int(v),) for v in vec_ids], "vec_id long")
+    tomb.coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+
+
+def load_pq_index(spark, path: str):
+    """One-time load of a build_pq_index layout for a serving loop:
+    (codebooks, codes DataFrame with tombstones anti-joined). The
+    anti-join is broadcast-sized between compactions; codes stay a
+    narrow (vec_id, m-int array) scan."""
+    import os
+
+    books = _read_pq_books(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    tpath = f"{path}/_tombstones"
+    if os.path.exists(tpath):
+        tomb = spark.read.parquet(tpath)
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return books, codes
+
+
+def pq_index_compact(spark, path: str) -> None:
+    """Rewrite the codes table without tombstoned rows (books are
+    untouched — compaction never re-trains). Temp-sibling + swap like
+    lsh_index_compact so a crash leaves the old layout intact."""
+    import os
+    import shutil
+
+    _, codes = load_pq_index(spark, path)
+    tmp = f"{path}/codes__compact"
+    codes.write.mode("overwrite").parquet(tmp)
+    old = f"{path}/codes__old"
+    os.rename(f"{path}/codes", old)
+    os.rename(tmp, f"{path}/codes")
+    shutil.rmtree(old)
+    tpath = f"{path}/_tombstones"
+    if os.path.exists(tpath):
+        shutil.rmtree(tpath)
+
+
+def pq_index_topk(
+    spark,
+    index,
+    query_vec: list[float],
+    query_vec_id: int = -1,
+    k: int = 10,
+) -> DataFrame:
+    """(vec_id, adc): ADC top-k against a loaded build_pq_index handle
+    — same literal-LUT narrow scan as pq_adc_topk, served from the
+    materialized codes instead of an inline encode. `index` is a
+    load_pq_index handle or a layout path."""
+    if isinstance(index, str):
+        index = load_pq_index(spark, index)
+    books, codes = index
+    return pq_adc_topk(
+        None, books, query_vec_id=query_vec_id, k=k,
+        codes=codes, query_vec=[float(x) for x in query_vec],
+    )

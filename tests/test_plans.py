@@ -497,3 +497,34 @@ def test_forward_index_probe_prunes_on_doc_id(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, live.collect())
     )
+
+
+def test_serving_extras_keep_the_bm25_plan_shape(spark, stored_index):
+    """msm_search / synonym_search add zero shuffles over score_bm25:
+    same broadcast dictionary-seek, same pushed In(term) predicate."""
+    from search_engine_spark.operators.query import msm_search, synonym_search
+
+    _, idx = stored_index
+    q = {0: "hippopotamus ladder"}
+    for df in (
+        msm_search(idx, spark, q, k=10, min_should_match=2),
+        synonym_search(idx, spark, q, {"ladder": ["hippopotamus"]}, k=10),
+    ):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan, plan[:3000]
+        assert "In(term" in plan, plan[:2000]
+
+
+def test_decay_search_pushes_term_filter(spark, stored_index):
+    """decay_search's extra ages join happens AFTER the per-doc
+    aggregate (on the matched-docs relation, not the postings scan);
+    the dictionary seek must still reach the scan."""
+    from search_engine_spark.operators.query import decay_search
+
+    _, idx = stored_index
+    ages = idx.doc_stats.select(
+        "doc_id", (F.col("doc_id") % 365).cast("double").alias("age_days")
+    )
+    plan = _plan(decay_search(idx, spark, {0: "hippopotamus ladder"}, ages, k=10))
+    assert "In(term" in plan, plan[:2000]

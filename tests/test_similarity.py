@@ -764,3 +764,56 @@ def test_ivf_incremental_add_delete_equals_frozen_seed_build(spark, tmp_path):
     b2 = sim.ivf_index_topk(spark, fresh2, qvec, query_vec_id=1).collect()
     assert [tuple(r) for r in a2] == [tuple(r) for r in b2]
     assert not {r["vec_id"] for r in a2} & set(dead)
+
+
+def test_pq_incremental_add_delete_equals_frozen_codebook_build(spark, tmp_path):
+    from search_engine_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    incr = str(tmp_path / "incr")
+    sim.build_pq_index(base, incr, m=8, ks=16, iters=2)
+    frozen = sim._read_pq_books(spark, incr)
+    sim.pq_index_add(batch, incr)
+
+    fresh = str(tmp_path / "fresh")
+    sim.build_pq_index(emb, fresh, codebooks=frozen)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    a = sim.pq_index_topk(spark, incr, qvec, query_vec_id=1).collect()
+    b = sim.pq_index_topk(spark, fresh, qvec, query_vec_id=1).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # codebooks survive the parquet round-trip value-exactly, so the
+    # appended batch's codes match an inline encode with the originals
+    inline = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in sim.pq_encode(batch, frozen).collect()
+    }
+    stored = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{incr}/codes")
+        .join(batch.select("vec_id"), "vec_id", "left_semi")
+        .collect()
+    }
+    assert inline == stored
+
+    dead = [int(r["vec_id"]) for r in emb.filter(F.col("vec_id") % 7 == 0).collect()]
+    sim.pq_index_delete(spark, incr, dead)
+    fresh2 = str(tmp_path / "fresh2")
+    sim.build_pq_index(
+        emb.filter(F.col("vec_id") % 7 != 0), fresh2, codebooks=frozen
+    )
+    a2 = sim.pq_index_topk(spark, incr, qvec, query_vec_id=1).collect()
+    b2 = sim.pq_index_topk(spark, fresh2, qvec, query_vec_id=1).collect()
+    assert [tuple(r) for r in a2] == [tuple(r) for r in b2]
+    assert not {r["vec_id"] for r in a2} & set(dead)
+
+    # compact: tombstones physically gone, probes unchanged
+    sim.pq_index_compact(spark, incr)
+    import os
+
+    assert not os.path.exists(f"{incr}/_tombstones")
+    a3 = sim.pq_index_topk(spark, incr, qvec, query_vec_id=1).collect()
+    assert [tuple(r) for r in a3] == [tuple(r) for r in a2]
