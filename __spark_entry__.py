@@ -2273,13 +2273,15 @@ _DRIVER_PRIORITY = [
     'kmeans_clusters',
     # new round-5 operators (filled in as they land)
     'lsh_incremental_topk', 'ivf_incremental_topk', 'lsh_stream_topk',
-    # remaining never-sampled picks (9)
-    'semdedup', 'doclen_quantiles', 'boolean_phrase_topk',
-    'normalized_dedup', 'rm3_topk', 'mmr_topk', 'best_passage_topk',
-    'textrank_keywords', 'interleaved_ranking',
+    'msm_bm25_topk', 'synonym_bm25_topk', 'recency_bm25_topk',
+    'pq_incremental_topk',
+    # remaining never-sampled picks (5)
+    'semdedup', 'normalized_dedup', 'rm3_topk', 'mmr_topk',
+    'best_passage_topk',
     # --- window boundary (~50) — below here: the rest of the
     # never-sampled set, then previously-green entries
-    'rbo_depths',
+    'doclen_quantiles', 'boolean_phrase_topk', 'textrank_keywords',
+    'interleaved_ranking', 'rbo_depths',
     'wildcard_terms', 'rank_eval', 'percolate_or', 'ltr_weights',
     'stemmed_df', 'bpe_segments', 'bpe_token_counts', 'ltr_scores',
     'distill_gate_scores', 'dsir_selected', 'dsir_sampled',
