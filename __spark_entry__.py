@@ -810,6 +810,21 @@ def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(index, qt, docs, _FACET_COL, terms=QUERY_TERMS)
 
 
+def _facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import top_hits_by_facet
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir)
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return top_hits_by_facet(
+        index, qt, docs, _FACET_COL, n=3, terms=QUERY_TERMS
+    )
+
+
 def _prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import prefix_terms
@@ -2274,14 +2289,13 @@ _DRIVER_PRIORITY = [
     # new round-5 operators (filled in as they land)
     'lsh_incremental_topk', 'ivf_incremental_topk', 'lsh_stream_topk',
     'msm_bm25_topk', 'synonym_bm25_topk', 'recency_bm25_topk',
-    'pq_incremental_topk',
-    # remaining never-sampled picks (5)
+    'pq_incremental_topk', 'facet_top_hits',
+    # remaining never-sampled picks (4)
     'semdedup', 'normalized_dedup', 'rm3_topk', 'mmr_topk',
-    'best_passage_topk',
     # --- window boundary (~50) — below here: the rest of the
     # never-sampled set, then previously-green entries
-    'doclen_quantiles', 'boolean_phrase_topk', 'textrank_keywords',
-    'interleaved_ranking', 'rbo_depths',
+    'best_passage_topk', 'doclen_quantiles', 'boolean_phrase_topk',
+    'textrank_keywords', 'interleaved_ranking', 'rbo_depths',
     'wildcard_terms', 'rank_eval', 'percolate_or', 'ltr_weights',
     'stemmed_df', 'bpe_segments', 'bpe_token_counts', 'ltr_scores',
     'distill_gate_scores', 'dsir_selected', 'dsir_sampled',
@@ -2590,6 +2604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MMR diversified re-ranking (Carbonell & Goldstein 1998)
         "mmr_topk": q(_mmr_topk),
         "facet_counts": q(_facet_counts),
+        # per-facet-bucket top hits (terms agg + top_hits sub-agg)
+        "facet_top_hits": q(_facet_top_hits),
         # serving extras: m-of-n retrieval, query-time thesaurus
         # expansion, recency-decayed ranking (function_score analog)
         "msm_bm25_topk": q(_msm_bm25),
@@ -5457,6 +5473,32 @@ hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS})
 SELECT 0 AS query_id, d.{_FACET_COL} AS facet, count(*) AS n_docs
 FROM hits h JOIN documents d USING (doc_id)
 GROUP BY d.{_FACET_COL}""",
+        "facet_top_hits": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+scored AS (
+  SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m
+  JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(0 AS INTEGER) AS query_id, d.{_FACET_COL} AS facet,
+         s.doc_id, s.score,
+         CAST(row_number() OVER (
+           PARTITION BY d.{_FACET_COL}
+           ORDER BY s.score DESC, s.doc_id ASC
+         ) AS INTEGER) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT query_id, facet, doc_id, score, rn FROM ranked WHERE rn <= 3
+ORDER BY facet, rn""",
         "msm_bm25_topk": _MSM_SQL,
         "synonym_bm25_topk": _SYNONYM_SQL,
         "recency_bm25_topk": _RECENCY_SQL,

@@ -980,6 +980,49 @@ def facet_counts(
     )
 
 
+def top_hits_by_facet(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    dims: DataFrame,
+    facet: str,
+    n: int = 3,
+    terms: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, facet, doc_id, score, rn): the top-n hits INSIDE each
+    facet bucket — the `terms` aggregation with a `top_hits` sub-agg, the
+    "best match per category" view a faceted search frontend renders
+    under each filter chip (beyond-reference; the reference serves a
+    single flat ranking, app/main.py:51-95).
+
+    Plan: the isin-pruned broadcast-join match (postings never shuffle)
+    → one hash agg to per-doc BM25 → equi-join the 2-column facet
+    projection → per-(query, bucket) row_number ≤ n. The rank filter
+    compiles to WindowGroupLimit, so each shuffle partition keeps only
+    its local n candidates per bucket before the final per-bucket sort —
+    at 10^12 docs the post-match relation is the only thing shuffled,
+    and it is cut to n·|buckets| rows partition-locally. Scores are
+    rounded BEFORE the cut so tie-breaks are reproducible across plans.
+    """
+    m = _matched(index, query_terms, terms)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp
+        ).alias("score")
+    )
+    dim = dims.select("doc_id", F.col(facet).alias("facet"))
+    w = Window.partitionBy("query_id", "facet").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(dim, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("query_id", "facet", "doc_id", "score", "rn")
+        .orderBy("query_id", "facet", "rn")
+    )
+
+
 def prefix_terms(index: InvertedIndex, prefix: str) -> DataFrame:
     """(term, df): the dictionary range matching a prefix — the
     wildcard-query primitive (`spar*`). With the index laid out sorted

@@ -528,3 +528,26 @@ def test_decay_search_pushes_term_filter(spark, stored_index):
     )
     plan = _plan(decay_search(idx, spark, {0: "hippopotamus ladder"}, ages, k=10))
     assert "In(term" in plan, plan[:2000]
+
+
+def test_facet_top_hits_rank_cut_is_group_limit(spark, stored_index):
+    """top_hits_by_facet's rn <= n filter must compile to
+    WindowGroupLimit (per-partition group-limit before the bucket
+    sort), and the postings match must stay broadcast-joined."""
+    from search_engine_spark.operators.query import top_hits_by_facet
+
+    _, idx = stored_index
+    qt = spark.createDataFrame(
+        [(0, "hippopotamus"), (0, "ladder")], "query_id int, term string"
+    )
+    dims = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("source"),
+    )
+    plan = _plan(
+        top_hits_by_facet(
+            idx, qt, dims, "source", n=3, terms=["hippopotamus", "ladder"]
+        )
+    )
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan

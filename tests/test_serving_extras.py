@@ -108,3 +108,32 @@ def test_decay_reorders_before_topk(spark, index):
     got = {r["doc_id"]: r["score"] for r in dec}
     want = {r["doc_id"]: round(r["score"], 6) for r in base}
     assert got == want
+
+
+def test_top_hits_by_facet_buckets_and_cut(spark, index):
+    from search_engine_spark.operators.query import top_hits_by_facet
+
+    dims = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+        "doc_id long, source string",
+    )
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "merge")], "query_id int, term string"
+    )
+    out = top_hits_by_facet(
+        index, qt, dims, "source", n=1, terms=["spark", "merge"]
+    ).collect()
+    # bucket a: doc 1 (two-term match) wins; bucket b: only doc 3 matches
+    got = {(r["facet"], r["rn"]): r["doc_id"] for r in out}
+    assert got == {("a", 1): 1, ("b", 1): 3}
+    # non-matching docs (4, 5) never appear even with a larger n
+    wide = top_hits_by_facet(
+        index, qt, dims, "source", n=10, terms=["spark", "merge"]
+    ).collect()
+    assert {r["doc_id"] for r in wide} == {1, 2, 3}
+    # rn is dense per bucket and ordered by score desc
+    a_rows = sorted(
+        [r for r in wide if r["facet"] == "a"], key=lambda r: r["rn"]
+    )
+    assert [r["rn"] for r in a_rows] == [1, 2]
+    assert a_rows[0]["score"] >= a_rows[1]["score"]
