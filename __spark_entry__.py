@@ -825,6 +825,44 @@ def _facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import date_histogram_hits
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    # deterministic synthetic publish time: 2026-01-01 + (doc_id % 90) d
+    times = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(date_add(DATE'2026-01-01', CAST(doc_id % 90 AS INT))"
+            " AS TIMESTAMP)"
+        ).alias("ts"),
+    )
+    return date_histogram_hits(
+        index, qt, times, interval="week", terms=QUERY_TERMS
+    )
+
+
+def _significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import significant_terms
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return significant_terms(
+        index, qt, k_hits=50, top_terms=10, terms=QUERY_TERMS
+    )
+
+
 def _prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import prefix_terms
@@ -2289,12 +2327,14 @@ _DRIVER_PRIORITY = [
     # new round-5 operators (filled in as they land)
     'lsh_incremental_topk', 'ivf_incremental_topk', 'lsh_stream_topk',
     'msm_bm25_topk', 'synonym_bm25_topk', 'recency_bm25_topk',
-    'pq_incremental_topk', 'facet_top_hits',
-    # remaining never-sampled picks (4)
-    'semdedup', 'normalized_dedup', 'rm3_topk', 'mmr_topk',
+    'pq_incremental_topk', 'facet_top_hits', 'date_histogram_hits',
+    'significant_terms',
+    # remaining never-sampled picks (2)
+    'semdedup', 'rm3_topk',
     # --- window boundary (~50) — below here: the rest of the
     # never-sampled set, then previously-green entries
-    'best_passage_topk', 'doclen_quantiles', 'boolean_phrase_topk',
+    'normalized_dedup', 'mmr_topk', 'best_passage_topk',
+    'doclen_quantiles', 'boolean_phrase_topk',
     'textrank_keywords', 'interleaved_ranking', 'rbo_depths',
     'wildcard_terms', 'rank_eval', 'percolate_or', 'ltr_weights',
     'stemmed_df', 'bpe_segments', 'bpe_token_counts', 'ltr_scores',
@@ -2606,6 +2646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q(_facet_counts),
         # per-facet-bucket top hits (terms agg + top_hits sub-agg)
         "facet_top_hits": q(_facet_top_hits),
+        # hits-over-time sparkline (date_histogram aggregation)
+        "date_histogram_hits": q(_date_histogram),
+        # foreground-vs-corpus keyness over the hit set (JLH)
+        "significant_terms": q(_significant_terms),
         # serving extras: m-of-n retrieval, query-time thesaurus
         # expansion, recency-decayed ranking (function_score analog)
         "msm_bm25_topk": q(_msm_bm25),
@@ -5499,6 +5543,50 @@ ranked AS (
 )
 SELECT query_id, facet, doc_id, score, rn FROM ranked WHERE rn <= 3
 ORDER BY facet, rn""",
+        "date_histogram_hits": f"""
+WITH {_TOKENS}, {_TF},
+hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS})
+SELECT CAST(0 AS INTEGER) AS query_id,
+       CAST(date_trunc('week', CAST(DATE '2026-01-01'
+         + CAST(doc_id % 90 AS INTEGER) AS TIMESTAMP)) AS TIMESTAMP)
+         AS bucket,
+       count(*) AS n_docs
+FROM hits GROUP BY 2""",
+        "significant_terms": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+scored AS (
+  SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m
+  JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+),
+hits AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50),
+fg_size AS (SELECT count(*) AS fg_size FROM hits),
+fg AS (SELECT term, count(*) AS fg_df FROM tf JOIN hits USING (doc_id)
+       GROUP BY term),
+bg AS (SELECT term, count(*) AS bg_df FROM tf GROUP BY term),
+ranked AS (
+  SELECT CAST(0 AS INTEGER) AS query_id, f.term,
+         f.fg_df, CAST(b.bg_df AS BIGINT) AS bg_df,
+         round(
+           ((CAST(f.fg_df AS DOUBLE) / s.fg_size)
+             - (CAST(b.bg_df AS DOUBLE) / stats.n))
+           * ((CAST(f.fg_df AS DOUBLE) / s.fg_size)
+             / (CAST(b.bg_df AS DOUBLE) / stats.n)), 6) AS score
+  FROM fg f JOIN bg b USING (term), fg_size s, stats
+)
+SELECT query_id, term, fg_df, bg_df, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+  FROM ranked
+) WHERE rn <= 10
+ORDER BY score DESC, term""",
         "msm_bm25_topk": _MSM_SQL,
         "synonym_bm25_topk": _SYNONYM_SQL,
         "recency_bm25_topk": _RECENCY_SQL,

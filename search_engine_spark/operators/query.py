@@ -1023,6 +1023,101 @@ def top_hits_by_facet(
     )
 
 
+def date_histogram_hits(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    doc_times: DataFrame,
+    interval: str = "day",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(query_id, bucket, n_docs): hit counts per time bucket — the
+    date_histogram aggregation, the "results over time" sparkline a
+    search frontend draws above the hit list (beyond-reference).
+
+    `doc_times` is (doc_id, ts). Plan: isin-pruned broadcast match →
+    distinct (query, doc) → equi-join the 2-column time projection →
+    date_trunc → one hash agg. Bucketing happens AFTER the join but the
+    projection keeps the shuffled payload at two columns; at corpus
+    scale the right layout is a ts column in doc_stats so the histogram
+    never touches a second table.
+    """
+    m = _matched(index, query_terms, terms)
+    hits = m.select("query_id", "doc_id").distinct()
+    tdim = doc_times.select(
+        "doc_id", F.date_trunc(interval, F.col("ts")).alias("bucket")
+    )
+    return (
+        hits.join(tdim, "doc_id")
+        .groupBy("query_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def significant_terms(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k_hits: int = 100,
+    top_terms: int = 10,
+    terms: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, term, fg_df, bg_df, score): the significant_terms
+    aggregation — terms over-represented in a query's result set vs the
+    corpus, scored with JLH: (fg% − bg%) · (fg% / bg%)
+    (beyond-reference; same foreground/background shape as
+    analytics.source_keyness but query-conditioned).
+
+    The foreground is the top-`k_hits` BM25 hits (the sampler-agg
+    guard: it bounds the foreground at k·|queries| rows so it is
+    BROADCAST into the postings join — the corpus-sized postings
+    relation is never shuffled on doc_id). Scores are rounded before
+    the per-query top-terms cut; ties break on term ASC.
+    """
+    m = _matched(index, query_terms, terms)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp
+        ).alias("score")
+    )
+    hits = topk(scored, k_hits).select("query_id", "doc_id")
+    fg_size = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("fg_size")
+    )
+    # terms of the foreground docs: broadcast the bounded hit set
+    fg = (
+        index.postings.join(F.broadcast(hits), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    # background df: stream term_stats past the broadcast foreground
+    bg = index.term_stats.select("term", F.col("df").alias("bg_df"))
+    n = float(index.n_docs)
+    fg_pct = F.col("fg_df") / F.col("fg_size")
+    bg_pct = F.col("bg_df") / F.lit(n)
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    ranked = (
+        F.broadcast(fg)
+        .join(bg, "term")
+        .join(F.broadcast(fg_size), "query_id")
+        .select(
+            "query_id",
+            "term",
+            "fg_df",
+            F.col("bg_df").cast("long").alias("bg_df"),
+            F.round(jlh, round_dp).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_terms)
+        .drop("rn")
+        .orderBy("query_id", F.col("score").desc(), "term")
+    )
+
+
 def prefix_terms(index: InvertedIndex, prefix: str) -> DataFrame:
     """(term, df): the dictionary range matching a prefix — the
     wildcard-query primitive (`spar*`). With the index laid out sorted

@@ -551,3 +551,20 @@ def test_facet_top_hits_rank_cut_is_group_limit(spark, stored_index):
     )
     assert "WindowGroupLimit" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_significant_terms_never_shuffles_postings_on_doc(spark, stored_index):
+    """The foreground hit set must be BROADCAST into the postings join
+    (no SortMergeJoin anywhere): at corpus scale a doc_id-keyed shuffle
+    of postings would dwarf the query itself."""
+    from search_engine_spark.operators.query import significant_terms
+
+    _, idx = stored_index
+    qt = spark.createDataFrame(
+        [(0, "hippopotamus")], "query_id int, term string"
+    )
+    plan = _plan(
+        significant_terms(idx, qt, k_hits=20, terms=["hippopotamus"])
+    )
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan

@@ -137,3 +137,48 @@ def test_top_hits_by_facet_buckets_and_cut(spark, index):
     )
     assert [r["rn"] for r in a_rows] == [1, 2]
     assert a_rows[0]["score"] >= a_rows[1]["score"]
+
+
+def test_date_histogram_buckets_matched_docs(spark, index):
+    from search_engine_spark.operators.query import date_histogram_hits
+
+    times = spark.createDataFrame(
+        [(1, "2026-01-01"), (2, "2026-01-02"), (3, "2026-01-15"),
+         (4, "2026-01-15"), (5, "2026-01-15")],
+        "doc_id long, d string",
+    ).select("doc_id", F.col("d").cast("timestamp").alias("ts"))
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "merge")], "query_id int, term string"
+    )
+    out = date_histogram_hits(
+        index, qt, times, interval="week", terms=["spark", "merge"]
+    ).collect()
+    # docs 1-3 match; 1+2 share the week of 2025-12-29, 3 is alone
+    got = {(str(r["bucket"])[:10]): r["n_docs"] for r in out}
+    assert got == {"2025-12-29": 2, "2026-01-12": 1}
+
+
+def test_significant_terms_surfaces_cooccurring_term(spark):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import significant_terms
+
+    # 'needle' rides along with every 'spark' doc; 'noise' is uniform
+    docs = spark.createDataFrame(
+        [(1, "spark needle noise"), (2, "spark needle noise"),
+         (3, "spark needle"), (4, "other noise"), (5, "other noise"),
+         (6, "other noise"), (7, "other"), (8, "other")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame([(0, "spark")], "query_id int, term string")
+    out = significant_terms(
+        idx, qt, k_hits=10, top_terms=3, terms=["spark"]
+    ).collect()
+    ranked = [r["term"] for r in out]
+    # spark + needle saturate the foreground (fg% = 1) with tiny bg%;
+    # 'noise' is anti-correlated and must not beat them
+    assert set(ranked[:2]) == {"spark", "needle"}
+    by_term = {r["term"]: r for r in out}
+    assert by_term["needle"]["fg_df"] == 3 and by_term["needle"]["bg_df"] == 3
+    for r in out:
+        assert r["score"] == round(r["score"], 6)
