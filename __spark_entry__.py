@@ -848,6 +848,35 @@ def _date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import rescore_topk
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    return rescore_topk(
+        index, spark, {0: _QUERY_STRING}, k=10, window=20,
+        w_base=1.0, w_rescore=0.5, mu=2000.0,
+    )
+
+
+def _facet_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import facet_counts_after
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir)
+    index = build_index(docs.select("doc_id", "text"), tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    return facet_counts_after(
+        index, qt, docs, _FACET_COL, size=4, after="src12",
+        terms=QUERY_TERMS,
+    )
+
+
 def _significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import significant_terms
@@ -2328,11 +2357,10 @@ _DRIVER_PRIORITY = [
     'lsh_incremental_topk', 'ivf_incremental_topk', 'lsh_stream_topk',
     'msm_bm25_topk', 'synonym_bm25_topk', 'recency_bm25_topk',
     'pq_incremental_topk', 'facet_top_hits', 'date_histogram_hits',
-    'significant_terms',
-    # remaining never-sampled picks (2)
-    'semdedup', 'rm3_topk',
+    'significant_terms', 'rescore_topk', 'facet_page',
     # --- window boundary (~50) — below here: the rest of the
     # never-sampled set, then previously-green entries
+    'semdedup', 'rm3_topk',
     'normalized_dedup', 'mmr_topk', 'best_passage_topk',
     'doclen_quantiles', 'boolean_phrase_topk',
     'textrank_keywords', 'interleaved_ranking', 'rbo_depths',
@@ -2648,6 +2676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_top_hits": q(_facet_top_hits),
         # hits-over-time sparkline (date_histogram aggregation)
         "date_histogram_hits": q(_date_histogram),
+        # two-phase ranking: BM25 window + LM-Dirichlet rescore
+        "rescore_topk": q(_rescore_topk),
+        # composite-agg pagination: facet buckets after a cursor
+        "facet_page": q(_facet_page),
         # foreground-vs-corpus keyness over the hit set (JLH)
         "significant_terms": q(_significant_terms),
         # serving extras: m-of-n retrieval, query-time thesaurus
@@ -4173,6 +4205,50 @@ FROM sm JOIN dl USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def _rescore_sql(
+    k: int = 10,
+    window: int = 20,
+    mu: float = 2000.0,
+    wb: float = 1.0,
+    wr: float = 0.5,
+) -> str:
+    """query.rescore_topk: BM25 window cut (rounded 6dp before the
+    cut, Q7 tie-break) + LM-Dirichlet second pass (rounded 9dp like
+    _lm_dirichlet_sql), blended wb·base + wr·lm."""
+    nq = len(QUERY_TERMS)
+    return f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+base AS (
+  SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS base
+  FROM matched m
+  JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+),
+win AS (SELECT doc_id, base FROM base
+        ORDER BY base DESC, doc_id ASC LIMIT {window}),
+tot AS (SELECT sum(dl) AS c FROM dl),
+cf AS (SELECT term, sum(tf) AS cf FROM matched GROUP BY term),
+sm AS (SELECT m.doc_id,
+       sum(ln(1.0e0 + CAST(m.tf AS DOUBLE)
+              / ({mu}e0 * (CAST(cf.cf AS DOUBLE) / tot.c)))) AS s
+       FROM matched m JOIN cf USING (term), tot GROUP BY m.doc_id),
+lm AS (SELECT sm.doc_id,
+       round(sm.s + {nq} * ln({mu}e0 / (CAST(dl.dl AS DOUBLE) + {mu}e0)), 9)
+         AS lm
+       FROM sm JOIN dl USING (doc_id))
+SELECT CAST(0 AS INTEGER) AS query_id, w.doc_id,
+       round({wb!r}e0 * w.base + {wr!r}e0 * l.lm, 6) AS score
+FROM win w JOIN lm l USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def _bm25f_sql(
     k: int = 10,
     w_anchor: float = 2.0,
@@ -5543,6 +5619,17 @@ ranked AS (
 )
 SELECT query_id, facet, doc_id, score, rn FROM ranked WHERE rn <= 3
 ORDER BY facet, rn""",
+        "rescore_topk": _rescore_sql(
+            k=10, window=20, mu=2000.0, wb=1.0, wr=0.5
+        ),
+        "facet_page": f"""
+WITH {_TOKENS}, {_TF},
+hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS}),
+fc AS (SELECT 0 AS query_id, d.{_FACET_COL} AS facet, count(*) AS n_docs
+       FROM hits h JOIN documents d USING (doc_id)
+       GROUP BY d.{_FACET_COL})
+SELECT query_id, facet, n_docs FROM fc
+WHERE facet > 'src12' ORDER BY facet LIMIT 4""",
         "date_histogram_hits": f"""
 WITH {_TOKENS}, {_TF},
 hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS})

@@ -658,6 +658,17 @@ def score_lm_dirichlet(
     Scores are ≤ 0 (log-probabilities); only rank matters. Rounded 9dp
     for oracle comparison.
     """
+    return topk(_lm_dirichlet_scored(index, query_terms, mu, terms), k)
+
+
+def _lm_dirichlet_scored(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    mu: float = 2000.0,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Uncut LM-Dirichlet scores (see score_lm_dirichlet) — shared by
+    the top-k path and the rescore window."""
     spark = index.postings.sparkSession
     total_tokens = index.doc_stats.agg(F.sum("dl")).first()[0]
     m = _matched(index, query_terms, terms)
@@ -704,7 +715,7 @@ def score_lm_dirichlet(
             ).alias("score"),
         )
     )
-    return topk(scored, k)
+    return scored
 
 
 def score_jelinek_mercer(
@@ -1116,6 +1127,93 @@ def significant_terms(
         .drop("rn")
         .orderBy("query_id", F.col("score").desc(), "term")
     )
+
+
+def rescore_topk(
+    index: InvertedIndex,
+    spark: SparkSession,
+    queries: dict[int, str] | list[str],
+    k: int = 10,
+    window: int = 50,
+    w_base: float = 1.0,
+    w_rescore: float = 0.5,
+    mu: float = 2000.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-phase ranking — the rescore-window pattern: a cheap BM25
+    first pass selects the top-`window` candidates per query, then an
+    LM-Dirichlet second pass re-ranks ONLY that window with
+    score = w_base·bm25 + w_rescore·lm (beyond-reference serving).
+
+    This is the standard serving trade at scale: the first pass is the
+    broadcast-matched one-agg BM25 (postings never shuffled); the
+    second pass touches window·|queries| rows, so its cost is constant
+    in corpus size. The window cut uses rounded scores + the Q7
+    tie-break so the candidate set is reproducible across plans; docs
+    outside the window never re-enter (k ≤ window is enforced).
+    """
+    if k > window:
+        raise ValueError(f"k ({k}) must be <= window ({window})")
+    if isinstance(queries, list):
+        queries = dict(enumerate(queries))
+    terms = sorted({t for q in queries.values() for t in tokenize_query(q)})
+    qt = queries_to_terms(spark, queries)
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double"
+        )
+    m = _matched(index, qt, terms)
+    base = m.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("bm25_idf") * F.col("tf_norm")), round_dp
+        ).alias("base")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("base").desc(), F.col("doc_id").asc()
+    )
+    win = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= window)
+        .drop("rn")
+    )
+    lm = _lm_dirichlet_scored(index, qt, mu=mu, terms=terms).withColumnRenamed(
+        "score", "lm"
+    )
+    combined = win.join(lm, ["query_id", "doc_id"]).select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.lit(w_base) * F.col("base") + F.lit(w_rescore) * F.col("lm"),
+            round_dp,
+        ).alias("score"),
+    )
+    return topk(combined, k)
+
+
+def facet_counts_after(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    dims: DataFrame,
+    facet: str,
+    size: int = 5,
+    after: str | None = None,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Composite-aggregation pagination: the next `size` facet buckets
+    in key order, resuming AFTER a cursor — how a frontend pages
+    through an unbounded bucket list without the coordinator holding
+    every bucket (beyond-reference).
+
+    The cursor is a plain `facet > after` predicate, so resuming is
+    stateless and each page is an independent job; the bucket agg
+    itself is facet_counts' broadcast-matched plan. The global
+    order-limit is a TakeOrderedAndProject — per-partition heaps of
+    `size` rows, not a full sort.
+    """
+    fc = facet_counts(index, query_terms, dims, facet, terms=terms)
+    if after is not None:
+        fc = fc.filter(F.col("facet") > after)
+    return fc.orderBy("facet").limit(size)
 
 
 def prefix_terms(index: InvertedIndex, prefix: str) -> DataFrame:

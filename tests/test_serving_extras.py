@@ -182,3 +182,63 @@ def test_significant_terms_surfaces_cooccurring_term(spark):
     assert by_term["needle"]["fg_df"] == 3 and by_term["needle"]["bg_df"] == 3
     for r in out:
         assert r["score"] == round(r["score"], 6)
+
+
+def test_rescore_window_gates_and_reorders(spark, index):
+    from search_engine_spark.operators.query import rescore_topk, search
+
+    # window=1: only the best BM25 doc survives to phase 2
+    top1 = rescore_topk(index, spark, QUERY, k=1, window=1).collect()
+    base = search(index, spark, QUERY, k=1).collect()
+    assert [r["doc_id"] for r in top1] == [r["doc_id"] for r in base]
+
+    # wide window: every base candidate is rescored, none invented
+    wide = rescore_topk(index, spark, QUERY, k=10, window=50).collect()
+    cand = {r["doc_id"] for r in search(index, spark, QUERY, k=10).collect()}
+    assert {r["doc_id"] for r in wide} == cand
+
+    # w_rescore=0 degrades to pure (rounded) BM25 order
+    flat = rescore_topk(
+        index, spark, QUERY, k=10, window=50, w_rescore=0.0
+    ).collect()
+    assert [r["doc_id"] for r in flat] == [
+        r["doc_id"]
+        for r in search(index, spark, QUERY, k=10).collect()
+    ]
+
+    with pytest.raises(ValueError):
+        rescore_topk(index, spark, QUERY, k=20, window=10)
+
+
+def test_facet_pagination_is_disjoint_and_complete(spark, index):
+    from search_engine_spark.operators.query import (
+        facet_counts,
+        facet_counts_after,
+    )
+
+    dims = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")],
+        "doc_id long, source string",
+    )
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "merge"), (0, "line")],
+        "query_id int, term string",
+    )
+    terms = ["spark", "merge", "line"]
+    pages, after = [], None
+    while True:
+        page = facet_counts_after(
+            index, qt, dims, "source", size=2, after=after, terms=terms
+        ).collect()
+        if not page:
+            break
+        pages.append([r["facet"] for r in page])
+        after = page[-1]["facet"]
+    flat = [f for p in pages for f in p]
+    assert flat == sorted(flat) and len(flat) == len(set(flat))
+    full = {
+        r["facet"]
+        for r in facet_counts(index, qt, dims, "source", terms=terms).collect()
+    }
+    assert set(flat) == full
+    assert all(len(p) <= 2 for p in pages)
