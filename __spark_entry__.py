@@ -848,6 +848,36 @@ def _date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import (
+        build_index,
+        index_stats,
+    )
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return index_stats(build_index(docs, tokenizer=ws_tokens))
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.ltr import hard_negatives
+    from search_engine_spark.operators.text_analytics import ws_tokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    index = build_index(docs, tokenizer=ws_tokens)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS], "query_id int, term string"
+    )
+    # deterministic synthetic positives: every 5th doc is "relevant"
+    qrels = docs.select(F.lit(0).alias("query_id"), "doc_id").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return hard_negatives(
+        index, qt, qrels, k=20, n_neg=5, terms=QUERY_TERMS
+    )
+
+
 def _rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.query import rescore_topk
@@ -2347,9 +2377,10 @@ _DRIVER_PRIORITY = [
     'jm_lm_topk', 'ad_lm_topk', 'rocchio_cosine_topk', 'rrf_hybrid_topk',
     'more_like_this_topk', 'tombstone_bm25_topk', 'sharded_bm25_topk',
     'champion_bm25_topk', 'tiered_bm25_topk', 'tiered_fallback_topk',
-    # analytics (6)
+    # analytics (4; vocab_growth/df_histogram rotated below the
+    # boundary to make room for the round-5 serving additions)
     'collocations_llr', 'source_keyness', 'js_divergence',
-    'index_epoch_diff', 'vocab_growth', 'df_histogram',
+    'index_epoch_diff',
     # ANN variants (4)
     'filtered_cosine_topk', 'ivf_filtered_topk', 'pq_codes',
     'kmeans_clusters',
@@ -2357,10 +2388,11 @@ _DRIVER_PRIORITY = [
     'lsh_incremental_topk', 'ivf_incremental_topk', 'lsh_stream_topk',
     'msm_bm25_topk', 'synonym_bm25_topk', 'recency_bm25_topk',
     'pq_incremental_topk', 'facet_top_hits', 'date_histogram_hits',
-    'significant_terms', 'rescore_topk', 'facet_page',
+    'significant_terms', 'rescore_topk', 'facet_page', 'index_stats',
+    'hard_negatives',
     # --- window boundary (~50) — below here: the rest of the
     # never-sampled set, then previously-green entries
-    'semdedup', 'rm3_topk',
+    'vocab_growth', 'df_histogram', 'semdedup', 'rm3_topk',
     'normalized_dedup', 'mmr_topk', 'best_passage_topk',
     'doclen_quantiles', 'boolean_phrase_topk',
     'textrank_keywords', 'interleaved_ranking', 'rbo_depths',
@@ -2678,6 +2710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_hits": q(_date_histogram),
         # two-phase ranking: BM25 window + LM-Dirichlet rescore
         "rescore_topk": q(_rescore_topk),
+        # one-row index capacity summary (_stats API)
+        "index_stats": q(_index_stats),
+        # LTR hard-negative mining: top-ranked non-relevant docs
+        "hard_negatives": q(_hard_negatives),
         # composite-agg pagination: facet buckets after a cursor
         "facet_page": q(_facet_page),
         # foreground-vs-corpus keyness over the hit set (JLH)
@@ -5622,6 +5658,38 @@ ORDER BY facet, rn""",
         "rescore_topk": _rescore_sql(
             k=10, window=20, mu=2000.0, wb=1.0, wr=0.5
         ),
+        "index_stats": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id)
+SELECT (SELECT count(*) FROM dl) AS n_docs,
+       (SELECT count(DISTINCT term) FROM tf) AS vocab_size,
+       (SELECT count(*) FROM tf) AS n_postings,
+       (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS total_tokens,
+       (SELECT round(avg(dl), 6) FROM dl) AS avgdl""",
+        "hard_negatives": f"""
+WITH {_TOKENS}, {_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (SELECT * FROM tf WHERE term IN {_IN_TERMS}),
+df AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+scored AS (
+  SELECT doc_id, round(sum(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * (m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+  ), 6) AS score
+  FROM matched m
+  JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM scored
+)
+SELECT CAST(0 AS INTEGER) AS query_id, doc_id, score, rank
+FROM ranked WHERE rank <= 20 AND doc_id % 5 <> 0
+ORDER BY rank LIMIT 5""",
         "facet_page": f"""
 WITH {_TOKENS}, {_TF},
 hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_IN_TERMS}),

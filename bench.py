@@ -738,6 +738,29 @@ def main() -> None:
                 idx, spark, SEARCH_QUERIES, k=10, scorer="absolute_discount"
             ).collect(),
         )
+        # round-5 serving additions: two-phase rescore (BM25 window +
+        # LM-Dirichlet second pass) and the bucketed hit-set aggs —
+        # all ride the same broadcast-matched one-agg plan
+        timed(
+            "rescore_search",
+            lambda: query_ops.rescore_topk(
+                idx, spark, SEARCH_QUERIES, k=10, window=100
+            ).collect(),
+        )
+        timed(
+            "facet_top_hits",
+            lambda: query_ops.top_hits_by_facet(
+                doc_idx4, qt4, documents, "source", n=3,
+                terms=["data", "pipeline"],
+            ).collect(),
+        )
+        timed(
+            "significant_terms",
+            lambda: query_ops.significant_terms(
+                doc_idx4, qt4, k_hits=100, top_terms=10,
+                terms=["data", "pipeline"],
+            ).collect(),
+        )
         from search_engine_spark.operators import bpe
 
         timed(

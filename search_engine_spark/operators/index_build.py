@@ -599,3 +599,28 @@ def prune_index(
         n_docs=index.n_docs,
         avgdl=index.avgdl,
     )
+
+
+def index_stats(index: InvertedIndex) -> DataFrame:
+    """One-row (n_docs, vocab_size, n_postings, total_tokens, avgdl)
+    summary — the index-stats API a serving cluster exposes for
+    capacity planning and monitoring (beyond-reference; the reference
+    exposes only N, state/db.rs via S6).
+
+    Two scan-stage aggregates crossJoined as 1-row scalars — the only
+    exchange is each agg's partial-merge, so the row costs one pass
+    over term_stats + postings at any corpus size. n_docs/avgdl are
+    the build-time driver scalars (doc_stats is not re-read).
+    """
+    vocab = index.term_stats.agg(F.count(F.lit(1)).alias("vocab_size"))
+    posts = index.postings.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.sum("tf").cast("long").alias("total_tokens"),
+    )
+    return vocab.crossJoin(posts).select(
+        F.lit(int(index.n_docs)).cast("long").alias("n_docs"),
+        "vocab_size",
+        "n_postings",
+        "total_tokens",
+        F.round(F.lit(float(index.avgdl)), 6).alias("avgdl"),
+    )

@@ -154,3 +154,51 @@ def ltr_rerank(scores: DataFrame, k: int = 10) -> DataFrame:
     return topk(
         scores.select("query_id", "doc_id", F.col("s").alias("score")), k
     )
+
+
+def hard_negatives(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    qrels: DataFrame,
+    k: int = 20,
+    n_neg: int = 5,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): the highest-BM25-ranked docs
+    per query that are NOT known positives — hard-negative mining, the
+    standard way to build contrastive/LTR training pairs from a serving
+    index (the retriever's own near-miss top errors are the informative
+    negatives).
+
+
+    `qrels` is (query_id, doc_id) known positives. Plan: the one-agg
+    broadcast-matched BM25 (scores rounded before ranking, Q7
+    tie-break) → rank ≤ k → broadcast LEFT ANTI join against qrels
+    (query-bounded, always small) → first n_neg per query. Both rank
+    cuts compile to WindowGroupLimit, so the shuffled payload never
+    exceeds k rows per query per partition.
+    """
+    from pyspark.sql import Window
+
+    m = _matched(index, query_terms, terms)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(F.col("bm25_idf") * F.col("tf_norm")), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    neg = ranked.join(
+        F.broadcast(qrels.select("query_id", "doc_id")),
+        ["query_id", "doc_id"],
+        "left_anti",
+    )
+    w2 = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        neg.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= n_neg)
+        .drop("rn")
+        .orderBy("query_id", "rank")
+    )

@@ -88,3 +88,55 @@ def test_ltr_rerank_orders_by_learned_score(spark):
         (1, 7),
     ]
     assert out[0]["score"] == 0.9
+
+
+def test_hard_negatives_excludes_positives_and_keeps_rank(spark, index, qt):
+    from search_engine_spark.operators.ltr import hard_negatives
+
+    terms = ["spark", "merge", "batch"]
+    # positives: every 5th doc, per query
+    qrels = (
+        spark.range(0, 2000, 5)
+        .select(F.col("id").alias("doc_id"))
+        .crossJoin(spark.createDataFrame([(0,), (1,)], "query_id int"))
+        .select("query_id", "doc_id")
+    )
+    out = hard_negatives(index, qt, qrels, k=20, n_neg=5, terms=terms)
+    rows = out.collect()
+    # no positives survive, at most n_neg per query
+    assert all(r["doc_id"] % 5 != 0 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) <= 5
+        # ranks are the ORIGINAL serving ranks (gaps where positives
+        # were removed), strictly increasing and bounded by k
+        ranks = [r["rank"] for r in rs]
+        assert ranks == sorted(ranks) and ranks[-1] <= 20
+        assert len(set(ranks)) == len(ranks)
+    # each kept rank matches the doc's true BM25 serving rank
+    bm = score_bm25(index, qt, k=20, terms=terms).collect()
+    true_rank = {}
+    seen = {}
+    for r in bm:  # topk output is ordered per query
+        n = seen.get(r["query_id"], 0) + 1
+        seen[r["query_id"]] = n
+        true_rank[(r["query_id"], r["doc_id"])] = n
+    for r in rows:
+        assert true_rank[(r["query_id"], r["doc_id"])] == r["rank"]
+
+
+def test_index_stats_one_row_summary(spark, index):
+    from search_engine_spark.operators.index_build import index_stats
+
+    row = index_stats(index).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_docs"] == index.n_docs
+    assert r["vocab_size"] == index.term_stats.count()
+    assert r["n_postings"] == index.postings.count()
+    assert r["total_tokens"] == (
+        index.postings.agg(F.sum("tf")).first()[0]
+    )
+    assert r["avgdl"] == round(index.avgdl, 6)
