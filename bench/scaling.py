@@ -680,6 +680,43 @@ build path is still clean): 0.948 raw at a 4.11 ceiling (0.923
 ceiling-relative), 0.873 (ceiling 3.94, relative 0.886), 0.835
 (ceiling 3.87, relative 0.863) — three independent fresh-JVM windows,
 all over the 0.8 target, recorded in BENCH/scaling_runs.jsonl.
+
+## Round-5 late batch: serving aggregations and lifecycle extras
+
+Final operators after the round-5 sections above (entry count 173 ->
+185, every one DuckDB-oracle hash-gated, all twelve inside the r5
+driver window): minimum_should_match OR-serving, weighted synonym
+expansion, recency-decay blending, the persisted-PQ lifecycle
+(frozen-codebook add + tombstone delete + compact, mirroring the
+LSH/IVF incremental pattern), streaming LSH epoch maintenance, and an
+aggregations-over-the-hit-set family: per-facet top hits (terms agg
+with a top_hits sub-agg), date histograms, significant terms (JLH
+foreground-vs-corpus-background), two-phase rescore (BM25 window cut
+re-ranked by a blended LM-Dirichlet second pass), composite facet
+pagination, index stats, and LTR hard-negative mining.
+
+New bench rows (closing full run, same sf0.1 local[32] suite):
+
+| new row | sec | what it measures |
+|---|---|---|
+| rescore_search | 2.93 | two-phase serving over 5 queries: broadcast-matched BM25 first pass cuts a top-100 window, LM-Dirichlet re-ranks ONLY window·|queries| rows — the expensive scorer never touches the full hit set |
+| facet_top_hits | 1.68 | terms facet + per-bucket top-3 hits: one aggregate + one rank window over the benched BM25 hit shape |
+| significant_terms | 3.08 | JLH scoring: the bounded top-k foreground is BROADCAST into the postings join (corpus-sized postings never shuffled on doc_id), then joined against corpus DF margins |
+
+The same closing run re-confirmed the round-5 fixes at their improved
+levels (pagerank_10it 4.60 s, semdedup 9.33 s, lsh_index_build
+6.55 s, minhash_lsh_pairs 46.8 s) while the headline core read
+46.97 s vs 35.4 s in the quiet window earlier the same day — the
+~1.3x host swing documented throughout this file (pages_index_build
+15.5 vs 13.1 s, every plan byte-identical between the two runs). Both
+runs are recorded; the quiet window is the like-for-like diff number.
+
+A final scaling window on the EXACT shipping tree (185 entries):
+0.849 raw efficiency at a measured 3.50x hardware ceiling — 0.970
+ceiling-relative, the engine's own scaling once host overcommit is
+factored out — pass, appended to BENCH/scaling_runs.jsonl. Four
+independent round-5 windows total (0.948, 0.873, 0.835, 0.849), all
+over the 0.8 target.
 """
         )
 
